@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+The config hash participates in checkpoint manifests (a changed config
+invalidates prior stage outputs — generalizing the reference's crash-safe
+apply step, /root/reference/src/actions.rs:118-136, one level up).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs of the three-stage detector + clustering.
+
+    Defaults are the "matched config" used by both the Ray pipeline and the
+    single-process oracle (recall >= 0.99 is measured at identical settings,
+    mirroring how the reference's benchmark harness compares tools on one
+    generated corpus — /root/reference/benchmark/runner.py:181-210).
+    """
+
+    seed: int = 42
+
+    # --- caption shingling / MinHash (stage 2a) ---
+    shingle_k: int = 5            # character shingle width
+    num_perm: int = 64            # MinHash permutations K
+    bands: int = 32               # LSH bands b (num_perm must equal bands*rows)
+    rows_per_band: int = 2        # LSH rows per band r
+    # b=32,r=2: P(candidate | J=t) = 1-(1-t^2)^32 = 0.9998 at t=0.5 — sized for
+    # the >=0.99 pair-recall bar; junk candidates are killed by the cheap
+    # signature-level verify, so precision costs compute, not correctness.
+    jaccard_threshold: float = 0.50   # verify: estimated Jaccard >= t -> edge
+
+    # --- phash / SimHash banding (stage 2b) ---
+    phash_bands: int = 8          # split the 64-bit phash into 8 x 8-bit bands
+    phash_hamming_max: int = 6    # verify: Hamming(phash) <= t -> edge
+
+    # --- suffix/substring tier (stage 3) ---
+    substring_min_len: int = 30   # shared substring >= L chars -> edge
+    substring_caption_min: int = 60  # only captions this long enter stage 3
+    winnow_window: int = 8        # winnowing window w over L-gram hashes; the
+    # candidate generator (shared winnowed fingerprint) is part of the tier-3
+    # relation DEFINITION, shared verbatim with the oracle -> tier-3 recall is
+    # exact by construction; detection guaranteed for shares >= L+w-1 chars
+
+    # --- skew handling ---
+    bucket_pair_cap: int = 64     # LSH bucket size above which pair emission
+                                  # degrades to star+chain edges (logged)
+
+    # --- physical execution ---
+    batch_size: int = 4096        # rows per map_batches batch for sig stages
+    driver_unionfind_max_edges: int = 2_000_000  # below -> driver union-find
+
+    min_size: int = 0             # byte-length row filter (reference --min-size)
+    max_size: int = 2**63 - 1     # (reference --max-size)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("num_perm must equal bands * rows_per_band")
+        if 64 % self.phash_bands != 0:
+            raise ValueError("phash_bands must divide 64")
+
+    def config_hash(self) -> str:
+        """Deterministic 16-hex-char digest of every knob."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.blake2b(blob, digest_size=8).hexdigest()

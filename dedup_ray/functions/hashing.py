@@ -1,0 +1,253 @@
+"""Deterministic hashing & sketching kernels.
+
+Generalizes the reference's two-tier BLAKE3 cascade
+(/root/reference/src/hasher.rs:18-47 — partial-prefix hash then full hash)
+into the digest/sketch family the three-stage detector needs:
+
+    content_hash  exact byte digest (blake2b-256)           ~ full_hash_file
+    pixel_hash    digest of DECODED pixels (re-encode dup)  (new tier)
+    phash         64-bit perceptual average-hash            (cheap key ~ partial hash)
+    minhash       K-permutation MinHash over char shingles  (near-dup captions)
+    simhash64     64-bit SimHash over token hashes          (near-dup text)
+    band keys     LSH banding for both MinHash and phash bitplanes
+
+Everything is pure numpy/stdlib, seeded, and stable across processes (no
+reliance on PYTHONHASHSEED).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------- digests
+
+
+def content_hash(data: bytes) -> bytes:
+    """32-byte exact digest of the encoded payload (blake2b stands in for the
+    reference's BLAKE3, /root/reference/src/hasher.rs:30-47)."""
+    return hashlib.blake2b(data, digest_size=32).digest()
+
+
+def pixel_hash(pixels: np.ndarray) -> bytes:
+    """32-byte digest of decoded pixels (+shape), catching exact re-encodes
+    across formats — the tier the file-level reference cannot have."""
+    h = hashlib.blake2b(digest_size=32)
+    h.update(np.asarray(pixels.shape, dtype=np.int64).tobytes())
+    h.update(np.ascontiguousarray(pixels).tobytes())
+    return h.digest()
+
+
+# ---------------------------------------------------------------- phash
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: average-hash over an 8x8 block-mean grayscale.
+
+    DCT-free variant: grayscale -> 8x8 block means (area interpolation via
+    cumsum so any w,h works) -> bit i = cell_i > mean. Deterministic, pure
+    numpy. Returns a SIGNED int64-compatible int (two's complement) so it
+    stores losslessly in the `phash: int64` input_hint column.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # integral image for O(1) box sums at arbitrary fractional grid lines
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = np.linspace(0, h, 9).round().astype(np.int64)
+    xs = np.linspace(0, w, 9).round().astype(np.int64)
+    cells = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        y0 = min(int(ys[i]), h - 1)
+        y1 = min(max(int(ys[i + 1]), y0 + 1), h)
+        for j in range(8):
+            x0 = min(int(xs[j]), w - 1)
+            x1 = min(max(int(xs[j + 1]), x0 + 1), w)
+            area = (y1 - y0) * (x1 - x0)
+            cells[i, j] = (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR over int64/uint64 arrays."""
+    x = (np.ascontiguousarray(np.asarray(a).astype(np.int64)).view(np.uint64)
+         ^ np.ascontiguousarray(np.asarray(b).astype(np.int64)).view(np.uint64))
+    v = x.view(np.uint8).reshape(*x.shape, 8)
+    return _POPCOUNT_LUT[v].sum(axis=-1).astype(np.int64)
+
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def phash_bands(phash: np.ndarray, n_bands: int) -> np.ndarray:
+    """Split 64-bit phashes into ``n_bands`` equal bit-slices.
+
+    Pigeonhole guarantee: two hashes within Hamming distance < n_bands share
+    at least one identical band -> banding is a recall-complete candidate
+    generator for Hamming <= n_bands-1.
+
+    Returns shape (len(phash), n_bands) uint64 of band values.
+    """
+    width = 64 // n_bands
+    u = np.asarray(phash).astype(np.int64).view(np.uint64)
+    out = np.empty((u.shape[0], n_bands), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for b in range(n_bands):
+        out[:, b] = (u >> np.uint64(b * width)) & mask
+    return out
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 polynomial rolling hashes of all k-char shingles (UTF-8 bytes).
+
+    Fully vectorized: sliding windows x precomputed base powers, mod 2^64 via
+    natural uint64 wraparound. Deterministic across processes. Returns the
+    UNIQUE shingle hash set (set semantics for Jaccard).
+    """
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if raw.size < k:
+        return np.empty(0, dtype=np.uint64)
+    powers = _shingle_powers(k)
+    win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+    return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
+
+
+_POWER_CACHE: dict[int, np.ndarray] = {}
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime; odd -> bijective mod 2^64
+
+
+def _shingle_powers(k: int) -> np.ndarray:
+    p = _POWER_CACHE.get(k)
+    if p is None:
+        p = np.empty(k, dtype=np.uint64)
+        p[k - 1] = np.uint64(1)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash's modulus
+            for i in range(k - 2, -1, -1):
+                p[i] = p[i + 1] * _SHINGLE_BASE
+        _POWER_CACHE[k] = p
+    return p
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+class MinHasher:
+    """K-permutation MinHash with seeded 61-bit universal hashing.
+
+    State (the a/b permutation tables) is built once and reused per batch —
+    in the pipeline this object lives inside a map_batches actor's __init__
+    (SURVEY.md §7.1 M3).
+    """
+
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def __init__(self, num_perm: int, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.a = rng.integers(1, _MERSENNE61, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, _MERSENNE61, num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature; all-ones sentinel for empty sets."""
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, self.EMPTY, dtype=np.uint64)
+        h = shingle_hashes & _MERSENNE61  # fold into the 61-bit field
+        v = self.a[:, None] * h[None, :] + self.b[:, None]  # wraps mod 2^64
+        v = (v & _MERSENNE61) + (v >> np.uint64(61))  # fast partial mod 2^61-1
+        return v.min(axis=1)
+
+    @staticmethod
+    def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+        """Estimated Jaccard from equal-length signatures; supports (N,K)
+        stacked comparisons. Empty-sentinel signatures estimate 0 vs anything
+        non-empty by construction of the sentinel (matches only itself)."""
+        a, b = np.asarray(sig_a), np.asarray(sig_b)
+        return (a == b).mean(axis=-1)
+
+
+def band_keys(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Collapse (N, bands*rows) signatures into (N, bands) uint64 band keys
+    via a seeded polynomial combine (one shuffle key per band)."""
+    n = sigs.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    base = np.uint64(0x9E3779B97F4A7C15)
+    for b in range(bands):
+        block = sigs[:, b * rows : (b + 1) * rows]
+        acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc ^ block[:, r]) * base
+        out[:, b] = acc
+    return out
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(text: str, gram_len: int, window: int) -> np.ndarray:
+    """Winnowed fingerprints (Schleimer et al., SIGMOD'03 scheme) over
+    ``gram_len``-char rolling hashes: select the min hash in every window of
+    ``window`` consecutive grams (rightmost-min tie-break via position).
+
+    Guarantee: two texts sharing a substring of length >= gram_len+window-1
+    share at least one selected fingerprint — this is tier 3's candidate
+    generator AND (with an exact LCS verify) part of its relation definition,
+    shared with the oracle. Returns unique uint64 fingerprints.
+    """
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = raw.size - gram_len + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    powers = _shingle_powers(gram_len)
+    win = np.lib.stride_tricks.sliding_window_view(raw, gram_len).astype(np.uint64)
+    hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    hw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return np.unique(hw.min(axis=1))
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """Classic 64-bit SimHash: signed bit-plane accumulation of token hashes."""
+    if token_hashes.size == 0:
+        return 0
+    bits = (
+        (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    signed = bits * 2 - 1
+    if weights is not None:
+        signed = signed * weights[:, None].astype(np.int64)
+    acc = signed.sum(axis=0)
+    val = np.uint64(0)
+    for i in range(63, -1, -1):
+        val = (val << np.uint64(1)) | np.uint64(1 if acc[i] > 0 else 0)
+    return int(val.astype(np.int64))
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hashes of whitespace tokens (stable, blake2b-based)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )

@@ -1,0 +1,61 @@
+"""Plain union-find (disjoint set) with path compression + union by size.
+
+Used by (a) the single-process oracle, and (b) the small-edge-count fast path
+of the clustering stage (below ``DedupConfig.driver_unionfind_max_edges`` the
+verified edge set is tiny relative to the corpus and driver-side union-find
+beats an iterative distributed fixpoint). Cluster representative = min member
+id, matching the deterministic keeper rule generalized from the reference's
+``select_original`` (/root/reference/src/actions.rs:21-26).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+
+class UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+        self.size: dict[str, int] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p == x:
+            self.size.setdefault(x, 1)
+            return x
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+
+    def components(self) -> dict[str, str]:
+        """node -> cluster_id where cluster_id = min(member ids)."""
+        groups: dict[str, list[str]] = {}
+        for node in self.parent:
+            groups.setdefault(self.find(node), []).append(node)
+        out: dict[str, str] = {}
+        for members in groups.values():
+            rep = min(members)
+            for m in members:
+                out[m] = rep
+        return out
+
+
+def connected_components(edges: Iterable[tuple[str, str]]) -> dict[str, str]:
+    """node -> min-member cluster_id over the edge list (nodes with no edges
+    are absent — callers treat absence as a singleton cluster)."""
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return uf.components()

@@ -1,0 +1,108 @@
+"""The flagship pipeline: three-stage near-dup detection + clustering.
+
+End-to-end dataflow (every box a Dataset, every arrow streaming):
+
+    images ──map_batches──> keys (digests, NO bytes)
+      keys ──groupby(pixel_hash)──> exact star edges          (tier 1)
+      keys ──groupby(pixel,caption)──> reps (collapsed)
+      reps ──actor pool──> signatures (minhash/winnow)
+      sigs ──explode+groupby(band)──> candidate pairs          (tier 2+3 cand)
+      pairs ──attach attrs──> ──actor pool verify──> near edges
+      exact ∪ near edges ──union-find──> clusters
+      clusters + keys ──groupby──> report stats
+
+Mirrors the reference's scan -> size-group -> partial-hash -> full-hash
+cascade (/root/reference/src/main.rs:155-205) with the same two invariants:
+cheap keys only ever ADD candidates (recall-safe), the verify stage is
+authoritative; and singletons exit early (HAVING n>=2 at every grouping).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.sources.io import read_table
+from dedup_ray.stages.cluster import cluster_stage
+from dedup_ray.stages.exact import collapse_reps, exact_edges
+from dedup_ray.stages.join import attach_pair_attrs
+from dedup_ray.stages.keys import exact_keys_stage
+from dedup_ray.stages.lsh import lsh_candidates
+from dedup_ray.stages.report import cluster_stats, write_report
+from dedup_ray.stages.signatures import signatures_stage
+from dedup_ray.stages.verify import verify_stage
+from dedup_ray.state.checkpoint import Checkpointer
+from dedup_ray.state.metrics import reset_counters, snapshot_counters
+
+
+@dataclass
+class NearDupResult:
+    clusters: rd.Dataset
+    stats: dict
+    counters: dict = field(default_factory=dict)
+    report: dict = field(default_factory=dict)
+
+
+def run_neardup(
+    input_path: str,
+    cfg: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    concurrency: int | tuple[int, int] = 4,
+    compute_stats: bool = True,
+) -> NearDupResult:
+    """Run the full detector over an input_hint-shaped table.
+
+    ``checkpoint_dir=None`` runs fully streaming (no mid-pipeline
+    materialization beyond what groupbys require); with a directory, every
+    stage boundary checkpoints per state/checkpoint.py and a second run
+    resumes from the last completed stage.
+    """
+    cfg = cfg or DedupConfig()
+    reset_counters()
+    ckpt = Checkpointer(checkpoint_dir, cfg.config_hash())
+
+    # A dataset consumed by MULTIPLE downstream stages must be pinned, or the
+    # lazy DAG re-executes its whole lineage once per consumer. Checkpoint
+    # mode pins to parquet (resumable); otherwise pin in the object store.
+    def pin(ds: rd.Dataset) -> rd.Dataset:
+        return ds if checkpoint_dir else ds.materialize()
+
+    images = read_table(input_path)
+    total_rows = images.count()  # metadata count, no scan
+
+    keys = pin(ckpt.stage("keys", lambda: exact_keys_stage(images, cfg), ("input",)))
+    edges_exact = pin(ckpt.stage(
+        "edges_exact", lambda: exact_edges(keys, "pixel_hash"), ("keys",)
+    ))
+    reps = ckpt.stage("reps", lambda: collapse_reps(keys), ("keys",))
+    sigs = pin(ckpt.stage(
+        "signatures", lambda: signatures_stage(reps, cfg, concurrency), ("reps",)
+    ))
+    cands = ckpt.stage("candidates", lambda: lsh_candidates(sigs, cfg), ("signatures",))
+
+    def _near_edges() -> rd.Dataset:
+        attrs = attach_pair_attrs(
+            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption"]
+        )
+        return verify_stage(attrs, cfg, concurrency)
+
+    near_edges = pin(ckpt.stage("edges_near", _near_edges, ("candidates", "signatures")))
+    edges = edges_exact.union(near_edges)
+    clusters = pin(ckpt.stage("clusters", lambda: cluster_stage(edges, cfg),
+                              ("edges_exact", "edges_near")))
+
+    counters = snapshot_counters()
+    stats = (
+        cluster_stats(clusters, keys, total_rows)
+        if compute_stats
+        else {"total_rows": total_rows}
+    )
+    report = {"stats": stats, "counters": counters}
+    if checkpoint_dir:
+        report = write_report(
+            stats, counters, os.path.join(checkpoint_dir, "report.json")
+        )
+    return NearDupResult(clusters=clusters, stats=stats, counters=counters, report=report)

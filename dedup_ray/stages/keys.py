@@ -1,0 +1,90 @@
+"""Stage A — exact-key computation (the cascade's cheap+verify keys).
+
+Generalizes the reference's hash maps (/root/reference/src/hasher.rs:18-47:
+partial-prefix BLAKE3 as the cheap key, full BLAKE3 as the verify key) to the
+image+caption row:
+
+    byte_len       ~ file size            (grouping key G1)
+    content_hash   ~ full content hash    (exact tier, G4)
+    pixel_hash     digest of DECODED pixels (re-encode-exact tier — new)
+    caption_hash   digest of the caption   (exact-collapse key component)
+    phash          perceptual hash         (given in the input per input_hint)
+
+The stage DROPS ``bytes``: everything downstream shuffles only ids, digests
+and captions — the reference's "content never enters the data model" rule
+(src/hasher.rs:30-47 streams and discards), which at 100 TB keeps the wide
+binary column out of every all-to-all exchange (SURVEY.md §7.3.6).
+
+Stateless map_batches; decode is per-row Python+numpy (each call is C-heavy
+zlib/numpy work), the rest vectorized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions import codecs
+from dedup_ray.functions.hashing import pixel_hash
+
+
+def compute_exact_keys(batch: pa.Table) -> pa.Table:
+    """bytes/fmt -> digests; emits the signatures-base schema (no bytes)."""
+    data = batch["bytes"]
+    fmts = batch["fmt"].to_pylist()
+    n = batch.num_rows
+    content = np.empty(n, dtype=object)
+    pixel = np.empty(n, dtype=object)
+    decode_ok = np.ones(n, dtype=bool)
+    for i in range(n):
+        raw = data[i].as_py()
+        content[i] = hashlib.blake2b(raw, digest_size=32).hexdigest()
+        try:
+            px = codecs.decode(raw, fmts[i])
+            pixel[i] = pixel_hash(px).hex()
+        except Exception:
+            # unreadable rows are dropped like the reference's unreadable
+            # files (src/hasher.rs:56-60 filter_map) — but counted
+            decode_ok[i] = False
+            pixel[i] = ""
+    captions = batch["caption"].to_pylist()
+    caption_hash = [
+        hashlib.blake2b(c.encode() if c else b"", digest_size=16).hexdigest()
+        for c in captions
+    ]
+    byte_len = pc.binary_length(data).cast(pa.int64())
+    out = pa.table(
+        {
+            "image_id": batch["image_id"],
+            "byte_len": byte_len,
+            "content_hash": pa.array(list(content), type=pa.string()),
+            "pixel_hash": pa.array(list(pixel), type=pa.string()),
+            "caption_hash": pa.array(caption_hash, type=pa.string()),
+            "phash": batch["phash"],
+            "fmt": batch["fmt"],
+            "caption": batch["caption"],
+        }
+    )
+    return out.filter(pa.array(decode_ok))
+
+
+def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """images -> signatures-base table; applies the size predicate at the
+    batch level (reference --min-size/--max-size, src/scanner.rs:101-103)."""
+    ds = images
+    if cfg.min_size > 0 or cfg.max_size < 2**63 - 1:
+        lo, hi = cfg.min_size, cfg.max_size
+
+        def size_filter(b: pa.Table) -> pa.Table:
+            ln = pc.binary_length(b["bytes"]).cast(pa.int64())
+            keep = pc.and_(pc.greater_equal(ln, lo), pc.less_equal(ln, hi))
+            return b.filter(keep)
+
+        ds = ds.map_batches(size_filter, batch_format="pyarrow")
+    return ds.map_batches(compute_exact_keys, batch_format="pyarrow")

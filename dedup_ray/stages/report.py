@@ -1,0 +1,111 @@
+"""Stage G — report aggregation & sinks.
+
+~ DuplicateReport::from_groups (/root/reference/src/output.rs:39-73):
+global stats {total, duplicate_rows, duplicate_clusters, wasted_bytes} where
+wasted_bytes generalizes size*(n-1) to sum(byte_len) - byte_len(keeper) per
+cluster (members may differ in size across formats). Per-cluster aggregation
+is a groupby over the (small) cluster table; global totals are a driver-side
+sum of the per-cluster rows — never a full-corpus materialization.
+
+Sinks mirror the reference's human/json/quiet trio
+(/root/reference/src/output.rs:76-130, src/main.rs:213-217).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from dedup_ray.stages.join import attach_pair_attrs  # noqa: F401 (sibling API)
+
+
+def cluster_stats(clusters: rd.Dataset, keys: rd.Dataset, total_rows: int) -> dict:
+    """clusters(cluster_id, image_id) + keys(image_id, byte_len) -> report stats."""
+    if clusters.count() == 0:
+        return {
+            "total_rows": total_rows,
+            "duplicate_rows": 0,
+            "duplicate_clusters": 0,
+            "wasted_bytes": 0,
+        }
+    sizes = keys.select_columns(["image_id", "byte_len"])
+    joined = clusters.join(
+        sizes,
+        join_type="inner",
+        num_partitions=16,
+        on=("image_id",),
+    )
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        keeper_idx = pc.index(g["image_id"], pc.min(g["image_id"]).as_py()).as_py()
+        total = pc.sum(g["byte_len"]).as_py()
+        wasted = total - g["byte_len"][keeper_idx].as_py()
+        return pa.table(
+            {
+                "cluster_id": g["cluster_id"].slice(0, 1),
+                "n": pa.array([n], type=pa.int64()),
+                "wasted": pa.array([wasted], type=pa.int64()),
+            }
+        )
+
+    per = joined.groupby("cluster_id").map_groups(per_cluster, batch_format="pyarrow")
+    agg = per.sum(["n", "wasted"])
+    n_clusters = per.count()
+    return {
+        "total_rows": total_rows,
+        "duplicate_rows": int(agg["sum(n)"]),
+        "duplicate_clusters": int(n_clusters),
+        "wasted_bytes": int(agg["sum(wasted)"]),
+    }
+
+
+def write_report(
+    stats: dict,
+    counters: dict,
+    path: str,
+    clusters_sample: list[dict] | None = None,
+) -> dict:
+    report = {"stats": stats, "counters": counters}
+    if clusters_sample is not None:
+        report["groups_sample"] = clusters_sample
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    os.replace(tmp, path)
+    return report
+
+
+def format_bytes(n: float) -> str:
+    """Binary-unit formatter (~ /root/reference/src/util.rs:15-29)."""
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if abs(n) < 1024 or unit == "TB":
+            return f"{n:.2f} {unit}" if unit != "B" else f"{int(n)} B"
+        n /= 1024
+    return f"{n:.2f} TB"  # pragma: no cover
+
+
+def format_number(n: int) -> str:
+    """Space-thousands formatter (~ /root/reference/src/util.rs:2-12)."""
+    return f"{n:,}".replace(",", " ")
+
+
+def print_human(report: dict, verbose: bool = False) -> str:
+    s = report["stats"]
+    if s["duplicate_clusters"] == 0:
+        return "No duplicates found."
+    lines = [
+        f"Total rows scanned: {format_number(s['total_rows'])}",
+        f"Duplicate rows: {format_number(s['duplicate_rows'])} "
+        f"in {format_number(s['duplicate_clusters'])} clusters",
+        f"Wasted bytes: {format_bytes(float(s['wasted_bytes']))}",
+    ]
+    if verbose and report.get("groups_sample"):
+        for g in report["groups_sample"]:
+            lines.append(f"  {g['cluster_id']}: {g['n']} members")
+    return "\n".join(lines)

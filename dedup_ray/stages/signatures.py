@@ -1,0 +1,89 @@
+"""Stage C — signature computation (the stateful actor-pool stage).
+
+One callable class = one Ray actor pool (SURVEY.md §7.1 M3): the MinHash
+permutation tables, shingle powers and winnowing config are built ONCE per
+actor in ``__init__`` and reused for every batch — the Ray analog of the
+reference's per-worker hasher state. Emits, per representative row:
+
+    minhash_sig : fixed_size_list<uint64>[K]  (all-ones sentinel if no shingles)
+    has_sig     : bool   (False for captions shorter than k — the degenerate
+                  empty-caption hot key is EXCLUDED from MinHash LSH here,
+                  generalizing the reference's empty-file skip,
+                  /root/reference/src/scanner.rs:96-99)
+    n_fp        : int32  count of winnowed fingerprints (tier-3 fan-out metric)
+
+Band explosion happens in the LSH stage; this stage's output is the
+checkpointable ``signatures`` table (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions.hashing import MinHasher, char_shingle_hashes, winnow_fingerprints
+
+
+class SignerActor:
+    """map_batches callable: captions -> MinHash signatures + winnow counts."""
+
+    def __init__(self, cfg: DedupConfig) -> None:
+        self.cfg = cfg
+        self.minhasher = MinHasher(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        captions = batch["caption"].to_pylist()
+        n = len(captions)
+        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
+        has = np.zeros(n, dtype=bool)
+        nfp = np.zeros(n, dtype=np.int32)
+        for i, cap in enumerate(captions):
+            sh = char_shingle_hashes(cap or "", cfg.shingle_k)
+            sigs[i] = self.minhasher.signature(sh)
+            has[i] = sh.size > 0
+            if cap and len(cap) >= cfg.substring_caption_min:
+                nfp[i] = winnow_fingerprints(
+                    cap, cfg.substring_min_len, cfg.winnow_window
+                ).size
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()), cfg.num_perm
+        )
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "phash": batch["phash"],
+                "caption": batch["caption"],
+                "minhash_sig": sig_col,
+                "has_sig": pa.array(has),
+                "n_fp": pa.array(nfp, type=pa.int32()),
+            }
+        )
+
+
+def signatures_stage(
+    reps: rd.Dataset, cfg: DedupConfig, concurrency: int | tuple[int, int] = 4
+) -> rd.Dataset:
+    if isinstance(concurrency, int):
+        # autoscale from 1 so the pool never reserves every CPU up-front and
+        # starves sibling stages of the same lazy pipeline
+        concurrency = (1, concurrency)
+    return reps.map_batches(
+        SignerActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sigs_from_arrow(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """fixed_size_list<int64>[K] column -> (N, K) uint64 matrix, zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    k = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    return flat.reshape(-1, k)

@@ -1,0 +1,59 @@
+"""Pipeline counters (north_rule: "per-partition lineage + metrics").
+
+A single named Ray actor accumulates counters from any task/actor in the
+job (capped buckets, verified pairs, dropped rows...). Counter writes are
+fire-and-forget (``.remote`` without get) so the hot path never blocks;
+reads happen at stage boundaries and land in the checkpoint manifest.
+
+~ the reference's AtomicUsize progress counter
+(/root/reference/src/main.rs:186,198-201), raised to cluster scope.
+"""
+
+from __future__ import annotations
+
+import ray
+
+_ACTOR_NAME = "dedup_ray_metrics"
+
+
+@ray.remote(num_cpus=0)
+class MetricsActor:
+    def __init__(self) -> None:
+        self.counts: dict[str, int] = {}
+
+    def inc(self, key: str, n: int = 1) -> None:
+        self.counts[key] = self.counts.get(key, 0) + n
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self.counts)
+
+    def reset(self) -> None:
+        self.counts.clear()
+
+
+def _get_actor():
+    # named (job-scoped, NOT detached: dies with the driver so test sessions
+    # and bench subprocesses never leak actors across ray.init boundaries)
+    return MetricsActor.options(name=_ACTOR_NAME, get_if_exists=True).remote()
+
+
+def inc_counter(key: str, n: int = 1) -> None:
+    """Fire-and-forget increment; safe to call from inside map_batches."""
+    try:
+        _get_actor().inc.remote(key, n)
+    except Exception:  # metrics must never fail the pipeline
+        pass
+
+
+def snapshot_counters() -> dict[str, int]:
+    try:
+        return ray.get(_get_actor().snapshot.remote())
+    except Exception:
+        return {}
+
+
+def reset_counters() -> None:
+    try:
+        ray.get(_get_actor().reset.remote())
+    except Exception:
+        pass
