@@ -81,9 +81,13 @@ def run_neardup(
     sigs = pin(ckpt.stage(
         "signatures", lambda: signatures_stage(reps, cfg, concurrency), ("reps",)
     ))
-    cands = ckpt.stage("candidates", lambda: lsh_candidates(sigs, cfg), ("signatures",))
+    cands = pin(ckpt.stage("candidates", lambda: lsh_candidates(sigs, cfg), ("signatures",)))
 
     def _near_edges() -> rd.Dataset:
+        from dedup_ray.stages.exact import EDGE_SCHEMA
+
+        if cands.count() == 0:  # e.g. filters removed every row
+            return rd.from_arrow(EDGE_SCHEMA.empty_table())
         attrs = attach_pair_attrs(
             cands, sigs, ["phash", "minhash_sig", "has_sig", "caption"]
         )

@@ -31,10 +31,19 @@ class MetricsActor:
         self.counts.clear()
 
 
+_HANDLE = None
+
+
 def _get_actor():
     # named (job-scoped, NOT detached: dies with the driver so test sessions
-    # and bench subprocesses never leak actors across ray.init boundaries)
-    return MetricsActor.options(name=_ACTOR_NAME, get_if_exists=True).remote()
+    # and bench subprocesses never leak actors across ray.init boundaries).
+    # The handle MUST be cached: a named non-detached actor is destroyed when
+    # its creator's last handle is GC'd, so an uncached handle would give
+    # every worker its own ephemeral actor and counters would vanish.
+    global _HANDLE
+    if _HANDLE is None:
+        _HANDLE = MetricsActor.options(name=_ACTOR_NAME, get_if_exists=True).remote()
+    return _HANDLE
 
 
 def inc_counter(key: str, n: int = 1) -> None:

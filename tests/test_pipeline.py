@@ -1,0 +1,113 @@
+"""End-to-end flagship pipeline: recall vs oracle, stats vs planted metadata,
+degenerate inputs (the analog of the reference's integration suite,
+tests/duplicate_detection.rs)."""
+
+import json
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions import codecs
+from dedup_ray.functions.hashing import phash64
+from dedup_ray.oracle.recall import pair_recall_precision
+from dedup_ray.oracle.refimpl import oracle_clusters
+from dedup_ray.pipelines.neardup import run_neardup
+from dedup_ray.stages.report import print_human
+
+
+@pytest.fixture(scope="module")
+def tiny_result(tiny_corpus):
+    return run_neardup(os.path.join(tiny_corpus, "images.parquet"))
+
+
+def test_recall_vs_oracle(tiny_result, tiny_corpus):
+    images = pq.read_table(os.path.join(tiny_corpus, "images.parquet"))
+    orc = oracle_clusters(images)
+    cl = tiny_result.clusters.to_pandas()
+    pred = dict(zip(cl["image_id"], cl["cluster_id"]))
+    m = pair_recall_precision(pred, orc)
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+
+
+def test_stats_match_planted_metadata(tiny_result, tiny_corpus):
+    with open(os.path.join(tiny_corpus, "metadata.json")) as f:
+        meta = json.load(f)
+    s = tiny_result.stats
+    assert s["total_rows"] == meta["total_rows"]
+    assert s["duplicate_rows"] == meta["rows_in_dup_groups"]
+    assert s["duplicate_clusters"] == meta["dup_groups"]
+    assert s["wasted_bytes"] > 0
+
+
+def test_counters_populated(tiny_result):
+    assert tiny_result.counters.get("pairs_verified", 0) > 0
+    assert tiny_result.counters.get("edges_emitted", 0) > 0
+
+
+def test_cluster_rep_is_min_member(tiny_result):
+    cl = tiny_result.clusters.to_pandas()
+    mins = cl.groupby("cluster_id")["image_id"].min()
+    assert (mins.index == mins.values).all()
+
+
+def test_human_report_format(tiny_result):
+    text = print_human(tiny_result.report)
+    assert "Duplicate rows:" in text and "clusters" in text
+
+
+def _unique_corpus(path: str, n: int = 25) -> None:
+    rng = np.random.default_rng(11)
+    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for i in range(n):
+        px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        b = codecs.encode(px, "raw")
+        rows["image_id"].append(f"u_{i:04d}")
+        rows["bytes"].append(b)
+        rows["w"].append(24)
+        rows["h"].append(24)
+        rows["fmt"].append("raw")
+        rows["caption"].append("".join(rng.choice(list("abcdefghijklmnop "), 80)))
+        rows["phash"].append(phash64(px))
+    t = pa.table(
+        {
+            "image_id": pa.array(rows["image_id"]),
+            "bytes": pa.array(rows["bytes"], type=pa.binary()),
+            "w": pa.array(rows["w"], type=pa.int32()),
+            "h": pa.array(rows["h"], type=pa.int32()),
+            "fmt": pa.array(rows["fmt"]),
+            "caption": pa.array(rows["caption"]),
+            "phash": pa.array(rows["phash"], type=pa.int64()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(t, os.path.join(path, "images.parquet"))
+
+
+def test_no_duplicates_corpus(tmp_path):
+    _unique_corpus(str(tmp_path))
+    res = run_neardup(os.path.join(str(tmp_path), "images.parquet"))
+    assert res.stats["duplicate_clusters"] == 0
+    assert print_human(res.report) == "No duplicates found."
+
+
+def test_size_filter_excludes_rows(tiny_corpus):
+    """--min-size/--max-size analog (reference tests/size_filters.rs)."""
+    cfg = DedupConfig(min_size=10**9)  # nothing passes
+    res = run_neardup(os.path.join(tiny_corpus, "images.parquet"), cfg=cfg)
+    assert res.stats["duplicate_clusters"] == 0
+
+
+def test_empty_captions_stay_unclustered(tiny_result, tiny_corpus):
+    gt = pq.read_table(os.path.join(tiny_corpus, "gt_clusters.parquet")).to_pandas()
+    empties = set(gt[gt.dup_class == "hot_empty_caption"].image_id)
+    cl = tiny_result.clusters.to_pandas()
+    sizes = Counter(cl.cluster_id)
+    clustered = {r.image_id for r in cl.itertuples() if sizes[r.cluster_id] >= 1}
+    # empty-caption rows have distinct images; they must not glom together
+    assert not (empties & clustered)

@@ -1,0 +1,123 @@
+"""Stage-level tests over the tiny corpus (Ray session from conftest)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.stages.exact import _star_edges, collapse_reps, exact_edges
+from dedup_ray.stages.keys import compute_exact_keys, exact_keys_stage
+from dedup_ray.stages.lsh import bucket_pairs, lsh_candidates
+from dedup_ray.stages.signatures import SignerActor, signatures_stage, sigs_from_arrow
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def keys_ds(tiny_corpus):
+    images = rd.read_parquet(os.path.join(tiny_corpus, "images.parquet"))
+    return exact_keys_stage(images, CFG).materialize()
+
+
+def test_exact_keys_drop_bytes_and_schema(keys_ds):
+    names = keys_ds.schema().names
+    assert "bytes" not in names
+    assert {"image_id", "byte_len", "content_hash", "pixel_hash", "phash", "caption"} <= set(names)
+
+
+def test_exact_keys_hash_properties(tiny_corpus):
+    t = pq.read_table(os.path.join(tiny_corpus, "images.parquet"))
+    out = compute_exact_keys(t)
+    # identical bytes -> identical content hash; hex length 64
+    ch = out["content_hash"].to_pylist()
+    assert all(len(h) == 64 for h in ch)
+    by_bytes = {}
+    for raw, h in zip(t["bytes"].to_pylist(), ch):
+        by_bytes.setdefault(raw, set()).add(h)
+    assert all(len(s) == 1 for s in by_bytes.values())
+
+
+def test_star_edges_having_ge_2():
+    g1 = pa.table({"image_id": pa.array(["b", "a", "c"])})
+    e = _star_edges(g1, "pixel_hash")
+    assert sorted(zip(e["src_id"].to_pylist(), e["dst_id"].to_pylist())) == [
+        ("a", "b"),
+        ("a", "c"),
+    ]
+    # singleton suppressed (reference src/grouping.rs:21)
+    assert _star_edges(pa.table({"image_id": pa.array(["x"])}), "k").num_rows == 0
+
+
+def test_exact_edges_link_reencodes(keys_ds, tiny_corpus):
+    edges = exact_edges(keys_ds, "pixel_hash").materialize().to_pandas()
+    gt = pq.read_table(os.path.join(tiny_corpus, "gt_clusters.parquet")).to_pandas()
+    exact_ids = set(gt[gt.dup_class == "exact_byte"].image_id)
+    linked = set(edges.src_id) | set(edges.dst_id)
+    # every exact-byte dup row appears in some exact edge
+    gt_dup = gt[gt.dup_class == "exact_byte"].groupby("gt_cluster_id").size()
+    if len(gt_dup[gt_dup >= 2]):
+        assert exact_ids & linked
+
+
+def test_collapse_reps_reduces(keys_ds):
+    reps = collapse_reps(keys_ds).materialize()
+    assert reps.count() < keys_ds.count()
+    assert set(reps.schema().names) == {"image_id", "phash", "caption", "caption_hash"}
+
+
+def test_signer_actor_direct():
+    """Smoke the actor class outside Ray (init errors surface late otherwise)."""
+    signer = SignerActor(CFG)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c"]),
+            "phash": pa.array([1, 2, 3], type=pa.int64()),
+            "caption": pa.array(["hello world caption text", "", "xy"]),
+        }
+    )
+    out = signer(batch)
+    assert out["has_sig"].to_pylist() == [True, False, False]
+    sigs = sigs_from_arrow(out["minhash_sig"])
+    assert sigs.shape == (3, CFG.num_perm)
+    assert (sigs[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()  # sentinel
+
+
+def test_bucket_pairs_cap():
+    ids = [f"i{k:03d}" for k in range(100)]
+    g = pa.table({"image_id": pa.array(ids)})
+    capped = bucket_pairs(g, cap=10)
+    # star (99) + chain (98) edges, not 4950 pairs
+    assert capped.num_rows == 99 + 98
+    full = bucket_pairs(g.slice(0, 5), cap=10)
+    assert full.num_rows == 10  # C(5,2)
+
+
+def test_lsh_candidates_cover_planted_pairs(keys_ds, tiny_corpus):
+    """Candidate generation must surface caption_near/phash_near planted pairs
+    that the verify stage is then responsible for confirming."""
+    reps = collapse_reps(keys_ds)
+    sigs = signatures_stage(reps, CFG, 2).materialize()
+    cands = lsh_candidates(sigs, CFG).materialize().to_pandas()
+    cand_pairs = set(map(tuple, cands[["src_id", "dst_id"]].values))
+    gt = pq.read_table(os.path.join(tiny_corpus, "gt_clusters.parquet")).to_pandas()
+    rep_ids = set(sigs.to_pandas()["image_id"])
+    planted, covered = 0, 0
+    for cls in ("caption_near", "phash_near", "caption_substring"):
+        sub = gt[gt.dup_class == cls]
+        for cid, grp in sub.groupby("gt_cluster_id"):
+            members = sorted(set(grp.image_id) & rep_ids)
+            for i in range(len(members) - 1):
+                for j in range(i + 1, len(members)):
+                    planted += 1
+                    covered += (members[i], members[j]) in cand_pairs
+    # planted perturbations occasionally exceed the detector's thresholds
+    # (e.g. phash hamming > bands-1) — those are out-of-relation by design,
+    # so require strong but not perfect coverage here; the authoritative
+    # recall bar is vs the ORACLE in test_pipeline.py
+    assert planted > 0
+    assert covered / planted >= 0.8, f"{covered}/{planted}"
