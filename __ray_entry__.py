@@ -1,44 +1,188 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship three-stage near-dup pipeline; ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY.md §2
+(+ the training-data extensions); ``oracle_sql()`` gives the DuckDB oracle
+for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in dedup_ray) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE = "/tmp/dedup_ray_corpus"
+
+
+def _corpus(sf_dir: str) -> str:
+    """Deterministic synthetic image+caption corpus sized to the sf tier
+    (the input_hint table does not exist in /root/testdata; the build
+    contract is to synthesise it at small scale — see FIXTURES.md)."""
+    from dedup_ray.sources.corpus import generate_corpus
+
+    n = 5000 if sf_dir.rstrip("/").endswith("sf0.1") else 1000
+    out = f"{_CORPUS_CACHE}_{n}"
+    generate_corpus(out, scale="tiny", n_rows=n, use_ray=False)
+    return os.path.join(out, "images.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesise the input_hint corpus (captions et al. seeded,
+    deterministic), run the 3-stage detector + union-find, return clusters."""
+    from dedup_ray.pipelines.neardup import run_neardup
+
+    path = _corpus("/root/testdata/sf0.001")
+    return run_neardup(path).clusters
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dedup_ray.pipelines import analysis, ann, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def flagship_clusters(sf_dir: str):
+        from dedup_ray.pipelines.neardup import run_neardup
+
+        return run_neardup(_corpus(sf_dir)).clusters
+
+    def flagship_report(sf_dir: str):
+        import pandas as pd
+
+        from dedup_ray.pipelines.neardup import run_neardup
+
+        res = run_neardup(_corpus(sf_dir))
+        return pd.DataFrame([res.stats])
+
+    def image_feature_extract(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.stages.multimodal import image_features
+
+        return image_features(rd.read_parquet(_corpus(sf_dir)))
+
+    def image_resize(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.stages.multimodal import resize_images
+
+        return resize_images(rd.read_parquet(_corpus(sf_dir)), max_side=8)
+
+    return {
+        # --- dedup over documents (SQL-checked) ---
+        "exact_dedup_groups": text.exact_dedup_groups,
+        "dedup_keep_first": text.dedup_keep_first,
+        "size_groups": text.size_groups,
+        "cascade_stats": text.cascade_stats,
+        # --- dedup over documents (rows-only) ---
+        "minhash_neardup_docs": text.minhash_neardup_clusters,
+        "simhash_near_pairs": text.simhash_near_pairs,
+        # --- text analysis ---
+        "token_stats": analysis.token_stats,
+        "quality_summary": analysis.quality_summary,
+        "quality_scores": analysis.quality_scores,
+        "langid_docs": analysis.langid,
+        "fingerprints_docs": analysis.fingerprints,
+        # --- relational core ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "filter_count": relational.filter_count,
+        "top_orders": relational.top_orders,
+        "revenue_by_segment": relational.revenue_by_segment,
+        "supplier_nations": relational.supplier_nations,
+        "events_hourly": relational.events_hourly,
+        "sessionize": relational.sessionize,
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk,
+        "cosine_neardup_pairs": ann.cosine_neardup_pairs,
+        "embedding_lsh_buckets": ann.lsh_buckets,
+        # --- flagship image pipeline (rows-only; input synthesised) ---
+        "flagship_clusters": flagship_clusters,
+        "flagship_report": flagship_report,
+        "image_feature_extract": image_feature_extract,
+        "image_resize": image_resize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    return {
+        "exact_dedup_groups": (
+            "SELECT min(doc_id) AS rep_id, count(*)::BIGINT AS n_dups "
+            "FROM documents GROUP BY text HAVING count(*) >= 2"
+        ),
+        "dedup_keep_first": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "size_groups": (
+            "SELECT n_chars, count(*)::BIGINT AS n_rows FROM documents "
+            "GROUP BY n_chars HAVING count(*) >= 2"
+        ),
+        "cascade_stats": (
+            "WITH s AS (SELECT count(*) c FROM documents GROUP BY n_chars HAVING count(*) >= 2), "
+            "p AS (SELECT count(*) c FROM documents GROUP BY substr(text, 1, 32) HAVING count(*) >= 2), "
+            "f AS (SELECT count(*) c FROM documents GROUP BY text HAVING count(*) >= 2) "
+            "SELECT 'size' AS stage, count(*)::BIGINT AS n_groups, coalesce(sum(c), 0)::BIGINT AS n_rows FROM s "
+            "UNION ALL SELECT 'prefix32', count(*)::BIGINT, coalesce(sum(c), 0)::BIGINT FROM p "
+            "UNION ALL SELECT 'full', count(*)::BIGINT, coalesce(sum(c), 0)::BIGINT FROM f"
+        ),
+        "token_stats": (
+            f"SELECT lang, count(*)::BIGINT AS n_docs, sum({tok})::BIGINT AS total_tokens "
+            "FROM documents GROUP BY lang"
+        ),
+        "quality_summary": (
+            "SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
+            f"sum({tok})::BIGINT AS total_tokens FROM documents GROUP BY source"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, count(*)::BIGINT AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "filter_count": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem "
+            "WHERE l_quantity > 45 AND l_discount < 0.05 GROUP BY l_returnflag"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "revenue_by_segment": (
+            "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
+            "round(sum(o_totalprice), 2) AS revenue FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "supplier_nations": (
+            "SELECT r_name, count(*)::BIGINT AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "events_hourly": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH d AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events), s AS (SELECT user_id, ts, event_id, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM d) "
+            "SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events, "
+            "datediff('microsecond', min(ts), max(ts))::BIGINT AS duration_us "
+            "FROM s GROUP BY user_id, session_idx"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id) "
+            "SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank "
+            "FROM s QUALIFY rank <= 5"
+        ),
+        "cosine_neardup_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
+        ),
+    }

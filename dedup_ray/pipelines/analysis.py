@@ -1,0 +1,186 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality stats, language-ID heuristic, document fingerprinting — the
+training-data-pipeline staples layered on the same engine."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions.hashing import winnow_fingerprints
+
+_WS = re.compile(r"\s+")
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """Per-lang token totals: (lang, n_docs, total_tokens). Token = \\S+ run.
+    Pre-aggregated inside map_batches, tiny groupby after (ray_guide
+    'Aggregation at scale')."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df["text"].fillna("").map(lambda t: len(_WS.split(t.strip())) if t.strip() else 0)
+        g = df.assign(tok=toks).groupby("lang", as_index=False).agg(
+            pn=("lang", "size"), pt=("tok", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["pn", "pt"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["sum(pn)"].cast(pa.int64()),
+                "total_tokens": b["sum(pt)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def quality_summary(sf_dir: str) -> rd.Dataset:
+    """Per-source corpus quality aggregates: (source, n_docs, total_chars,
+    total_tokens) — SQL-checkable; per-row scores live in quality_scores."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df["text"].fillna("").map(lambda t: len(_WS.split(t.strip())) if t.strip() else 0)
+        g = (
+            df.assign(tok=toks)
+            .groupby("source", as_index=False)
+            .agg(pn=("source", "size"), pc_=("n_chars", "sum"), pt=("tok", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir, ["source", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["pn", "pc_", "pt"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_docs": b["sum(pn)"].cast(pa.int64()),
+                "total_chars": b["sum(pc_)"].cast(pa.int64()),
+                "total_tokens": b["sum(pt)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+class QualityScorer:
+    """Actor: per-row quality features (stopword ratio, punct ratio, mean
+    token length). Stopword set + regexes compiled once per actor."""
+
+    STOP = frozenset(
+        "the a an and or of to in is are was were be been it this that".split()
+    )
+
+    def __init__(self) -> None:
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.punct = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        stop_r, punct_r, mean_len, n_tok = [], [], [], []
+        for t in texts:
+            t = t or ""
+            words = self.word.findall(t.lower())
+            n = len(words)
+            n_tok.append(n)
+            stop_r.append(round(sum(w in self.STOP for w in words) / n, 4) if n else 0.0)
+            punct_r.append(round(len(self.punct.findall(t)) / len(t), 4) if t else 0.0)
+            mean_len.append(round(sum(map(len, words)) / n, 4) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "stopword_ratio": pa.array(stop_r, type=pa.float64()),
+                "punct_ratio": pa.array(punct_r, type=pa.float64()),
+                "mean_token_len": pa.array(mean_len, type=pa.float64()),
+            }
+        )
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+class LangId:
+    """Character-trigram language-ID heuristic. Profiles are built once per
+    actor from small built-in seed text (deterministic; no model files)."""
+
+    SEEDS = {
+        "en": "the quick brown fox jumps over the lazy dog and then runs away with them",
+        "de": "der schnelle braune fuchs springt über den faulen hund und läuft dann weg",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et s'enfuit",
+        "es": "el rápido zorro marrón salta sobre el perro perezoso y luego huye con",
+        "zh": "敏捷的棕色狐狸跳过懒狗然后跑掉了他们一起去了很远的地方看风景",
+    }
+
+    def __init__(self) -> None:
+        self.profiles = {
+            lang: self._trigrams(seed) for lang, seed in self.SEEDS.items()
+        }
+
+    @staticmethod
+    def _trigrams(t: str) -> set[str]:
+        t = f"  {t.lower()}  "
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            tg = self._trigrams(t or "")
+            best, best_s = "und", -1.0
+            for lang, prof in sorted(self.profiles.items()):
+                s = len(tg & prof) / max(1, len(tg | prof))
+                if s > best_s:
+                    best, best_s = lang, s
+            preds.append(best)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, type=pa.string())}
+        )
+
+
+def langid(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def fingerprints(sf_dir: str, cfg: DedupConfig | None = None) -> rd.Dataset:
+    """Rolling-hash winnowed fingerprint counts per doc: (doc_id, n_fp)."""
+    cfg = cfg or DedupConfig()
+
+    def fp(b: pa.Table) -> pa.Table:
+        out = [
+            int(winnow_fingerprints(t or "", cfg.substring_min_len, cfg.winnow_window).size)
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_fp": pa.array(out, type=pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")

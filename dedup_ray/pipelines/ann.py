@@ -1,0 +1,146 @@
+"""Similarity search over the ``embeddings`` table.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one numpy matmul and emits its LOCAL top-k;
+a tiny driver-side merge finishes. The scale path swaps the final merge for
+``sort + limit`` per query and the candidate stage for LSH buckets
+(random-hyperplane signs), both included.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(len(ids), -1).astype(np.float64)
+
+
+class _TopKScorer:
+    """Actor: holds the normalized broadcast query matrix; per batch emits
+    each query's local top-k over the batch's vectors."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, k: int) -> None:
+        self.qids, q = ray.get(queries_ref)
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _mat(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = self.q @ m.T  # (n_queries, batch)
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k + 1, sims.shape[1])  # +1: self-match removed later
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            out_q.extend([int(self.qids[qi])] * len(idx))
+            out_n.extend(int(ids[i]) for i in idx)
+            out_s.extend(float(sims[qi, i]) for i in idx)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
+    """Exact cosine top-k for the first ``n_queries`` vectors (excluding
+    self): (query_id, neighbor_id, rank). Rank ties broken by neighbor_id —
+    deterministic and float-free output."""
+    emb = _emb(sf_dir)
+    qtbl = pa.concat_tables(
+        [t for t in ray.get(emb.to_arrow_refs()) if t.num_rows]
+    )
+    qids_all, qmat_all = _mat(qtbl)
+    sel = qids_all < n_queries
+    ref = ray.put((qids_all[sel], qmat_all[sel]))
+
+    local = emb.map_batches(
+        _TopKScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    ).to_pandas()
+    local = local[local.query_id != local.neighbor_id]
+    local = local.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = local.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True).astype("int64")
+
+
+def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine >= threshold.
+
+    Blocked matmul: the full normalized matrix is broadcast once; each batch
+    compares its rows against the whole matrix (at 10^12 scale the broadcast
+    side becomes the LSH-bucketed candidate set below instead).
+    Output (a, b) only — float-free for the hash compare."""
+    emb = _emb(sf_dir)
+    tbl = pa.concat_tables([t for t in ray.get(emb.to_arrow_refs()) if t.num_rows])
+    ids_all, m_all = _mat(tbl)
+    m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, m_all))
+
+    def block(batch: pa.Table) -> pa.Table:
+        aid, am = _mat(batch)
+        am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        bid, bm = ray.get(ref)
+        sims = am @ bm.T
+        ai, bi = np.nonzero(sims >= threshold)
+        keep = aid[ai] < bid[bi]
+        return pa.table(
+            {
+                "a": pa.array(aid[ai][keep], type=pa.int64()),
+                "b": pa.array(bid[bi][keep], type=pa.int64()),
+            }
+        )
+
+    out = emb.map_batches(block, batch_format="pyarrow", batch_size=2048).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+
+
+def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 42) -> rd.Dataset:
+    """Random-hyperplane LSH bucket histogram: (bucket, n_vecs). The
+    candidate generator of the scale ANN path — same-bucket vectors are the
+    near-neighbor candidates; here we surface the bucket sizes (skew view)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((64, n_planes))
+    ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids, m = _mat(batch)
+        p = ray.get(ref)
+        bits = (m @ p) > 0
+        bucket = (bits.astype(np.int64) * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+        t = pa.table({"bucket": pa.array(bucket, type=pa.int64()),
+                      "vec_id": pa.array(ids, type=pa.int64())})
+        return t.group_by("bucket").aggregate([("vec_id", "count")]).rename_columns(
+            ["bucket", "pn"]
+        )
+
+    agg = _emb(sf_dir).map_batches(bucketize, batch_format="pyarrow").groupby("bucket").sum("pn")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"bucket": b["bucket"], "n_vecs": b["sum(pn)"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

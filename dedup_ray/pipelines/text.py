@@ -1,0 +1,312 @@
+"""Document-table dedup operators (the reference's file-dedup semantics
+mapped onto the driver's ``documents`` table: text ≙ file content, n_chars ≙
+size — SURVEY.md §7.0).
+
+Every SQL-expressible operator here has a matching ``oracle_sql`` entry in
+``__ray_entry__.py``; output column names are shared verbatim with the SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions.hashing import (
+    MinHasher,
+    band_keys,
+    char_shingle_hashes,
+    hamming64,
+    simhash64,
+    token_hashes,
+)
+from dedup_ray.functions.unionfind import connected_components
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _add_text_hash(batch: pa.Table) -> pa.Table:
+    h = [
+        hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return batch.append_column("text_hash", pa.array(h, type=pa.string()))
+
+
+# ------------------------------------------------------------- exact tier
+
+
+def exact_dedup_groups(sf_dir: str) -> pa.Table:
+    """Duplicate groups by exact text (~ group_by_full_hash,
+    /root/reference/src/hasher.rs:83-85): (rep_id, n_dups), HAVING n>=2.
+
+    Returns a pyarrow Table (dup GROUPS are a small result even at scale —
+    the per-row work stays distributed) so an all-singleton corpus still
+    yields a schema-stable empty result (Ray drops the schema of a dataset
+    made solely of empty blocks)."""
+    schema = pa.schema([("rep_id", pa.int64()), ("n_dups", pa.int64())])
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _add_text_hash, batch_format="pyarrow"
+    )
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "rep_id": pa.array([pc.min(g["doc_id"]).as_py()], type=pa.int64()),
+                "n_dups": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    out = ds.select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
+        emit, batch_format="pyarrow"
+    )
+    import ray
+
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def dedup_keep_first(sf_dir: str) -> rd.Dataset:
+    """Canonical dedup sink: one surviving doc_id (min) per distinct text —
+    the keeper rule (/root/reference/src/actions.rs:21-26)."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _add_text_hash, batch_format="pyarrow"
+    )
+
+    def keep(g: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.array([pc.min(g["doc_id"]).as_py()], type=pa.int64())})
+
+    return ds.select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
+        keep, batch_format="pyarrow"
+    )
+
+
+def size_groups(sf_dir: str) -> rd.Dataset:
+    """~ group_by_size HAVING count>=2 (/root/reference/src/grouping.rs:13-24):
+    (n_chars, n_rows). Pre-aggregated per batch before the shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.group_by("n_chars").aggregate([("doc_id", "count")])
+        return df.rename_columns(["n_chars", "partial_n"])
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby("n_chars").sum("partial_n")
+
+    def having(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["sum(partial_n)"], 2))
+        return pa.table(
+            {
+                "n_chars": b["n_chars"],
+                "n_rows": b["sum(partial_n)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
+def cascade_stats(sf_dir: str) -> rd.Dataset:
+    """The three-stage cascade shape as data: per stage, how many candidate
+    groups and rows survive (size -> 32-char-prefix -> full text), mirroring
+    the reference's candidate-pruning funnel (/root/reference/src/main.rs:
+    188-205). Output: (stage, n_groups, n_rows)."""
+    rows = []
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def key_counts(key_fn, name: str) -> tuple[str, int, int]:
+        def add_key(b: pa.Table) -> pa.Table:
+            return pa.table({"k": key_fn(b), "doc_id": b["doc_id"]})
+
+        keyed = docs.map_batches(add_key, batch_format="pyarrow")
+        counts = keyed.groupby("k").count()
+        surv = counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["count()"], 2)),
+            batch_format="pyarrow",
+        )
+        pdf = surv.to_pandas()
+        return (name, len(pdf), int(pdf["count()"].sum()) if len(pdf) else 0)
+
+    rows.append(key_counts(lambda b: b["n_chars"].cast(pa.string()), "size"))
+    rows.append(
+        key_counts(
+            lambda b: pc.utf8_slice_codeunits(b["text"], 0, 32), "prefix32"
+        )
+    )
+    rows.append(
+        key_counts(
+            lambda b: pa.array(
+                [hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+                 for t in b["text"].to_pylist()],
+                type=pa.string(),
+            ),
+            "full",
+        )
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "stage": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_groups": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------- near-dup tier
+
+
+class _DocSigner:
+    """Actor: text -> minhash sig + simhash (state built once per actor)."""
+
+    def __init__(self, cfg: DedupConfig) -> None:
+        self.cfg = cfg
+        self.mh = MinHasher(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
+        sims = np.empty(n, dtype=np.int64)
+        has = np.zeros(n, dtype=bool)
+        for i, t in enumerate(texts):
+            sh = char_shingle_hashes(t or "", cfg.shingle_k)
+            sigs[i] = self.mh.signature(sh)
+            has[i] = sh.size > 0
+            sims[i] = simhash64(token_hashes(t or ""))
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()), cfg.num_perm
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "minhash_sig": sig_col,
+                "simhash": pa.array(sims, type=pa.int64()),
+                "has_sig": pa.array(has),
+            }
+        )
+
+
+def doc_signatures(sf_dir: str, cfg: DedupConfig | None = None) -> rd.Dataset:
+    cfg = cfg or DedupConfig()
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DocSigner,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering over documents: shingle -> minhash ->
+    band bucket groupby -> est-Jaccard verify -> union-find. Returns
+    (doc_id, cluster_id) — empty on an all-distinct corpus."""
+    cfg = cfg or DedupConfig()
+    sigs = doc_signatures(sf_dir, cfg).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.signatures import sigs_from_arrow
+
+        has = b["has_sig"].to_numpy(zero_copy_only=False)
+        s = sigs_from_arrow(b["minhash_sig"])[has]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[has]
+        bk = band_keys(s, cfg.bands, cfg.rows_per_band)
+        m = s.shape[0]
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(cfg.bands, dtype=np.int32)[None, :], m, 0).ravel()
+                ),
+                "band_key": pa.array(bk.view(np.int64).ravel(), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, cfg.bands), type=pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        if len(ids) < 2:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        out_a, out_b = [], []
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64())})
+
+    cand = (
+        buckets.groupby(["band_id", "band_key"])
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    ).to_pandas()
+
+    if not len(cand):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    # verify (small candidate set -> driver-side vectorized)
+    from dedup_ray.stages.signatures import sigs_from_arrow
+
+    sig_tbl = pa.concat_tables(
+        [t for t in __import__("ray").get(sigs.to_arrow_refs()) if t.num_rows]
+    )
+    id_to_row = {v: i for i, v in enumerate(sig_tbl["doc_id"].to_pylist())}
+    s = sigs_from_arrow(sig_tbl["minhash_sig"])
+    ia = np.array([id_to_row[x] for x in cand["a"]])
+    ib = np.array([id_to_row[x] for x in cand["b"]])
+    est = (s[ia] == s[ib]).mean(axis=1)
+    keep = est >= cfg.jaccard_threshold
+    edges = [(f"{a:012d}", f"{b:012d}") for a, b in
+             zip(cand["a"][keep], cand["b"][keep])]
+    comp = connected_components(edges)
+    out = sorted((int(k), int(v)) for k, v in comp.items())
+    return pd.DataFrame(
+        {"doc_id": [a for a, _ in out], "cluster_id": [b for _, b in out]}
+    ).astype("int64")
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
+                       cfg: DedupConfig | None = None) -> pd.DataFrame:
+    """SimHash near-dup pairs over documents via 4x16-bit band candidates +
+    exact Hamming verify. Returns (a, b, hamming)."""
+    cfg = cfg or DedupConfig()
+    sigs = doc_signatures(sf_dir, cfg)
+    tbl = sigs.select_columns(["doc_id", "simhash"]).to_pandas()
+    sh = tbl["simhash"].to_numpy().astype(np.int64)
+    ids = tbl["doc_id"].to_numpy()
+    # band on 4 x 16-bit slices (pigeonhole: complete for hamming <= 3)
+    cand: set[tuple[int, int]] = set()
+    u = sh.view(np.uint64)
+    for band in range(4):
+        key = (u >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        start = 0
+        for e in range(1, len(ks) + 1):
+            if e == len(ks) or ks[e] != ks[start]:
+                if e - start >= 2:
+                    grp = sorted(int(ids[i]) for i in order[start:e])
+                    for x in range(len(grp) - 1):
+                        for y in range(x + 1, len(grp)):
+                            cand.add((grp[x], grp[y]))
+                start = e
+    rows = []
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for a, b in sorted(cand):
+        d = int(hamming64(sh[pos[a]: pos[a] + 1], sh[pos[b]: pos[b] + 1])[0])
+        if d <= max_hamming:
+            rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype("int64")

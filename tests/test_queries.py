@@ -1,0 +1,106 @@
+"""queries()/oracle_sql() parity at sf0.001 (the same comparison the driver
+runs at sf0.01 — DuckDB as differential oracle, SURVEY.md §5)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# fast representatives of each operator family (full set covered by
+# tools/check_oracle.py at sf0.01)
+CHECKED = [
+    "exact_dedup_groups",
+    "size_groups",
+    "token_stats",
+    "q1_pricing_summary",
+    "top_orders",
+    "revenue_by_segment",
+    "events_hourly",
+    "sessionize",
+    "ann_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    if isinstance(obj, rd.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(entrymod, con, name):
+    got = _canon(_to_pandas(entrymod.queries()[name](SF)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-9, atol=1e-9)
+
+
+def test_all_queries_have_callable(entrymod):
+    qs = entrymod.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        assert callable(fn), name
+    # every oracle key maps to a query
+    assert set(entrymod.oracle_sql()) <= set(qs)
+
+
+def test_multimodal_stubs_and_features(tiny_corpus):
+    import os
+
+    from dedup_ray.stages.multimodal import (
+        AudioFeatureStub,
+        ImageResizer,
+        VideoFrameSamplerStub,
+        image_features,
+    )
+
+    images = rd.read_parquet(os.path.join(tiny_corpus, "images.parquet"))
+    feats = image_features(images).to_pandas()
+    assert feats.decode_ok.all()
+    assert ((feats.mean_r >= 0) & (feats.mean_r <= 255)).all()
+
+    rs = ImageResizer(max_side=8)
+    batch = pa.Table.from_pandas(
+        rd.read_parquet(os.path.join(tiny_corpus, "images.parquet")).take_batch(
+            5, batch_format="pandas"
+        )
+    )
+    out = rs(batch)
+    assert (pd.Series(out["w"].to_pylist()) <= 8).all()
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStub()(pa.table({"clip_id": pa.array(["a"])}))
+    with pytest.raises(NotImplementedError):
+        VideoFrameSamplerStub()(pa.table({"video_id": pa.array(["a"])}))
