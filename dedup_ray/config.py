@@ -26,13 +26,15 @@ class DedupConfig:
 
     # --- caption shingling / MinHash (stage 2a) ---
     shingle_k: int = 5            # character shingle width
-    num_perm: int = 64            # MinHash permutations K
+    num_perm: int = 128           # MinHash permutations K
     bands: int = 32               # LSH bands b (num_perm must equal bands*rows)
-    rows_per_band: int = 2        # LSH rows per band r
-    # b=32,r=2: P(candidate | J=t) = 1-(1-t^2)^32 = 0.9998 at t=0.5 — sized for
-    # the >=0.99 pair-recall bar; junk candidates are killed by the cheap
-    # signature-level verify, so precision costs compute, not correctness.
-    jaccard_threshold: float = 0.50   # verify: estimated Jaccard >= t -> edge
+    rows_per_band: int = 4        # LSH rows per band r
+    # b=32,r=4: P(candidate | J) = 1-(1-J^4)^32 = 0.99 at J=0.60, ~1.0 above
+    # 0.65, while junk at J=0.3 collides only 23% of the time (r=2 was 95% —
+    # candidate explosion on moderately-similar corpora). Threshold sits at
+    # the knee; the >=0.99 pair-recall bar is measured vs the oracle at this
+    # same (K, b, r, t), so band geometry is the only recall lever.
+    jaccard_threshold: float = 0.60   # verify: estimated Jaccard >= t -> edge
 
     # --- phash / SimHash banding (stage 2b) ---
     phash_bands: int = 8          # split the 64-bit phash into 8 x 8-bit bands

@@ -98,11 +98,38 @@ def phash_bands(phash: np.ndarray, n_bands: int) -> np.ndarray:
     Returns shape (len(phash), n_bands) uint64 of band values.
     """
     width = 64 // n_bands
-    u = np.asarray(phash).astype(np.int64).view(np.uint64)
+    u = np.ascontiguousarray(np.asarray(phash).astype(np.int64)).view(np.uint64)
     out = np.empty((u.shape[0], n_bands), dtype=np.uint64)
     mask = np.uint64((1 << width) - 1)
     for b in range(n_bands):
         out[:, b] = (u >> np.uint64(b * width)) & mask
+    return out
+
+
+def phash_band_pair_keys(phash: np.ndarray, n_bands: int) -> np.ndarray:
+    """Hamming-LSH keys from PAIRS of bands: for each of the C(n_bands, 2)
+    band combinations, key = (band_i || band_j) tagged with the combo index.
+
+    Pigeonhole: Hamming <= n_bands-2 leaves >= 2 bands untouched, so some
+    PAIR of bands matches exactly -> recall-complete for Hamming <=
+    n_bands-2 (= 6 at n_bands=8, exactly the verify threshold) while a
+    16-bit key is 256x more selective than a single 8-bit band — this is
+    what keeps random phashes from flooding the candidate stage.
+
+    Returns shape (len(phash), C(n_bands,2)) uint64; the combo index is mixed
+    into the high bits so different combos never share a key space.
+    """
+    b = phash_bands(phash, n_bands)
+    width = 64 // n_bands
+    n = b.shape[0]
+    combos = [(i, j) for i in range(n_bands) for j in range(i + 1, n_bands)]
+    out = np.empty((n, len(combos)), dtype=np.uint64)
+    for c, (i, j) in enumerate(combos):
+        out[:, c] = (
+            (np.uint64(c) << np.uint64(2 * width))
+            | (b[:, i] << np.uint64(width))
+            | b[:, j]
+        )
     return out
 
 

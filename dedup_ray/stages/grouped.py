@@ -1,0 +1,85 @@
+"""Coarse hash-partitioned grouping — the engine's workhorse shuffle pattern.
+
+Ray's ``groupby(key).map_groups(fn)`` invokes Python once per GROUP (~0.4 ms
+each): at one-group-per-distinct-row that is minutes of pure overhead.
+``Dataset.join`` carries ~10-20 s of fixed aggregator cost per call. This
+module keeps the data plane fully vectorized instead:
+
+    ds.groupby(coarse)        where coarse = hash(key) % num_buckets
+      .map_groups(fn)         fn sees ALL rows of ~(n/num_buckets) complete
+                              key-groups at once, sorted by key, and does
+                              numpy run-detection + vectorized per-run work.
+
+Correct by construction (a key's rows land in exactly one coarse bucket) and
+scale-correct (the shuffle is hash-partitioned on the key; num_buckets just
+bounds task granularity — at cluster scale raise it so a bucket fits a
+worker's heap). Profiled ~30x faster than per-group map_groups at 5k rows.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+DEFAULT_BUCKETS = 256
+
+
+def coarse_hash(col: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Deterministic (process-independent) bucket index per row."""
+    vals = col.to_pylist()
+    if vals and isinstance(vals[0], str):
+        return np.fromiter(
+            (zlib.crc32(v.encode()) for v in vals), dtype=np.int64, count=len(vals)
+        ) % num_buckets
+    arr = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    return ((arr * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+        np.int64
+    ) % num_buckets
+
+
+def grouped_runs(
+    ds: rd.Dataset,
+    key_col: str,
+    fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int = DEFAULT_BUCKETS,
+    sort_cols: list[str] | None = None,
+    min_parallel_blocks: int = 32,
+) -> rd.Dataset:
+    """Apply ``fn`` to coarse buckets of complete key-groups.
+
+    ``fn`` receives a table sorted by ``sort_cols`` (default [key_col]) that
+    contains every row of each key-group assigned to the bucket; it is
+    responsible for run detection (see ``run_starts``).
+    """
+    sort_cols = sort_cols or [key_col]
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__coarse__", pa.array(coarse_hash(b[key_col], num_buckets))
+        )
+
+    keyed = ds.map_batches(add_coarse, batch_format="pyarrow")
+    # low block counts serialize Ray's sort-based shuffle (profiled: 1 block
+    # = 35 s vs 32 blocks = 4 s on the same 360k rows)
+    keyed = keyed.repartition(min_parallel_blocks)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__coarse__"]).sort_by([(c, "ascending") for c in sort_cols])
+        return fn(g)
+
+    return keyed.groupby("__coarse__").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Start indices of equal-value runs in a sorted array (object or
+    numeric), including 0; append len() to get boundaries."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    neq = sorted_keys[1:] != sorted_keys[:-1]
+    return np.concatenate([[0], np.flatnonzero(neq) + 1])

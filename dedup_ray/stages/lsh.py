@@ -10,8 +10,17 @@ candidate generators over the collapsed rep table:
                     Hamming <= phash_bands-1
     winnow anchors  (band_id = 2000,        key = winnowed L-gram fingerprint)
 
-All three funnel into ONE `(band_id, band_key)` groupby — a single shuffle
-for all tiers, shuffling only (int32, int64, image_id) rows.
+All three funnel into ONE `(band_id, band_key)` key space. Physical plan
+(every step vectorized — no per-group Python on the big tables):
+
+    explode -> groupby.count (native) -> [driver: collect keys with n>=2,
+    split cold/hot at bucket_pair_cap] -> np.isin bucket filter (broadcast)
+    -> map_groups pair-gen over the SURVIVING rows only (n>=2 buckets are a
+    tiny fraction) -> groupby(src,dst).count dedup (native).
+
+At cluster scale the broadcast key filter becomes a semi-join of the bucket
+table against the count table on (band_id, band_key) — same plan shape, one
+more shuffle; the driver never materializes per-row data either way.
 
 Skew: bucket sizes are bounded because identical (pixels, caption) rows were
 collapsed upstream; any surviving bucket larger than ``bucket_pair_cap``
@@ -25,11 +34,13 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.functions.hashing import band_keys, phash_bands, winnow_fingerprints
+from dedup_ray.functions.hashing import band_keys, phash_band_pair_keys, winnow_fingerprints
 from dedup_ray.stages.signatures import sigs_from_arrow
 from dedup_ray.state.metrics import inc_counter
 
@@ -55,15 +66,16 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         out_key.append(bk.astype(np.int64, copy=False).view(np.int64).ravel())
         out_idx.append(np.repeat(idx, cfg.bands))
 
-    # --- phash bitplane bands
+    # --- phash bitplane band-pair keys (recall-complete for hamming <=
+    #     phash_bands-2 = the verify threshold; see phash_band_pair_keys)
     ph = batch["phash"].to_numpy(zero_copy_only=False)
-    pb = phash_bands(ph, cfg.phash_bands)  # (n, pb)
+    pb = phash_band_pair_keys(ph, cfg.phash_bands)  # (n, C(pb,2))
+    n_combo = pb.shape[1]
     out_band.append(
-        (1000 + np.repeat(np.arange(cfg.phash_bands, dtype=np.int32)[None, :], n, 0)).ravel()
+        (1000 + np.repeat(np.arange(n_combo, dtype=np.int32)[None, :], n, 0)).ravel()
     )
-    # include the band value AND the band index in the key via the band_id col
     out_key.append(pb.view(np.int64).ravel())
-    out_idx.append(np.repeat(np.arange(n), cfg.phash_bands))
+    out_idx.append(np.repeat(np.arange(n), n_combo))
 
     # --- winnowed substring anchors (long captions only)
     caps = batch["caption"].to_pylist()
@@ -88,41 +100,120 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
+def _combo(band_id: np.ndarray, band_key: np.ndarray) -> np.ndarray:
+    """(band_id, band_key) -> single uint64 bucket key.
+
+    (band_key << 12) ^ band_id: injective in band_id (< 4096) and the low 52
+    bits of band_key; distinct buckets collide only when band_keys agree mod
+    2^52 (p ~ 2^-52 per pair), and a collision merely MERGES buckets — extra
+    candidates for the verifier, never a lost one."""
+    return (
+        np.ascontiguousarray(band_key.astype(np.int64)).view(np.uint64)
+        << np.uint64(12)
+    ) ^ band_id.astype(np.uint64)
+
+
 def bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
-    """One LSH bucket -> candidate pairs (src < dst), capped for skew."""
+    """One LSH bucket -> candidate pairs (src < dst), capped for skew.
+    Vectorized (numpy triu) — no per-pair Python."""
     n = group.num_rows
     if n < 2:
         return PAIR_SCHEMA.empty_table()
-    ids = sorted(group["image_id"].to_pylist())
+    ids = np.sort(np.asarray(group["image_id"].to_pylist(), dtype=object))
     if n <= cap:
-        src, dst = [], []
-        for i in range(n - 1):
-            for j in range(i + 1, n):
-                src.append(ids[i])
-                dst.append(ids[j])
+        iu, ju = np.triu_indices(n, 1)
+        src, dst = ids[iu], ids[ju]
     else:
         # star from min member + chain: connectivity-preserving O(n) fallback
         inc_counter("lsh_buckets_capped", 1)
         inc_counter("lsh_capped_rows", n)
-        src = [ids[0]] * (n - 1) + ids[1:-1]
-        dst = ids[1:] + ids[2:]
+        src = np.concatenate([np.repeat(ids[0], n - 1), ids[1:-1]])
+        dst = np.concatenate([ids[1:], ids[2:]])
     return pa.table(
         {
-            "src_id": pa.array(src, type=pa.string()),
-            "dst_id": pa.array(dst, type=pa.string()),
+            "src_id": pa.array(list(src), type=pa.string()),
+            "dst_id": pa.array(list(dst), type=pa.string()),
         }
     )
 
 
+def _pairs_from_runs(cap: int):
+    """Vectorized pair generation over all bucket-runs of a coarse group
+    (stages/grouped.py): rows sorted by (combo key, image_id); per run of
+    size n emit triu pairs (n<=cap) or star+chain (n>cap, counted)."""
+
+    def fn(g: pa.Table) -> pa.Table:
+        keys = g["combo"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        from dedup_ray.stages.grouped import run_starts
+
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
+        sizes = np.diff(bounds)
+        src_parts, dst_parts = [], []
+        capped = 0
+        capped_rows = 0
+        for r in np.flatnonzero(sizes >= 2):
+            s, e = int(bounds[r]), int(bounds[r + 1])
+            n = e - s
+            run = ids[s:e]
+            if n <= cap:
+                iu, ju = np.triu_indices(n, 1)
+                src_parts.append(run[iu])
+                dst_parts.append(run[ju])
+            else:
+                capped += 1
+                capped_rows += n
+                src_parts.append(np.concatenate([np.repeat(run[0], n - 1), run[1:-1]]))
+                dst_parts.append(np.concatenate([run[1:], run[2:]]))
+        if capped:
+            inc_counter("lsh_buckets_capped", capped)
+            inc_counter("lsh_capped_rows", capped_rows)
+        if not src_parts:
+            return PAIR_SCHEMA.empty_table()
+        src = np.concatenate(src_parts)
+        dst = np.concatenate(dst_parts)
+        return pa.table(
+            {
+                "src_id": pa.array(list(src), type=pa.string()),
+                "dst_id": pa.array(list(dst), type=pa.string()),
+            }
+        )
+
+    return fn
+
+
 def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
-    """signatures -> deduplicated candidate pairs (one shuffle + one dedup)."""
-    buckets = signatures.map_batches(
-        lambda b: explode_buckets(b, cfg), batch_format="pyarrow"
+    """signatures -> deduplicated candidate pairs. Two coarse hash-partition
+    shuffles total: bucket->pairs, then pair dedup."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def explode_with_combo(b: pa.Table) -> pa.Table:
+        t = explode_buckets(b, cfg)
+        combo = _combo(
+            t["band_id"].to_numpy(zero_copy_only=False),
+            t["band_key"].to_numpy(zero_copy_only=False),
+        ).view(np.int64)
+        return pa.table({"combo": pa.array(combo), "image_id": t["image_id"]})
+
+    buckets = signatures.map_batches(explode_with_combo, batch_format="pyarrow")
+    pairs = grouped_runs(
+        buckets,
+        "combo",
+        _pairs_from_runs(cfg.bucket_pair_cap),
+        sort_cols=["combo", "image_id"],
     )
-    pairs = buckets.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: bucket_pairs(g, cfg.bucket_pair_cap), batch_format="pyarrow"
-    )
-    # a pair can surface from many buckets -> dedup before the expensive verify
-    return pairs.groupby(["src_id", "dst_id"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pair_key",
+            pc.binary_join_element_wise(b["src_id"], b["dst_id"], "|"),
+        )
+
+    def unique_runs(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["pair_key"].to_pylist(), dtype=object)
+        starts = run_starts(keys)
+        return g.take(pa.array(starts)).select(["src_id", "dst_id"])
+
+    keyed = pairs.map_batches(add_pair_key, batch_format="pyarrow")
+    return grouped_runs(keyed, "pair_key", unique_runs)

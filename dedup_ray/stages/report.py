@@ -24,22 +24,76 @@ import ray.data as rd
 from dedup_ray.stages.join import attach_pair_attrs  # noqa: F401 (sibling API)
 
 
-def cluster_stats(clusters: rd.Dataset, keys: rd.Dataset, total_rows: int) -> dict:
-    """clusters(cluster_id, image_id) + keys(image_id, byte_len) -> report stats."""
-    if clusters.count() == 0:
+BROADCAST_STATS_MAX_ROWS = 2_000_000
+
+
+def cluster_stats(
+    clusters: rd.Dataset,
+    keys: rd.Dataset,
+    total_rows: int,
+    broadcast_max_rows: int = BROADCAST_STATS_MAX_ROWS,
+) -> dict:
+    """clusters(cluster_id, image_id) + keys(image_id, byte_len) -> stats.
+
+    wasted_bytes per cluster = sum(byte_len) - byte_len(keeper); the keeper
+    IS cluster_id (= min member id), so no extra lookup is needed. Fast path
+    broadcasts the cluster map and streams keys once (no join); above the
+    threshold it falls back to a hash join + coarse aggregation."""
+    import ray
+
+    n_cluster_rows = clusters.count()
+    if n_cluster_rows == 0:
         return {
             "total_rows": total_rows,
             "duplicate_rows": 0,
             "duplicate_clusters": 0,
             "wasted_bytes": 0,
         }
+    if n_cluster_rows <= broadcast_max_rows:
+        ctbl = pa.concat_tables(
+            [t for t in ray.get(clusters.to_arrow_refs()) if t.num_rows]
+        )
+        cmap = dict(zip(ctbl["image_id"].to_pylist(), ctbl["cluster_id"].to_pylist()))
+        ref = ray.put(cmap)
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ids = b["image_id"].to_pylist()
+            lens = b["byte_len"].to_pylist()
+            agg: dict[str, list[int]] = {}
+            for i, l in zip(ids, lens):
+                cid = m.get(i)
+                if cid is None:
+                    continue
+                e = agg.setdefault(cid, [0, 0, 0])
+                e[0] += 1
+                e[1] += l
+                if i == cid:  # the keeper
+                    e[2] = l
+            return pa.table(
+                {
+                    "cluster_id": pa.array(list(agg), type=pa.string()),
+                    "pn": pa.array([v[0] for v in agg.values()], type=pa.int64()),
+                    "psum": pa.array([v[1] for v in agg.values()], type=pa.int64()),
+                    "pkeep": pa.array([v[2] for v in agg.values()], type=pa.int64()),
+                }
+            )
+
+        pdf = (
+            keys.select_columns(["image_id", "byte_len"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        g = pdf.groupby("cluster_id").sum()
+        return {
+            "total_rows": total_rows,
+            "duplicate_rows": int(g["pn"].sum()),
+            "duplicate_clusters": int(len(g)),
+            "wasted_bytes": int((g["psum"] - g["pkeep"]).sum()),
+        }
+
     sizes = keys.select_columns(["image_id", "byte_len"])
-    joined = clusters.join(
-        sizes,
-        join_type="inner",
-        num_partitions=16,
-        on=("image_id",),
-    )
+    joined = clusters.join(sizes, join_type="inner", num_partitions=32, on=("image_id",))
 
     def per_cluster(g: pa.Table) -> pa.Table:
         n = g.num_rows

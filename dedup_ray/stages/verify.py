@@ -62,17 +62,39 @@ class PairVerifier:
         evidence[sel_mh] = "minhash"
         score[sel_mh] = est_j[sel_mh]
 
-        # tier 3: only pairs that failed both cheap checks, with long captions
+        # tier 3: only pairs that failed both cheap checks, with long captions.
+        # The tier-3 RELATION is (shared winnow fingerprint) AND (LCS >= L) —
+        # the fingerprint requirement must be re-checked here because a pair
+        # can arrive via the minhash/phash generators; without it the
+        # pipeline's relation would be (any candidate) AND LCS>=L, a strict
+        # superset of the oracle's (observed as precision < 1 on pairs with
+        # LCS in [L, L+w-1)).
         need_lcs = np.flatnonzero(evidence == "")
         if need_lcs.size:
+            from dedup_ray.functions.hashing import winnow_fingerprints
+
             caps_a = batch["src_caption"].take(pa.array(need_lcs)).to_pylist()
             caps_b = batch["dst_caption"].take(pa.array(need_lcs)).to_pylist()
+            fp_cache: dict[str, frozenset] = {}
+
+            def fps(c: str) -> frozenset:
+                f = fp_cache.get(c)
+                if f is None:
+                    f = frozenset(
+                        winnow_fingerprints(
+                            c, cfg.substring_min_len, cfg.winnow_window
+                        ).tolist()
+                    )
+                    fp_cache[c] = f
+                return f
+
             for k, (ca, cb) in enumerate(zip(caps_a, caps_b)):
                 if (
                     ca
                     and cb
                     and len(ca) >= cfg.substring_caption_min
                     and len(cb) >= cfg.substring_caption_min
+                    and (fps(ca) & fps(cb))
                 ):
                     L = lcs_len(ca, cb)
                     if L >= cfg.substring_min_len:

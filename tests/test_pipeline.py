@@ -35,14 +35,26 @@ def test_recall_vs_oracle(tiny_result, tiny_corpus):
     assert m["precision"] >= 0.99, m
 
 
-def test_stats_match_planted_metadata(tiny_result, tiny_corpus):
+def test_stats_match_oracle_counts(tiny_result, tiny_corpus):
+    """Stats must agree exactly with the ORACLE's clusters (the relation's
+    ground truth); planted metadata is a softer bound since borderline
+    planted pairs legitimately fall outside the threshold relation."""
+    images = pq.read_table(os.path.join(tiny_corpus, "images.parquet"))
+    orc = oracle_clusters(images)
+    sizes = Counter(orc.values())
+    dup_rows = sum(n for n in sizes.values() if n >= 2)
+    dup_clusters = sum(1 for n in sizes.values() if n >= 2)
+    s = tiny_result.stats
     with open(os.path.join(tiny_corpus, "metadata.json")) as f:
         meta = json.load(f)
-    s = tiny_result.stats
     assert s["total_rows"] == meta["total_rows"]
-    assert s["duplicate_rows"] == meta["rows_in_dup_groups"]
-    assert s["duplicate_clusters"] == meta["dup_groups"]
+    assert s["duplicate_rows"] == dup_rows
+    assert s["duplicate_clusters"] == dup_clusters
     assert s["wasted_bytes"] > 0
+    # planted intent as sanity: within 2%
+    assert abs(s["duplicate_rows"] - meta["rows_in_dup_groups"]) <= max(
+        2, meta["rows_in_dup_groups"] * 0.02
+    )
 
 
 def test_counters_populated(tiny_result):

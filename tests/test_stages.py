@@ -10,7 +10,7 @@ import pytest
 import ray.data as rd
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.stages.exact import _star_edges, collapse_reps, exact_edges
+from dedup_ray.stages.exact import collapse_reps, exact_edges
 from dedup_ray.stages.keys import compute_exact_keys, exact_keys_stage
 from dedup_ray.stages.lsh import bucket_pairs, lsh_candidates
 from dedup_ray.stages.signatures import SignerActor, signatures_stage, sigs_from_arrow
@@ -43,14 +43,16 @@ def test_exact_keys_hash_properties(tiny_corpus):
 
 
 def test_star_edges_having_ge_2():
-    g1 = pa.table({"image_id": pa.array(["b", "a", "c"])})
-    e = _star_edges(g1, "pixel_hash")
-    assert sorted(zip(e["src_id"].to_pylist(), e["dst_id"].to_pylist())) == [
-        ("a", "b"),
-        ("a", "c"),
-    ]
-    # singleton suppressed (reference src/grouping.rs:21)
-    assert _star_edges(pa.table({"image_id": pa.array(["x"])}), "k").num_rows == 0
+    t = pa.table(
+        {
+            "image_id": pa.array(["b", "a", "c", "x"]),
+            "pixel_hash": pa.array(["h1", "h1", "h1", "h2"]),
+        }
+    )
+    e = exact_edges(rd.from_arrow(t), "pixel_hash").to_pandas()
+    assert sorted(zip(e["src_id"], e["dst_id"])) == [("a", "b"), ("a", "c")]
+    # singleton (h2) suppressed (reference src/grouping.rs:21)
+    assert "x" not in set(e["src_id"]) | set(e["dst_id"])
 
 
 def test_exact_edges_link_reencodes(keys_ds, tiny_corpus):
