@@ -58,6 +58,8 @@ class DedupConfig:
 
     min_size: int = 0             # byte-length row filter (reference --min-size)
     max_size: int = 2**63 - 1     # (reference --max-size)
+    include: tuple = ()           # fnmatch globs on image_id (reference include
+    exclude: tuple = ()           # /exclude globs, src/scanner.rs:13-41)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

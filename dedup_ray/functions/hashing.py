@@ -61,20 +61,17 @@ def phash64(pixels: np.ndarray) -> int:
     ii[1:, 1:] = gray.cumsum(0).cumsum(1)
     ys = np.linspace(0, h, 9).round().astype(np.int64)
     xs = np.linspace(0, w, 9).round().astype(np.int64)
-    cells = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        y0 = min(int(ys[i]), h - 1)
-        y1 = min(max(int(ys[i + 1]), y0 + 1), h)
-        for j in range(8):
-            x0 = min(int(xs[j]), w - 1)
-            x1 = min(max(int(xs[j + 1]), x0 + 1), w)
-            area = (y1 - y0) * (x1 - x0)
-            cells[i, j] = (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(val.astype(np.int64))
+    y0 = np.minimum(ys[:8], h - 1)
+    y1 = np.minimum(np.maximum(ys[1:], y0 + 1), h)
+    x0 = np.minimum(xs[:8], w - 1)
+    x1 = np.minimum(np.maximum(xs[1:], x0 + 1), w)
+    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+    cells = (
+        ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)] - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
+    ) / area
+    bits = (cells > cells.mean()).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.uint64(val).astype(np.int64))
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -27,7 +27,7 @@ import ray.data as rd
 from dedup_ray.config import DedupConfig
 from dedup_ray.sources.io import read_table
 from dedup_ray.stages.cluster import cluster_stage
-from dedup_ray.stages.exact import collapse_reps, exact_edges
+from dedup_ray.stages.exact import exact_tier, split_exact_tier
 from dedup_ray.stages.join import attach_pair_attrs
 from dedup_ray.stages.keys import exact_keys_stage
 from dedup_ray.stages.lsh import lsh_candidates
@@ -73,20 +73,24 @@ def run_neardup(
     images = read_table(input_path)
     total_rows = images.count()  # metadata count, no scan
 
-    keys = pin(ckpt.stage("keys", lambda: exact_keys_stage(images, cfg), ("input",)))
-    edges_exact = pin(ckpt.stage(
-        "edges_exact", lambda: exact_edges(keys, "pixel_hash"), ("keys",)
-    ))
-    reps = ckpt.stage("reps", lambda: collapse_reps(keys), ("keys",))
+    # keys has ONE consumer (the fused exact tier) -> the decode stage
+    # STREAMS into the shuffle with no materialization barrier; in
+    # checkpoint mode the keys boundary is still persisted for resume.
+    keys = ckpt.stage("keys", lambda: exact_keys_stage(images, cfg), ("input",))
+    # fused exact tier: ONE shuffle yields star edges + collapsed reps +
+    # (image_id, byte_len) size rows for the report
+    fused = pin(ckpt.stage("exact_tier", lambda: exact_tier(keys), ("keys",)))
+    edges_exact, reps, sizes = split_exact_tier(fused)
     sigs = pin(ckpt.stage(
-        "signatures", lambda: signatures_stage(reps, cfg, concurrency), ("reps",)
+        "signatures", lambda: signatures_stage(reps, cfg, concurrency), ("exact_tier",)
     ))
-    cands = pin(ckpt.stage("candidates", lambda: lsh_candidates(sigs, cfg), ("signatures",)))
+    cands = ckpt.stage("candidates", lambda: lsh_candidates(sigs, cfg), ("signatures",))
 
     def _near_edges() -> rd.Dataset:
         from dedup_ray.stages.exact import EDGE_SCHEMA
 
-        if cands.count() == 0:  # e.g. filters removed every row
+        # sigs is pinned -> count() is metadata, not a new barrier
+        if sigs.count() == 0:  # e.g. filters removed every row
             return rd.from_arrow(EDGE_SCHEMA.empty_table())
         attrs = attach_pair_attrs(
             cands, sigs, ["phash", "minhash_sig", "has_sig", "caption"]
@@ -100,7 +104,7 @@ def run_neardup(
 
     counters = snapshot_counters()
     stats = (
-        cluster_stats(clusters, keys, total_rows)
+        cluster_stats(clusters, sizes, total_rows)
         if compute_stats
         else {"total_rows": total_rows}
     )

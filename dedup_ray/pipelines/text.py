@@ -233,26 +233,43 @@ def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.
             }
         )
 
-    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    def add_combo(b: pa.Table) -> pa.Table:
+        combo = (
+            b["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+            << np.uint64(6)
+        ) ^ b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {"combo": pa.array(combo.view(np.int64)), "doc_id": b["doc_id"]}
+        )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g["doc_id"].to_pylist())
-        if len(ids) < 2:
-            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+    buckets = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_combo, batch_format="pyarrow"
+    )
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def pairs_from_runs(g: pa.Table) -> pa.Table:
+        keys = g["combo"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
         out_a, out_b = [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pa.table({"a": pa.array(out_a, type=pa.int64()),
-                         "b": pa.array(out_b, type=pa.int64())})
+        for r in np.flatnonzero(np.diff(bounds) >= 2):
+            run = np.sort(ids[bounds[r] : bounds[r + 1]])
+            iu, ju = np.triu_indices(len(run), 1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+        if not out_a:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
 
-    cand = (
-        buckets.groupby(["band_id", "band_key"])
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    ).to_pandas()
+    cand = grouped_runs(buckets, "combo", pairs_from_runs).to_pandas()
+    cand = cand.drop_duplicates()  # cross-band duplicate pairs (small table)
 
     if not len(cand):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),

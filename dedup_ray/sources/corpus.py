@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -73,6 +74,13 @@ class CorpusSpec:
     img_max: int = 48
     caption_words: tuple[int, int] = (5, 30)
     substring_words: tuple[int, int] = (40, 70)
+
+    @property
+    def vocab_size(self) -> int:
+        # vocabulary grows with the corpus: a fixed tiny vocab makes random
+        # captions unrealistically shingle-similar at scale (candidate junk
+        # grew superlinearly at 100k rows with 600 words)
+        return max(600, self.n_rows // 10)
 
 
 # ------------------------------------------------------------------ plan
@@ -175,7 +183,7 @@ def materialize_rows(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
     """Plan rows -> corpus rows. Pure function of (spec.seed, cluster_seed,
     member_idx) so it is retry-deterministic when run distributed."""
     vocab_rng = np.random.default_rng(spec.seed + 1)
-    vocab = _vocab(vocab_rng)
+    vocab = _vocab(vocab_rng, spec.vocab_size)
 
     out = {k: [] for k in ("row_uid", "bytes", "w", "h", "fmt", "caption", "phash", "dup_class")}
     cs_arr = batch["cluster_seed"].to_numpy(zero_copy_only=False)
@@ -260,14 +268,27 @@ def generate_corpus(
     seed: int = 42,
     use_ray: bool = True,
     n_rows: int | None = None,
+    img_min: int | None = None,
+    img_max: int | None = None,
 ) -> dict:
     """Generate the corpus + sidecars into ``out_dir``; returns metadata.
 
     Idempotent cache: if ``metadata.json`` exists with the same config hash,
     generation is skipped (the corpus is a pure function of its spec).
+    ``img_min``/``img_max`` override the pixel-side range (bench corpora use
+    realistic larger images so decode dominates like it would in production).
     """
     spec = CorpusSpec(n_rows=n_rows or SCALES[scale], seed=seed)
-    cfg_hash = f"{spec.n_rows}-{spec.seed}-{spec.hot_cluster_size}-v3"
+    if img_min or img_max:
+        from dataclasses import replace
+
+        spec = replace(
+            spec, img_min=img_min or spec.img_min, img_max=img_max or spec.img_max
+        )
+    cfg_hash = (
+        f"{spec.n_rows}-{spec.seed}-{spec.hot_cluster_size}"
+        f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-v5"
+    )
     meta_path = os.path.join(out_dir, "metadata.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -278,7 +299,12 @@ def generate_corpus(
     os.makedirs(out_dir, exist_ok=True)
     plan = plan_corpus(spec)
 
+    # image_id is FORMULAIC: img_{row_uid:09d} (row_uid is the shuffled table
+    # position) — so ground truth derives from the plan alone and the heavy
+    # corpus can be written in uid-ordered chunks (never one giant concat:
+    # >2 GB of binary overflows 32-bit Arrow offsets).
     if use_ray:
+        import ray
         import ray.data as rd
 
         ds = rd.from_arrow(plan)
@@ -288,59 +314,87 @@ def generate_corpus(
         mat = ds.map_batches(
             lambda b: materialize_rows(b, spec), batch_format="pyarrow", batch_size=1000
         )
-        import ray
-
         tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
-        table = pa.concat_tables(tables)
     else:
-        table = materialize_rows(plan, spec)
+        tables = [materialize_rows(plan, spec)]
 
-    # assign image_ids by (shuffled) row_uid order, zero-padded
-    order = pa.compute.sort_indices(table["row_uid"])
-    table = table.take(order)
-    ids = pa.array([f"img_{i:09d}" for i in range(table.num_rows)], type=pa.string())
-    table = table.append_column("image_id", ids)
+    def with_ids(chunk: pa.Table) -> pa.Table:
+        uids = chunk["row_uid"].to_numpy(zero_copy_only=False)
+        ids = pa.array([f"img_{u:09d}" for u in uids], type=pa.string())
+        return pa.table(
+            {
+                "image_id": ids,
+                "bytes": chunk["bytes"],
+                "w": chunk["w"],
+                "h": chunk["h"],
+                "fmt": chunk["fmt"],
+                "caption": chunk["caption"],
+                "phash": chunk["phash"],
+            }
+        )
+
+    # a DIRECTORY of part files: Ray parallelizes reads per file (a single
+    # parquet file is one fragment = one serial read task), and per-shard
+    # files are the resumable output layout the engine itself uses
+    corpus_path = os.path.join(out_dir, "images.parquet")
+    tmp_path = corpus_path + ".tmp"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    os.makedirs(tmp_path)
+    # enough part files that the fused read->map stage can fill every core
+    # (map task count == file count when the read fuses with the first map)
+    chunk_rows = max(1024, min(10_000, spec.n_rows // 64))
+    part = 0
+    for lo in range(0, spec.n_rows, chunk_rows):
+        hi = lo + chunk_rows
+        parts = []
+        for t in tables:
+            uid = t["row_uid"]
+            mask = pa.compute.and_(
+                pa.compute.greater_equal(uid, lo), pa.compute.less(uid, hi)
+            )
+            p = t.filter(mask)
+            if p.num_rows:
+                parts.append(p)
+        chunk = pa.concat_tables(parts)
+        chunk = chunk.take(pa.compute.sort_indices(chunk["row_uid"]))
+        chunk = with_ids(chunk)
+        pq.write_table(
+            chunk,
+            os.path.join(tmp_path, f"part-{part:05d}.parquet"),
+            row_group_size=1024,
+        )
+        part += 1
+    shutil.rmtree(corpus_path, ignore_errors=True)
+    os.rename(tmp_path, corpus_path)
 
     # ground-truth cluster = min image_id among same cluster_seed for dup rows
     plan_sorted = plan.take(pa.compute.sort_indices(plan["row_uid"]))
     cseeds = plan_sorted["cluster_seed"].to_numpy(zero_copy_only=False)
     classes = plan_sorted["dup_class"].to_pylist()
-    id_list = ids.to_pylist()
+    id_list = [f"img_{i:09d}" for i in range(plan.num_rows)]
     by_seed: dict[int, list[int]] = {}
     for i, (cs, cls) in enumerate(zip(cseeds, classes)):
         if cls not in ("unique", "hot_empty_caption"):
             by_seed.setdefault(int(cs), []).append(i)
-    gt_cluster = [id_list[i] for i in range(len(id_list))]  # default: own id
+    gt_cluster = list(id_list)  # default: own id
     for members in by_seed.values():
         rep = min(id_list[i] for i in members)
         for i in members:
             gt_cluster[i] = rep
 
-    corpus = pa.table(
-        {
-            "image_id": table["image_id"],
-            "bytes": table["bytes"],
-            "w": table["w"],
-            "h": table["h"],
-            "fmt": table["fmt"],
-            "caption": table["caption"],
-            "phash": table["phash"],
-        }
-    )
-    _atomic_write_parquet(corpus, os.path.join(out_dir, "images.parquet"))
     gt = pa.table(
         {
-            "image_id": table["image_id"],
+            "image_id": pa.array(id_list, type=pa.string()),
             "gt_cluster_id": pa.array(gt_cluster, type=pa.string()),
-            "dup_class": table["dup_class"],
+            "dup_class": pa.array(classes, type=pa.string()),
         }
     )
     _atomic_write_parquet(gt, os.path.join(out_dir, "gt_clusters.parquet"))
 
     n_dup_rows = sum(len(m) for m in by_seed.values() if len(m) >= 2)
     meta = {
-        "total_rows": table.num_rows,
-        "unique_rows": table.num_rows - n_dup_rows,
+        "total_rows": plan.num_rows,
+        "unique_rows": plan.num_rows - n_dup_rows,
         "rows_in_dup_groups": n_dup_rows,
         "dup_groups": sum(1 for m in by_seed.values() if len(m) >= 2),
         "seed": spec.seed,
@@ -356,5 +410,7 @@ def generate_corpus(
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> None:
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    # small row groups: Ray parallelizes reads per row group — one giant row
+    # group makes every downstream map stage a single task
+    pq.write_table(table, tmp, row_group_size=1024)
     os.replace(tmp, path)

@@ -33,18 +33,32 @@ from dedup_ray.functions.unionfind import UnionFind
 CLUSTER_SCHEMA = pa.schema([("cluster_id", pa.string()), ("image_id", pa.string())])
 
 
-def _driver_unionfind(edges: rd.Dataset) -> rd.Dataset:
-    uf = UnionFind()
+def _driver_unionfind(edges: rd.Dataset, max_edges: int | None = None) -> rd.Dataset | None:
+    """Stream edges once, then run vectorized min-label connected components.
+    Returns None if ``max_edges`` is exceeded mid-stream (caller falls back to
+    the distributed algorithm) — avoids a separate count() pass."""
+    from dedup_ray.functions.unionfind import connected_components_np
+
+    src_parts: list[np.ndarray] = []
+    dst_parts: list[np.ndarray] = []
+    seen = 0
     for batch in edges.select_columns(["src_id", "dst_id"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        for s, d in zip(batch["src_id"].to_pylist(), batch["dst_id"].to_pylist()):
-            uf.union(s, d)
-    comp = uf.components()
+        seen += batch.num_rows
+        if max_edges is not None and seen > max_edges:
+            return None
+        src_parts.append(np.asarray(batch["src_id"].to_pylist(), dtype=object))
+        dst_parts.append(np.asarray(batch["dst_id"].to_pylist(), dtype=object))
+    if seen == 0:
+        return rd.from_arrow(CLUSTER_SCHEMA.empty_table())
+    nodes, root = connected_components_np(
+        np.concatenate(src_parts), np.concatenate(dst_parts)
+    )
     table = pa.table(
         {
-            "cluster_id": pa.array(list(comp.values()), type=pa.string()),
-            "image_id": pa.array(list(comp.keys()), type=pa.string()),
+            "cluster_id": pa.array(list(nodes[root]), type=pa.string()),
+            "image_id": pa.array(list(nodes), type=pa.string()),
         }
     )
     order = pc.sort_indices(
@@ -167,10 +181,10 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
 
 def cluster_stage(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     """edges -> clusters (cluster_id = min member id). Nodes without edges
-    are implicit singletons and do not appear."""
-    n_edges = edges.count()
-    if n_edges == 0:
-        return rd.from_arrow(CLUSTER_SCHEMA.empty_table())
-    if n_edges <= cfg.driver_unionfind_max_edges:
-        return _driver_unionfind(edges)
+    are implicit singletons and do not appear. Streams the edges ONCE into
+    driver union-find; only if the stream exceeds the size bound does it pay
+    for the distributed fixpoint (no up-front count pass)."""
+    out = _driver_unionfind(edges, max_edges=cfg.driver_unionfind_max_edges)
+    if out is not None:
+        return out
     return _distributed_star(edges)  # pragma: no cover (exercised in tests explicitly)

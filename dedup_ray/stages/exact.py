@@ -85,6 +85,136 @@ def exact_edges(keys: rd.Dataset, key_col: str) -> rd.Dataset:
     )
 
 
+EXACT_TIER_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # 'edge' | 'rep' | 'size'
+        ("src_id", pa.string()),
+        ("dst_id", pa.string()),
+        ("image_id", pa.string()),
+        ("phash", pa.int64()),
+        ("caption", pa.string()),
+        ("caption_hash", pa.string()),
+        ("byte_len", pa.int64()),
+    ]
+)
+
+
+def exact_tier(keys: rd.Dataset) -> rd.Dataset:
+    """FUSED exact tier: ONE coarse shuffle keyed on pixel_hash produces the
+    star edges (pixel-equality groups), the collapsed reps (first row per
+    (pixel_hash, caption_hash) class), AND per-row 'size' rows
+    (image_id, byte_len) for the report aggregates — a tagged union table
+    split downstream with cheap filters.
+
+    Three outputs from one shuffle matter: `keys` then has exactly ONE
+    consumer, so the expensive decode stage STREAMS into this shuffle with no
+    materialization barrier. Works because the rep key (pixel, caption) is a
+    refinement of the edge key (pixel): one sort by (pixel_hash,
+    caption_hash, image_id) serves all three computations.
+    """
+    proj = keys.select_columns(
+        ["image_id", "pixel_hash", "caption_hash", "phash", "caption", "byte_len"]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        px = np.asarray(g["pixel_hash"].to_pylist(), dtype=object)
+        ch = np.asarray(g["caption_hash"].to_pylist(), dtype=object)
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        n = len(ids)
+        # --- edges: runs of pixel_hash; keeper = min id in run (the sort is
+        # by (px, ch, id), so min id needs an explicit min over the run)
+        pb = np.append(run_starts(px), n)
+        src_parts, dst_parts = [], []
+        n_groups = 0
+        for r in np.flatnonzero(np.diff(pb) >= 2):
+            s, e = int(pb[r]), int(pb[r + 1])
+            run = ids[s:e]
+            rep = run.min()
+            others = run[run != rep]
+            src_parts.append(np.repeat(rep, len(others)))
+            dst_parts.append(others)
+            n_groups += 1
+        if n_groups:
+            inc_counter("exact_dup_groups_pixel_hash", n_groups)
+        src = np.concatenate(src_parts) if src_parts else np.empty(0, dtype=object)
+        dst = np.concatenate(dst_parts) if dst_parts else np.empty(0, dtype=object)
+        # --- reps: first row of each (px, ch) run (sorted by id within run)
+        class_keys = np.fromiter(
+            (a + "|" + b for a, b in zip(px, ch)), dtype=object, count=n
+        )
+        rep_idx = run_starts(class_keys)
+        reps = g.take(pa.array(rep_idx))
+        n_e, n_r = len(src), len(rep_idx)
+        none_e: list = [None] * n_e
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["edge"] * n_e + ["rep"] * n_r + ["size"] * n, type=pa.string()
+                ),
+                "src_id": pa.array(list(src) + [None] * (n_r + n), type=pa.string()),
+                "dst_id": pa.array(list(dst) + [None] * (n_r + n), type=pa.string()),
+                "image_id": pa.array(
+                    none_e + reps["image_id"].to_pylist() + list(ids), type=pa.string()
+                ),
+                "phash": pa.array(
+                    [0] * n_e + reps["phash"].to_pylist() + [0] * n, type=pa.int64()
+                ),
+                "caption": pa.array(
+                    none_e + reps["caption"].to_pylist() + [None] * n, type=pa.string()
+                ),
+                "caption_hash": pa.array(
+                    none_e + reps["caption_hash"].to_pylist() + [None] * n,
+                    type=pa.string(),
+                ),
+                "byte_len": pa.array(
+                    [0] * n_e
+                    + [0] * n_r
+                    + list(g["byte_len"].to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_runs(
+        proj,
+        "pixel_hash",
+        per_bucket,
+        sort_cols=["pixel_hash", "caption_hash", "image_id"],
+    )
+
+
+def split_exact_tier(fused: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset, rd.Dataset]:
+    """Tagged union -> (edges, reps, sizes); three filters over one pinned
+    dataset."""
+    import pyarrow.compute as pc
+
+    def edges_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["kind"], "edge"))
+        n = b.num_rows
+        return pa.table(
+            {
+                "src_id": b["src_id"],
+                "dst_id": b["dst_id"],
+                "evidence": pa.array(["pixel_hash"] * n, type=pa.string()),
+                "score": pa.array([1.0] * n, type=pa.float64()),
+            }
+        )
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["kind"], "rep"))
+        return b.select(["image_id", "phash", "caption", "caption_hash"])
+
+    def sizes_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["kind"], "size"))
+        return b.select(["image_id", "byte_len"])
+
+    return (
+        fused.map_batches(edges_only, batch_format="pyarrow"),
+        fused.map_batches(reps_only, batch_format="pyarrow"),
+        fused.map_batches(sizes_only, batch_format="pyarrow"),
+    )
+
+
 def collapse_reps(keys: rd.Dataset) -> rd.Dataset:
     """One representative row per (pixel_hash, caption_hash) class; rep =
     min(image_id). Output: image_id, phash, caption, caption_hash."""

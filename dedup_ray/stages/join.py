@@ -25,23 +25,40 @@ import ray.data as rd
 ATTACH_BROADCAST_MAX_ROWS = 2_000_000
 
 
+_ATTACH_CACHE: dict[bytes, tuple[dict, pa.Table]] = {}
+
+
 class _BroadcastAttacher:
-    """map_batches callable holding the broadcast lookup (resolved once per
-    actor from the shared object ref, not re-shipped per batch)."""
+    """Broadcast lookup resolved from the shared object ref once per worker
+    PROCESS (module cache keyed by the ref) — stateless elastic tasks, no
+    actor pool ramp-up. The object-store read itself is zero-copy; only the
+    id->row index build is cached."""
 
     def __init__(self, attrs_ref: ray.ObjectRef, columns: list[str]) -> None:
-        attrs: pa.Table = ray.get(attrs_ref)
-        ids = attrs["image_id"].to_pylist()
-        self.index = {v: i for i, v in enumerate(ids)}
-        self.attrs = attrs
+        self.ref = attrs_ref
         self.columns = columns
 
+    def _lookup(self):
+        import pandas as pd
+
+        refs = self.ref if isinstance(self.ref, list) else [self.ref]
+        key = b"".join(r.binary() for r in refs)
+        got = _ATTACH_CACHE.get(key)
+        if got is None:
+            tables = [t for t in ray.get(refs) if t.num_rows]
+            attrs: pa.Table = pa.concat_tables(tables)
+            index = pd.Index(attrs["image_id"].to_pylist())  # C-speed hash probes
+            got = (index, attrs)
+            _ATTACH_CACHE.clear()  # hold at most one corpus index per worker
+            _ATTACH_CACHE[key] = got
+        return got
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        index, attrs = self._lookup()
         out = batch
         for side in ("src", "dst"):
-            keys = batch[f"{side}_id"].to_pylist()
-            rows = np.array([self.index[k] for k in keys], dtype=np.int64)
-            taken = self.attrs.take(pa.array(rows))
+            rows = index.get_indexer(batch[f"{side}_id"].to_pylist())
+            taken = attrs.take(pa.array(rows, type=pa.int64()))
             for col in self.columns:
                 out = out.append_column(f"{side}_{col}", taken[col])
         return out
@@ -62,17 +79,13 @@ def attach_pair_attrs(
     """
     n = attrs.count()
     if n <= broadcast_max_rows:
-        tbl = pa.concat_tables(ray.get(attrs.select_columns(["image_id"] + columns).to_arrow_refs()))
-        ref = ray.put(tbl)
-        # autoscaling pool (min 1) + fractional CPU: a fixed pool could grab
-        # every core up-front and starve the upstream shuffle tasks of this
-        # same lazy pipeline (observed deadlock on an 8-CPU session)
+        # pass the block REFS, not a driver-concatenated copy: workers pull
+        # shared object-store blocks directly (no driver round-trip, no
+        # duplicate copy of the attrs table)
+        refs = list(attrs.select_columns(["image_id"] + columns).to_arrow_refs())
+        attacher = _BroadcastAttacher(refs, columns)
         return pairs.map_batches(
-            _BroadcastAttacher,
-            fn_constructor_args=(ref, columns),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-            num_cpus=0.5,
+            attacher, batch_format="pyarrow", batch_size=4096
         )
     # shuffle path: two hash joins
     side = attrs.select_columns(["image_id"] + columns)

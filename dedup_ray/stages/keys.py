@@ -75,8 +75,10 @@ def compute_exact_keys(batch: pa.Table) -> pa.Table:
 
 
 def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
-    """images -> signatures-base table; applies the size predicate at the
-    batch level (reference --min-size/--max-size, src/scanner.rs:101-103)."""
+    """images -> signatures-base table; applies the size predicate
+    (reference --min-size/--max-size, src/scanner.rs:101-103) and the
+    include/exclude id globs (src/scanner.rs:13-41) as vectorized batch
+    filters before the digest work."""
     ds = images
     if cfg.min_size > 0 or cfg.max_size < 2**63 - 1:
         lo, hi = cfg.min_size, cfg.max_size
@@ -87,4 +89,21 @@ def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             return b.filter(keep)
 
         ds = ds.map_batches(size_filter, batch_format="pyarrow")
+    if cfg.include or cfg.exclude:
+        import fnmatch
+        import re
+
+        inc = [re.compile(fnmatch.translate(p)) for p in cfg.include]
+        exc = [re.compile(fnmatch.translate(p)) for p in cfg.exclude]
+
+        def glob_filter(b: pa.Table) -> pa.Table:
+            ids = b["image_id"].to_pylist()
+            keep = [
+                (not inc or any(r.match(i) for r in inc))
+                and not any(r.match(i) for r in exc)
+                for i in ids
+            ]
+            return b.filter(pa.array(keep))
+
+        ds = ds.map_batches(glob_filter, batch_format="pyarrow")
     return ds.map_batches(compute_exact_keys, batch_format="pyarrow")

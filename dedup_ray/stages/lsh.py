@@ -48,12 +48,17 @@ PAIR_SCHEMA = pa.schema([("src_id", pa.string()), ("dst_id", pa.string())])
 
 
 def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """signatures rows -> (band_id:int32, band_key:int64, image_id) rows."""
+    """signatures rows -> (band_id:int32, band_key:int64, image_id, gen:int8,
+    phash:int64) rows. ``gen`` tags the generator (0 minhash / 1 phash /
+    2 anchor); phash rides along so phash-bucket pairs can be Hamming-filtered
+    INSIDE pair generation — a 16-bit band-pair key alone is not selective
+    enough at 10^5+ reps (junk grew ~n^2/65536)."""
     ids = batch["image_id"].to_pylist()
     n = len(ids)
     out_band: list[np.ndarray] = []
     out_key: list[np.ndarray] = []
     out_idx: list[np.ndarray] = []
+    out_gen: list[np.ndarray] = []
 
     # --- minhash bands (skip sentinel/no-shingle rows: empty-caption hot key)
     has = batch["has_sig"].to_numpy(zero_copy_only=False)
@@ -65,6 +70,7 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         out_band.append(np.repeat(np.arange(cfg.bands, dtype=np.int32)[None, :], m, 0).ravel())
         out_key.append(bk.astype(np.int64, copy=False).view(np.int64).ravel())
         out_idx.append(np.repeat(idx, cfg.bands))
+        out_gen.append(np.zeros(m * cfg.bands, dtype=np.int8))
 
     # --- phash bitplane band-pair keys (recall-complete for hamming <=
     #     phash_bands-2 = the verify threshold; see phash_band_pair_keys)
@@ -76,6 +82,7 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
     out_key.append(pb.view(np.int64).ravel())
     out_idx.append(np.repeat(np.arange(n), n_combo))
+    out_gen.append(np.ones(n * n_combo, dtype=np.int8))
 
     # --- winnowed substring anchors (long captions only)
     caps = batch["caption"].to_pylist()
@@ -86,16 +93,20 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
                 out_band.append(np.full(fp.size, 2000, dtype=np.int32))
                 out_key.append(fp.view(np.int64))
                 out_idx.append(np.full(fp.size, i, dtype=np.int64))
+                out_gen.append(np.full(fp.size, 2, dtype=np.int8))
 
     band = np.concatenate(out_band)
     key = np.concatenate(out_key)
     idx = np.concatenate(out_idx)
+    gen = np.concatenate(out_gen)
     id_arr = pa.array(ids, type=pa.string()).take(pa.array(idx))
     return pa.table(
         {
             "band_id": pa.array(band, type=pa.int32()),
             "band_key": pa.array(key, type=pa.int64()),
             "image_id": id_arr,
+            "gen": pa.array(gen, type=pa.int8()),
+            "phash": pa.array(ph[idx], type=pa.int64()),
         }
     )
 
@@ -137,14 +148,21 @@ def bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
     )
 
 
-def _pairs_from_runs(cap: int):
+def _pairs_from_runs(cap: int, phash_hamming_max: int):
     """Vectorized pair generation over all bucket-runs of a coarse group
     (stages/grouped.py): rows sorted by (combo key, image_id); per run of
-    size n emit triu pairs (n<=cap) or star+chain (n>cap, counted)."""
+    size n emit triu pairs (n<=cap) or star+chain (n>cap, counted).
+    phash-generated runs (gen==1) are Hamming-filtered in place — the bucket
+    co-membership only guarantees one matching band-pair, and re-checking the
+    full 64-bit distance here costs one vectorized popcount instead of
+    shipping ~n^2/65536 junk pairs into the attach+verify stages."""
 
     def fn(g: pa.Table) -> pa.Table:
         keys = g["combo"].to_numpy(zero_copy_only=False)
         ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        gens = g["gen"].to_numpy(zero_copy_only=False)
+        phs = g["phash"].to_numpy(zero_copy_only=False)
+        from dedup_ray.functions.hashing import hamming64
         from dedup_ray.stages.grouped import run_starts
 
         starts = run_starts(keys)
@@ -159,6 +177,11 @@ def _pairs_from_runs(cap: int):
             run = ids[s:e]
             if n <= cap:
                 iu, ju = np.triu_indices(n, 1)
+                if gens[s] == 1:  # phash bucket: exact Hamming filter now
+                    ok = (
+                        hamming64(phs[s:e][iu], phs[s:e][ju]) <= phash_hamming_max
+                    )
+                    iu, ju = iu[ok], ju[ok]
                 src_parts.append(run[iu])
                 dst_parts.append(run[ju])
             else:
@@ -194,26 +217,35 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             t["band_id"].to_numpy(zero_copy_only=False),
             t["band_key"].to_numpy(zero_copy_only=False),
         ).view(np.int64)
-        return pa.table({"combo": pa.array(combo), "image_id": t["image_id"]})
+        return pa.table(
+            {
+                "combo": pa.array(combo),
+                "image_id": t["image_id"],
+                "gen": t["gen"],
+                "phash": t["phash"],
+            }
+        )
 
     buckets = signatures.map_batches(explode_with_combo, batch_format="pyarrow")
     pairs = grouped_runs(
         buckets,
         "combo",
-        _pairs_from_runs(cfg.bucket_pair_cap),
+        _pairs_from_runs(cfg.bucket_pair_cap, cfg.phash_hamming_max),
         sort_cols=["combo", "image_id"],
     )
 
-    def add_pair_key(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pair_key",
-            pc.binary_join_element_wise(b["src_id"], b["dst_id"], "|"),
+    # NO pair-dedup shuffle: a pair surfacing from k buckets is verified up
+    # to k times (verification is idempotent and vectorized; the verify stage
+    # np.unique's within each batch) and union-find absorbs duplicate edges.
+    # Trades bounded redundant verify work for one fewer all-to-all — the
+    # fixed shuffle cost dominated the whole stage at bench scale.
+    def dedup_within_batch(b: pa.Table) -> pa.Table:
+        key = np.fromiter(
+            (s + "|" + d for s, d in zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist())),
+            dtype=object,
+            count=b.num_rows,
         )
+        _, idx = np.unique(key, return_index=True)
+        return b.take(pa.array(np.sort(idx)))
 
-    def unique_runs(g: pa.Table) -> pa.Table:
-        keys = np.asarray(g["pair_key"].to_pylist(), dtype=object)
-        starts = run_starts(keys)
-        return g.take(pa.array(starts)).select(["src_id", "dst_id"])
-
-    keyed = pairs.map_batches(add_pair_key, batch_format="pyarrow")
-    return grouped_runs(keyed, "pair_key", unique_runs)
+    return pairs.map_batches(dedup_within_batch, batch_format="pyarrow")

@@ -64,19 +64,31 @@ class SignerActor:
         )
 
 
+_SIGNER_CACHE: dict[str, SignerActor] = {}
+
+
+def sign_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Stateless-task form of SignerActor: the permutation state is cached
+    once per WORKER PROCESS (module global) instead of once per actor.
+    Elastic tasks beat an actor pool here — pool ramp-up latency dominated
+    the stage at bench scale while the state is microseconds to build;
+    reserve actor pools for stages with genuinely heavy state (models)."""
+    signer = _SIGNER_CACHE.get(cfg.config_hash())
+    if signer is None:
+        signer = SignerActor(cfg)
+        _SIGNER_CACHE[cfg.config_hash()] = signer
+    return signer(batch)
+
+
 def signatures_stage(
     reps: rd.Dataset, cfg: DedupConfig, concurrency: int | tuple[int, int] = 4
 ) -> rd.Dataset:
-    if isinstance(concurrency, int):
-        # autoscale from 1 so the pool never reserves every CPU up-front and
-        # starves sibling stages of the same lazy pipeline
-        concurrency = (1, concurrency)
+    # concurrency is accepted for API stability; stateless tasks are elastic
+    # and scheduled by the streaming executor without a pool.
     return reps.map_batches(
-        SignerActor,
-        fn_constructor_args=(cfg,),
+        lambda b: sign_batch(b, cfg),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=concurrency,
+        batch_size=1024,
     )
 
 

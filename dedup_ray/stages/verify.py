@@ -114,15 +114,24 @@ class PairVerifier:
         )
 
 
+_VERIFIER_CACHE: dict[str, PairVerifier] = {}
+
+
+def verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    v = _VERIFIER_CACHE.get(cfg.config_hash())
+    if v is None:
+        v = PairVerifier(cfg)
+        _VERIFIER_CACHE[cfg.config_hash()] = v
+    return v(batch)
+
+
 def verify_stage(
     pairs_with_attrs: rd.Dataset, cfg: DedupConfig, concurrency: int | tuple[int, int] = 4
 ) -> rd.Dataset:
-    if isinstance(concurrency, int):
-        concurrency = (1, concurrency)  # see signatures_stage: avoid pool starvation
+    # stateless elastic tasks with per-process state cache (see
+    # signatures_stage) — actor-pool ramp-up dominated this short stage
     return pairs_with_attrs.map_batches(
-        PairVerifier,
-        fn_constructor_args=(cfg,),
+        lambda b: verify_batch(b, cfg),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=concurrency,
+        batch_size=2048,
     )

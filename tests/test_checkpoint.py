@@ -33,8 +33,7 @@ def test_manifest_written(ckpt_run):
         manifest = json.load(f)
     stages = manifest["stages"]
     assert set(stages) == {
-        "keys", "edges_exact", "reps", "signatures", "candidates",
-        "edges_near", "clusters",
+        "keys", "exact_tier", "signatures", "candidates", "edges_near", "clusters",
     }
     for name, entry in stages.items():
         assert entry["rows"] >= 0

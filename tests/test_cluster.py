@@ -41,6 +41,15 @@ def test_distributed_star_matches_driver(seed):
     expected = connected_components(pairs)
     assert da == expected
     assert db == expected
+    # the vectorized numpy CC agrees with the pointerful union-find
+    from dedup_ray.functions.unionfind import connected_components_np
+
+    nodes, root = connected_components_np(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+    )
+    dc = dict(zip(nodes.tolist(), nodes[root].tolist()))
+    assert dc == expected
 
 
 def test_cluster_stage_empty():

@@ -20,8 +20,10 @@ EXPECTED_SCHEMA = {
 
 
 def test_schema_matches_input_hint(tiny_corpus):
-    s = pq.read_schema(os.path.join(tiny_corpus, "images.parquet"))
-    assert {n: str(s.field(n).type) for n in s.names} == EXPECTED_SCHEMA
+    # images.parquet is a DIRECTORY of part files (read-parallelism layout)
+    s = pq.ParquetDataset(os.path.join(tiny_corpus, "images.parquet")).schema
+    assert {n: str(s.field(n).type) for n in s.names if n in EXPECTED_SCHEMA} == EXPECTED_SCHEMA
+    assert set(s.names) == set(EXPECTED_SCHEMA)
 
 
 def test_deterministic_regeneration(tmp_path, tiny_corpus):
