@@ -24,7 +24,7 @@ import time
 FLAGSHIP_ROWS = int(os.environ.get("DEDUP_BENCH_ROWS", "100000"))
 FLAGSHIP_IMG = (96, 160)  # realistic image sizes so decode dominates
 SCALING_CPUS = (4, 16)    # N vs 4N (fresh processes; sandbox cluster stand-in)
-SCALING_ROWS = 200_000    # scaling runs use a larger input so parallel work
+SCALING_ROWS = 100_000    # scaling runs use a larger input so parallel work
                           # dominates the fixed single-node orchestration floor
 
 

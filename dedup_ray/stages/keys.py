@@ -42,15 +42,20 @@ def compute_exact_keys(batch: pa.Table) -> pa.Table:
     content = np.empty(n, dtype=object)
     pixel = np.empty(n, dtype=object)
     decode_ok = np.ones(n, dtype=bool)
+    ws = batch["w"].to_numpy(zero_copy_only=False)
+    hs = batch["h"].to_numpy(zero_copy_only=False)
     for i in range(n):
         raw = data[i].as_py()
         content[i] = hashlib.blake2b(raw, digest_size=32).hexdigest()
         try:
             px = codecs.decode(raw, fmts[i])
+            # schema-validation filter (F3 analog): declared dims must match
+            # the decoded payload; mismatches are dropped+counted like the
+            # reference's unreadable files (src/hasher.rs:56-60 filter_map)
+            if px.shape != (int(hs[i]), int(ws[i]), 3):
+                raise ValueError("shape mismatch")
             pixel[i] = pixel_hash(px).hex()
         except Exception:
-            # unreadable rows are dropped like the reference's unreadable
-            # files (src/hasher.rs:56-60 filter_map) — but counted
             decode_ok[i] = False
             pixel[i] = ""
     captions = batch["caption"].to_pylist()
@@ -58,6 +63,10 @@ def compute_exact_keys(batch: pa.Table) -> pa.Table:
         hashlib.blake2b(c.encode() if c else b"", digest_size=16).hexdigest()
         for c in captions
     ]
+    if not decode_ok.all():
+        from dedup_ray.state.metrics import inc_counter
+
+        inc_counter("rows_dropped_unreadable", int((~decode_ok).sum()))
     byte_len = pc.binary_length(data).cast(pa.int64())
     out = pa.table(
         {

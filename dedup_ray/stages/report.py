@@ -149,6 +149,15 @@ def format_number(n: int) -> str:
     return f"{n:,}".replace(",", " ")
 
 
+def parse_size(s: str) -> int:
+    """'500M'/'2G'/'123' -> bytes (~ /root/reference/benchmark/generator.py:15-21)."""
+    s = s.strip().upper()
+    units = {"K": 1024, "M": 1024**2, "G": 1024**3, "T": 1024**4}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
 def print_human(report: dict, verbose: bool = False) -> str:
     s = report["stats"]
     if s["duplicate_clusters"] == 0:
