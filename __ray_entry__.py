@@ -75,9 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first": text.dedup_keep_first,
         "size_groups": text.size_groups,
         "cascade_stats": text.cascade_stats,
-        # --- dedup over documents (rows-only) ---
-        "minhash_neardup_docs": text.minhash_neardup_clusters,
-        "simhash_near_pairs": text.simhash_near_pairs,
+        # --- dedup over documents ---
+        "minhash_neardup_docs": text.minhash_neardup_clusters,  # rows-only
+        "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
+        "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
+        "token_count_regex": text.token_count_regex,            # SQL-checked
         # --- text analysis ---
         "token_stats": analysis.token_stats,
         "quality_summary": analysis.quality_summary,
@@ -125,6 +127,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'size' AS stage, count(*)::BIGINT AS n_groups, coalesce(sum(c), 0)::BIGINT AS n_rows FROM s "
             "UNION ALL SELECT 'prefix32', count(*)::BIGINT, coalesce(sum(c), 0)::BIGINT FROM p "
             "UNION ALL SELECT 'full', count(*)::BIGINT, coalesce(sum(c), 0)::BIGINT FROM f"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH s AS (SELECT doc_id, "
+            "list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks "
+            "FROM documents) "
+            "SELECT a.doc_id AS a, b.doc_id AS b FROM s a CROSS JOIN s b "
+            "WHERE a.doc_id < b.doc_id AND "
+            "len(list_intersect(a.toks, b.toks)) > 0 AND "
+            "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"
+        ),
+        "token_count_regex": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT "
+            "AS n_tokens_re FROM documents"
         ),
         "token_stats": (
             f"SELECT lang, count(*)::BIGINT AS n_docs, sum({tok})::BIGINT AS total_tokens "

@@ -295,6 +295,86 @@ def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.
     ).astype("int64")
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.DataFrame:
+    """EXACT token n-gram Jaccard near-dup pairs: all (a < b) with
+    J(ngrams(a), ngrams(b)) >= threshold. Returns (a, b) sorted.
+
+    Brute-force-correct baseline: token-set table is broadcast once and each
+    batch computes its block of the pair matrix (same shape as the
+    embedding-cosine blocked matmul). The scale path swaps the broadcast for
+    the MinHash-LSH candidate generator + this exact verify; here exactness
+    is the point — the DuckDB oracle computes the identical relation.
+    """
+    import ray
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        toks = []
+        for t in b["text"].to_pylist():
+            words = (t or "").split()
+            if n == 1:
+                grams = sorted(set(words))
+            else:
+                grams = sorted(
+                    {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+                )
+            toks.append(grams)
+        return pa.table(
+            {"doc_id": b["doc_id"], "grams": pa.array(toks, type=pa.list_(pa.string()))}
+        )
+
+    sets_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(
+        [t for t in ray.get(sets_ds.to_arrow_refs()) if t.num_rows]
+    )
+    all_ids = tbl["doc_id"].to_pylist()
+    all_sets = [frozenset(g) for g in tbl["grams"].to_pylist()]
+    ref = ray.put((all_ids, all_sets))
+
+    def block(b: pa.Table) -> pa.Table:
+        ids_b = b["doc_id"].to_pylist()
+        sets_b = [frozenset(g) for g in b["grams"].to_pylist()]
+        oids, osets = ray.get(ref)
+        out_a, out_b = [], []
+        for i, (ia, sa) in enumerate(zip(ids_b, sets_b)):
+            for ib, sb in zip(oids, osets):
+                if ia < ib:
+                    inter = len(sa & sb)
+                    if inter and inter / len(sa | sb) >= threshold:
+                        out_a.append(ia)
+                        out_b.append(ib)
+        return pa.table(
+            {
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    out = sets_ds.map_batches(block, batch_format="pyarrow", batch_size=512).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+
+
+# BPE-ish token classes: letter runs | digit runs | punct runs — identical
+# regex semantics in Python re and DuckDB RE2 for these classes
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_regex(sf_dir: str) -> rd.Dataset:
+    """Per-doc BPE-ish token counts: (doc_id, n_tokens_re)."""
+    import re
+
+    pat = re.compile(TOKEN_REGEX)
+
+    def fn(b: pa.Table) -> pa.Table:
+        counts = [len(pat.findall(t or "")) for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_tokens_re": pa.array(counts, type=pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
                        cfg: DedupConfig | None = None) -> pd.DataFrame:
     """SimHash near-dup pairs over documents via 4x16-bit band candidates +

@@ -115,6 +115,17 @@ def test_size_filter_excludes_rows(tiny_corpus):
     assert res.stats["duplicate_clusters"] == 0
 
 
+def test_distributed_unionfind_matches_driver_on_flagship(tiny_corpus):
+    """Force the distributed alternating-star path (edge bound 0) and require
+    byte-identical clusters vs the driver union-find default."""
+    cfg = DedupConfig(driver_unionfind_max_edges=0)
+    a = run_neardup(os.path.join(tiny_corpus, "images.parquet"), cfg=DedupConfig())
+    b = run_neardup(os.path.join(tiny_corpus, "images.parquet"), cfg=cfg)
+    da = a.clusters.to_pandas().sort_values(["cluster_id", "image_id"]).reset_index(drop=True)
+    db = b.clusters.to_pandas().sort_values(["cluster_id", "image_id"]).reset_index(drop=True)
+    assert da.equals(db)
+
+
 def test_empty_captions_stay_unclustered(tiny_result, tiny_corpus):
     gt = pq.read_table(os.path.join(tiny_corpus, "gt_clusters.parquet")).to_pandas()
     empties = set(gt[gt.dup_class == "hot_empty_caption"].image_id)

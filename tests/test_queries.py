@@ -19,6 +19,8 @@ CHECKED = [
     "exact_dedup_groups",
     "size_groups",
     "token_stats",
+    "token_count_regex",
+    "ngram_jaccard_pairs",
     "q1_pricing_summary",
     "top_orders",
     "revenue_by_segment",
