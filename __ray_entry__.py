@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
         "cosine_neardup_pairs": ann.cosine_neardup_pairs,
         "embedding_lsh_buckets": ann.lsh_buckets,
         # --- flagship image pipeline (rows-only; input synthesised) ---

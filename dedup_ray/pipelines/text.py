@@ -197,14 +197,23 @@ class _DocSigner:
         )
 
 
+_DOC_SIGNER_CACHE: dict[str, _DocSigner] = {}
+
+
 def doc_signatures(sf_dir: str, cfg: DedupConfig | None = None) -> rd.Dataset:
     cfg = cfg or DedupConfig()
+
+    def sign(b: pa.Table) -> pa.Table:
+        s = _DOC_SIGNER_CACHE.get(cfg.config_hash())
+        if s is None:
+            s = _DocSigner(cfg)
+            _DOC_SIGNER_CACHE[cfg.config_hash()] = s
+        return s(b)
+
+    # stateless tasks + per-process state cache (cheap state; elastic beats
+    # actor-pool ramp-up — same rationale as stages/signatures.sign_batch)
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _DocSigner,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=(1, 4),
+        sign, batch_format="pyarrow", batch_size=1024
     )
 
 

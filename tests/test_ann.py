@@ -1,0 +1,37 @@
+"""Similarity-search operators: exact baseline vs approximate scale paths."""
+
+import pandas as pd
+
+from dedup_ray.pipelines.ann import ann_ivf_topk, ann_topk, cosine_neardup_pairs, lsh_buckets
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_topk_shape_and_determinism():
+    a = ann_topk(SF, k=5, n_queries=3)
+    b = ann_topk(SF, k=5, n_queries=3)
+    assert a.equals(b)
+    assert set(a.columns) == {"query_id", "neighbor_id", "rank"}
+    assert (a.groupby("query_id")["rank"].max() == 5).all()
+    assert (a.query_id != a.neighbor_id).all()
+
+
+def test_ann_ivf_recall_vs_exact():
+    exact = ann_topk(SF, k=5, n_queries=5)
+    approx = ann_ivf_topk(SF, k=5, n_queries=5)
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # nprobe=4/16 cells on random vectors
+
+
+def test_cosine_neardup_pairs_symmetric_free():
+    pairs = cosine_neardup_pairs(SF, threshold=0.4)
+    assert (pairs.a < pairs.b).all()
+    assert not pairs.duplicated().any()
+
+
+def test_lsh_buckets_partition():
+    buckets = lsh_buckets(SF).to_pandas()
+    assert buckets.n_vecs.sum() == 500  # every vector in exactly one bucket
+    assert buckets.bucket.is_unique

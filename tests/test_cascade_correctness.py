@@ -1,0 +1,84 @@
+"""Cascade-correctness pair tests — the analog of the reference's
+same-prefix/different-tail tests (src/hasher.rs:138-160: partial hash may
+match while full hash splits; the cascade must pass the candidate and the
+verify stage must split it)."""
+
+import numpy as np
+import pyarrow as pa
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions.hashing import (
+    MinHasher,
+    band_keys,
+    char_shingle_hashes,
+    hamming64,
+    phash_band_pair_keys,
+)
+from dedup_ray.stages.verify import PairVerifier
+
+CFG = DedupConfig()
+
+
+def _sig(text: str) -> np.ndarray:
+    mh = MinHasher(CFG.num_perm, CFG.seed)
+    return mh.signature(char_shingle_hashes(text, CFG.shingle_k))
+
+
+def _find_band_collision_below_threshold():
+    """Deterministically scan seeded caption pairs for one that shares a
+    MinHash band (candidate!) but has est-Jaccard < threshold (must be
+    rejected by verify) — the 'partial matches, full splits' shape."""
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "china", "delta", "echo", "fox", "golf", "hotel",
+             "india", "jazz", "kilo", "lima", "mike", "nov", "oscar", "papa"]
+    for _ in range(4000):
+        base = [words[i] for i in rng.integers(0, len(words), 12)]
+        other = list(base)
+        for j in rng.integers(0, 12, 7):
+            other[j] = words[rng.integers(0, len(words))]
+        a, b = " ".join(base), " ".join(other)
+        sa, sb = _sig(a), _sig(b)
+        est = float(MinHasher.est_jaccard(sa, sb))
+        bands = band_keys(np.stack([sa, sb]), CFG.bands, CFG.rows_per_band)
+        if est < CFG.jaccard_threshold - 0.05 and (bands[0] == bands[1]).any():
+            return a, b, est
+    raise AssertionError("no collision pair found in deterministic scan")
+
+
+def test_band_candidate_rejected_by_verify():
+    a, b, est = _find_band_collision_below_threshold()
+    sig_a, sig_b = _sig(a), _sig(b)
+    k = CFG.num_perm
+    batch = pa.table(
+        {
+            "src_id": pa.array(["x"]),
+            "dst_id": pa.array(["y"]),
+            "src_phash": pa.array([0], type=pa.int64()),
+            "dst_phash": pa.array([-1], type=pa.int64()),  # hamming 64
+            "src_minhash_sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_a.view(np.int64), type=pa.int64()), k
+            ),
+            "dst_minhash_sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_b.view(np.int64), type=pa.int64()), k
+            ),
+            "src_has_sig": pa.array([True]),
+            "dst_has_sig": pa.array([True]),
+            "src_caption": pa.array([a]),
+            "dst_caption": pa.array([b]),
+        }
+    )
+    out = PairVerifier(CFG)(batch)
+    assert out.num_rows == 0  # candidate surfaced, verify splits — D1 holds
+
+
+def test_phash_pair_bands_split_on_far_hashes():
+    """Two phashes with large Hamming distance share no band-pair key (so the
+    exact tier's candidate key discriminates), while near hashes do."""
+    rng = np.random.default_rng(3)
+    base = np.int64(rng.integers(-(2**62), 2**62))
+    far = np.int64(~np.uint64(base.view(np.uint64)).astype(np.int64))
+    near = base ^ np.int64(1 << 5)
+    kb = phash_band_pair_keys(np.array([base, far, near]), CFG.phash_bands)
+    assert not (kb[0] == kb[1]).any()
+    assert (kb[0] == kb[2]).any()
+    assert hamming64(np.array([base]), np.array([near]))[0] == 1
