@@ -8,9 +8,10 @@ and print ONE JSON line:
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "flagship_rows": R, "images_per_sec": X}
 
---scaling: run the flagship pipeline in two FRESH processes at num_cpus=8
-and 32 on the same input (sandbox stand-in for N vs 4N nodes; BASELINE.md
-scaling criterion) and print throughputs + efficiency.
+--scaling: run the flagship pipeline in FRESH processes at num_cpus=4 and 16
+(N vs 4N; sandbox stand-in for two cluster sizes, BASELINE.md criterion) on
+the same cached input, best-of-2 per level, and print both throughputs plus
+the scaling efficiency.
 """
 
 from __future__ import annotations
@@ -22,7 +23,8 @@ import sys
 import time
 
 FLAGSHIP_ROWS = int(os.environ.get("DEDUP_BENCH_ROWS", "100000"))
-FLAGSHIP_IMG = (96, 160)  # realistic image sizes so decode dominates
+FLAGSHIP_IMG = (96, 160)   # realistic image sizes so decode dominates
+FLAGSHIP_DUP_RATIO = 0.3   # reference benchmark middle cell (dup 0.10/0.30/0.60)
 SCALING_CPUS = (4, 16)    # N vs 4N (fresh processes; sandbox cluster stand-in)
 SCALING_ROWS = 100_000    # scaling runs use a larger input so parallel work
                           # dominates the fixed single-node orchestration floor
@@ -56,10 +58,11 @@ def run_bench(scope: str) -> dict:
     from dedup_ray.pipelines.neardup import run_neardup
     from dedup_ray.sources.corpus import generate_corpus
 
-    corpus_dir = f"/tmp/dedup_ray_bench_{FLAGSHIP_ROWS}"
+    corpus_dir = f"/tmp/dedup_ray_bench_{FLAGSHIP_ROWS}_r{FLAGSHIP_DUP_RATIO}"
     generate_corpus(
         corpus_dir, scale="bench", n_rows=FLAGSHIP_ROWS, use_ray=True,
         img_min=FLAGSHIP_IMG[0], img_max=FLAGSHIP_IMG[1],
+        dup_ratio=FLAGSHIP_DUP_RATIO,
     )
     corpus = os.path.join(corpus_dir, "images.parquet")
 
@@ -79,7 +82,12 @@ def run_bench(scope: str) -> dict:
     # discarded warmup run: Python imports on every worker process dominate a
     # cold first run (the reference harness discards a warmup for the same
     # reason, /root/reference/benchmark/runner.py:105-109)
-    run_neardup(corpus, concurrency=max(2, ncpu // 2))
+    warm = run_neardup(corpus, concurrency=max(2, ncpu // 2))
+    del warm
+    import gc
+
+    gc.collect()  # release the warmup's pinned blocks before timing
+    time.sleep(3)
 
     t0 = time.time()
     res = run_neardup(corpus, concurrency=max(2, ncpu // 2))
@@ -134,13 +142,19 @@ def run_scaling() -> dict:
     from dedup_ray.sources.corpus import generate_corpus
 
     generate_corpus(
-        f"/tmp/dedup_ray_bench_{SCALING_ROWS}", scale="bench",
+        f"/tmp/dedup_ray_bench_{SCALING_ROWS}_r{FLAGSHIP_DUP_RATIO}", scale="bench",
         n_rows=SCALING_ROWS, use_ray=True,
         img_min=FLAGSHIP_IMG[0], img_max=FLAGSHIP_IMG[1],
+        dup_ratio=FLAGSHIP_DUP_RATIO,
     )
     ray.shutdown()
+    # INTERLEAVED best-of-2 per level (hi, lo, hi, lo): ambient load on this
+    # shared box drifts on minute scales; interleaving spreads the drift
+    # across both levels instead of biasing whichever level ran last, and
+    # min-per-level rejects the noise (which only ever ADDS time).
     out = {}
-    for ncpu in SCALING_CPUS:
+    lo_, hi_ = SCALING_CPUS
+    for ncpu in (hi_, lo_, hi_, lo_):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCOPE="flagship",
                    DEDUP_BENCH_ROWS=str(SCALING_ROWS))
         r = subprocess.run(
@@ -148,7 +162,13 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+        got = json.loads(r.stdout.strip().splitlines()[-1])
+        prev = out.get(ncpu)
+        if prev is None or (
+            got["queries"]["flagship_neardup"] < prev["queries"]["flagship_neardup"]
+        ):
+            out[ncpu] = got
+        time.sleep(10)  # let the torn-down Ray session settle
     lo, hi = SCALING_CPUS
     t_lo = out[lo]["queries"]["flagship_neardup"]
     t_hi = out[hi]["queries"]["flagship_neardup"]

@@ -56,6 +56,13 @@ class DedupConfig:
     batch_size: int = 4096        # rows per map_batches batch for sig stages
     driver_unionfind_max_edges: int = 2_000_000  # below -> driver union-find
 
+    # --- cascade decode (the reference's load-bearing property: work scales
+    # with the dup ratio, not the corpus — src/hasher.rs cascade) ---
+    cascade_decode: bool = True   # decode pixels ONLY for rows whose phash
+    # occurs >=2 times. Lossless: pixel-equal rows always share a phash, so
+    # phash-unique rows cannot be pixel-duplicates of anything; their
+    # pixel_hash is replaced by a row-unique sentinel.
+
     min_size: int = 0             # byte-length row filter (reference --min-size)
     max_size: int = 2**63 - 1     # (reference --max-size)
     include: tuple = ()           # fnmatch globs on image_id (reference include

@@ -108,9 +108,17 @@ def run_neardup(
         if compute_stats
         else {"total_rows": total_rows}
     )
-    report = {"stats": stats, "counters": counters}
+    # verbose sample: the 5 largest clusters — only when a report is being
+    # persisted (the extra driver pass is not free on the bench hot path)
+    sample = None
+    if checkpoint_dir and stats.get("duplicate_clusters"):
+        cl = clusters.to_pandas()
+        top = cl.groupby("cluster_id").size().nlargest(5)
+        sample = [{"cluster_id": cid, "n": int(n)} for cid, n in top.items()]
+    report = {"stats": stats, "counters": counters, "groups_sample": sample}
     if checkpoint_dir:
         report = write_report(
-            stats, counters, os.path.join(checkpoint_dir, "report.json")
+            stats, counters, os.path.join(checkpoint_dir, "report.json"),
+            clusters_sample=sample,
         )
     return NearDupResult(clusters=clusters, stats=stats, counters=counters, report=report)

@@ -74,6 +74,9 @@ class CorpusSpec:
     img_max: int = 48
     caption_words: tuple[int, int] = (5, 30)
     substring_words: tuple[int, int] = (40, 70)
+    dup_ratio: float | None = None  # target fraction of rows in dup groups
+    # (None = legacy class-mix behaviour ~0.7; the reference benchmarks at
+    # 0.10/0.30/0.60 — benchmark/config.py:20-22)
 
     @property
     def vocab_size(self) -> int:
@@ -98,10 +101,22 @@ def plan_corpus(spec: CorpusSpec) -> pa.Table:
     weights = weights / weights.sum()
     sizes = {c[0]: c[2] for c in _CLASS_MIX}
 
+    dup_names = [n for n in names if n not in ("unique", "hot_empty_caption")]
+    dup_w = np.array([w for n, w, _ in _CLASS_MIX if n in dup_names])
+    dup_w = dup_w / dup_w.sum()
+    uniq_names = ["unique", "hot_empty_caption"]
+    uniq_w = np.array([0.84, 0.16])
+
     rows: list[tuple[int, int, str, str]] = []  # (cluster_seed, member_idx, class, fmt)
     hot_done = False
+    dup_rows = 0
     while len(rows) < spec.n_rows:
-        cls = names[int(rng.choice(len(names), p=weights))]
+        if spec.dup_ratio is None:
+            cls = names[int(rng.choice(len(names), p=weights))]
+        elif dup_rows < spec.dup_ratio * max(1, len(rows)):
+            cls = dup_names[int(rng.choice(len(dup_names), p=dup_w))]
+        else:
+            cls = uniq_names[int(rng.choice(2, p=uniq_w))]
         if cls == "hot_identical":
             if hot_done:
                 cls = "unique"
@@ -113,6 +128,8 @@ def plan_corpus(spec: CorpusSpec) -> pa.Table:
         else:
             lo, hi = sizes[cls]
             n = int(rng.integers(lo, hi + 1))
+        if cls in dup_names:
+            dup_rows += n
         for m in range(n):
             if cls == "exact_byte" or cls == "hot_identical":
                 fmt = _FMTS[int(rng.choice(3, p=_FMT_W))] if m == 0 else None
@@ -270,6 +287,7 @@ def generate_corpus(
     n_rows: int | None = None,
     img_min: int | None = None,
     img_max: int | None = None,
+    dup_ratio: float | None = None,
 ) -> dict:
     """Generate the corpus + sidecars into ``out_dir``; returns metadata.
 
@@ -278,7 +296,7 @@ def generate_corpus(
     ``img_min``/``img_max`` override the pixel-side range (bench corpora use
     realistic larger images so decode dominates like it would in production).
     """
-    spec = CorpusSpec(n_rows=n_rows or SCALES[scale], seed=seed)
+    spec = CorpusSpec(n_rows=n_rows or SCALES[scale], seed=seed, dup_ratio=dup_ratio)
     if img_min or img_max:
         from dataclasses import replace
 
@@ -287,7 +305,7 @@ def generate_corpus(
         )
     cfg_hash = (
         f"{spec.n_rows}-{spec.seed}-{spec.hot_cluster_size}"
-        f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-v5"
+        f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-{spec.dup_ratio}-v6"
     )
     meta_path = os.path.join(out_dir, "metadata.json")
     if os.path.exists(meta_path):

@@ -34,8 +34,18 @@ from dedup_ray.functions import codecs
 from dedup_ray.functions.hashing import pixel_hash
 
 
-def compute_exact_keys(batch: pa.Table) -> pa.Table:
-    """bytes/fmt -> digests; emits the signatures-base schema (no bytes)."""
+def compute_exact_keys(batch: pa.Table, dup_phashes: np.ndarray | None = None) -> pa.Table:
+    """bytes/fmt -> digests; emits the signatures-base schema (no bytes).
+
+    ``dup_phashes`` (sorted int64) enables CASCADE DECODE: rows whose phash
+    is not in the set skip pixel decoding entirely and get a row-unique
+    sentinel pixel_hash ("nd:" + content hash). Lossless for the duplicate
+    relation: pixel-equal rows have equal phash, so both members of any
+    pixel-dup pair are always in a >=2 phash group and get decoded; and two
+    rows sharing a content hash share a phash too, so byte-dups are likewise
+    always decoded. This is the reference's cascade property — work scales
+    with the dup ratio, not the corpus (README.md:125-146 of the reference).
+    """
     data = batch["bytes"]
     fmts = batch["fmt"].to_pylist()
     n = batch.num_rows
@@ -44,9 +54,21 @@ def compute_exact_keys(batch: pa.Table) -> pa.Table:
     decode_ok = np.ones(n, dtype=bool)
     ws = batch["w"].to_numpy(zero_copy_only=False)
     hs = batch["h"].to_numpy(zero_copy_only=False)
+    if dup_phashes is not None and len(dup_phashes):
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dup_phashes, ph)
+        pos[pos >= dup_phashes.size] = dup_phashes.size - 1
+        need_decode = dup_phashes[pos] == ph
+    elif dup_phashes is not None:
+        need_decode = np.zeros(n, dtype=bool)
+    else:
+        need_decode = np.ones(n, dtype=bool)
     for i in range(n):
         raw = data[i].as_py()
         content[i] = hashlib.blake2b(raw, digest_size=32).hexdigest()
+        if not need_decode[i]:
+            pixel[i] = "nd:" + content[i]
+            continue
         try:
             px = codecs.decode(raw, fmts[i])
             # schema-validation filter (F3 analog): declared dims must match
@@ -115,4 +137,37 @@ def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             return b.filter(pa.array(keep))
 
         ds = ds.map_batches(glob_filter, batch_format="pyarrow")
-    return ds.map_batches(compute_exact_keys, batch_format="pyarrow")
+
+    dup_ref = None
+    if cfg.cascade_decode:
+        import ray
+
+        # cheap pre-pass: count phash occurrences (shuffles ONE int64 column;
+        # the read is projection-pruned). Driver holds only the dup-phash
+        # list; at cluster scale this broadcast becomes a semi-join on phash.
+        counts = (
+            images.select_columns(["phash"])
+            .groupby("phash")
+            .count()
+        )
+        dup_tables = [
+            t.filter(pa.compute.greater_equal(t["count()"], 2))
+            for t in ray.get(counts.to_arrow_refs())
+        ]
+        dup_tables = [t for t in dup_tables if t.num_rows]
+        if dup_tables:
+            dup = np.sort(
+                pa.concat_tables(dup_tables)["phash"].to_numpy(zero_copy_only=False)
+            )
+        else:
+            dup = np.empty(0, dtype=np.int64)
+        from dedup_ray.state.metrics import inc_counter
+
+        inc_counter("cascade_dup_phashes", int(dup.size))
+        dup_ref = ray.put(dup)
+
+    def keys_fn(b: pa.Table) -> pa.Table:
+        dp = None if dup_ref is None else __import__("ray").get(dup_ref)
+        return compute_exact_keys(b, dp)
+
+    return ds.map_batches(keys_fn, batch_format="pyarrow")
