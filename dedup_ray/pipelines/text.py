@@ -128,10 +128,16 @@ def cascade_stats(sf_dir: str) -> rd.Dataset:
 
         keyed = docs.map_batches(add_key, batch_format="pyarrow")
         counts = keyed.groupby("k").count()
-        surv = counts.map_batches(
-            lambda b: b.filter(pc.greater_equal(b["count()"], 2)),
-            batch_format="pyarrow",
-        )
+        surv_schema = pa.schema([("k", pa.string()), ("count()", pa.int64())])
+
+        def having(b: pa.Table) -> pa.Table:
+            # guard schema-dropped empty blocks (same latent pattern as the
+            # round-1 flagship crash in stages/keys.py)
+            if b.num_rows == 0 or "count()" not in b.column_names:
+                return surv_schema.empty_table()
+            return b.filter(pc.greater_equal(b["count()"], 2))
+
+        surv = counts.map_batches(having, batch_format="pyarrow")
         pdf = surv.to_pandas()
         return (name, len(pdf), int(pdf["count()"].sum()) if len(pdf) else 0)
 

@@ -150,9 +150,13 @@ def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             .groupby("phash")
             .count()
         )
+        # groupby can emit EMPTY blocks whose schema was dropped (no
+        # "count()" column) — layout-dependent, shows up at high CPU counts
+        # on small inputs. Guard num_rows/column presence BEFORE the access.
         dup_tables = [
-            t.filter(pa.compute.greater_equal(t["count()"], 2))
+            t.filter(pc.greater_equal(t["count()"], 2))
             for t in ray.get(counts.to_arrow_refs())
+            if t.num_rows and "count()" in t.column_names
         ]
         dup_tables = [t for t in dup_tables if t.num_rows]
         if dup_tables:
