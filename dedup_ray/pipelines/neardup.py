@@ -76,7 +76,12 @@ def run_neardup(
     # keys has ONE consumer (the fused exact tier) -> the decode stage
     # STREAMS into the shuffle with no materialization barrier; in
     # checkpoint mode the keys boundary is still persisted for resume.
-    keys = ckpt.stage("keys", lambda: exact_keys_stage(images, cfg), ("input",))
+    # the cascade pre-pass only needs phash: give it a projection-pruned READ
+    # (columns= at read time — select_columns does not push down, see keys.py)
+    phash_src = read_table(input_path, columns=["phash"]) if cfg.cascade_decode else None
+    keys = ckpt.stage(
+        "keys", lambda: exact_keys_stage(images, cfg, phash_source=phash_src), ("input",)
+    )
     # fused exact tier: ONE shuffle yields star edges + collapsed reps +
     # (image_id, byte_len) size rows for the report
     fused = pin(ckpt.stage("exact_tier", lambda: exact_tier(keys), ("keys",)))

@@ -105,7 +105,11 @@ def compute_exact_keys(batch: pa.Table, dup_phashes: np.ndarray | None = None) -
     return out.filter(pa.array(decode_ok))
 
 
-def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+def exact_keys_stage(
+    images: rd.Dataset,
+    cfg: DedupConfig,
+    phash_source: rd.Dataset | None = None,
+) -> rd.Dataset:
     """images -> signatures-base table; applies the size predicate
     (reference --min-size/--max-size, src/scanner.rs:101-103) and the
     include/exclude id globs (src/scanner.rs:13-41) as vectorized batch
@@ -142,27 +146,34 @@ def exact_keys_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     if cfg.cascade_decode:
         import ray
 
-        # cheap pre-pass: count phash occurrences (shuffles ONE int64 column;
-        # the read is projection-pruned). Driver holds only the dup-phash
-        # list; at cluster scale this broadcast becomes a semi-join on phash.
-        counts = (
-            images.select_columns(["phash"])
-            .groupby("phash")
-            .count()
-        )
-        # groupby can emit EMPTY blocks whose schema was dropped (no
-        # "count()" column) — layout-dependent, shows up at high CPU counts
-        # on small inputs. Guard num_rows/column presence BEFORE the access.
-        dup_tables = [
-            t.filter(pc.greater_equal(t["count()"], 2))
-            for t in ray.get(counts.to_arrow_refs())
-            if t.num_rows and "count()" in t.column_names
-        ]
-        dup_tables = [t for t in dup_tables if t.num_rows]
-        if dup_tables:
-            dup = np.sort(
-                pa.concat_tables(dup_tables)["phash"].to_numpy(zero_copy_only=False)
+        # cheap pre-pass: count phash occurrences WITHOUT a shuffle — each
+        # block emits its partial (phash, n) table (<= rows ints), the driver
+        # merges with one np.unique. The source must be a ``columns=`` pruned
+        # READ: select_columns() after read_parquet does NOT push projection
+        # into the parquet scan in Ray 2.49 (measured 17 s vs 1 s at 100k
+        # rows of 4.3 GB). Driver holds only the dup-phash list; at cluster
+        # scale this broadcast becomes a semi-join on phash.
+        src = phash_source if phash_source is not None else images.select_columns(["phash"])
+
+        def partial_counts(b: pa.Table) -> pa.Table:
+            u, c = np.unique(b["phash"].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"phash": pa.array(u, type=pa.int64()),
+                             "n": pa.array(c, type=pa.int64())})
+
+        parts = [
+            t for t in ray.get(
+                src.map_batches(partial_counts, batch_format="pyarrow").to_arrow_refs()
             )
+            if t.num_rows and "phash" in t.column_names
+        ]
+        if parts:
+            merged = pa.concat_tables(parts)
+            ph = merged["phash"].to_numpy(zero_copy_only=False)
+            cnt = merged["n"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(ph, return_inverse=True)
+            tot = np.zeros(u.size, dtype=np.int64)
+            np.add.at(tot, inv, cnt)
+            dup = u[tot >= 2]  # np.unique output is already sorted
         else:
             dup = np.empty(0, dtype=np.int64)
         from dedup_ray.state.metrics import inc_counter
