@@ -70,31 +70,57 @@ def _driver_unionfind(edges: rd.Dataset, max_edges: int | None = None) -> rd.Dat
 # ------------------------------------------------------- distributed star
 
 
-def _large_star_group(g: pa.Table) -> pa.Table:
-    u = g["u"][0].as_py()
-    nbrs = g["v"].to_pylist()
-    m = min(min(nbrs), u)
-    out_v = [v for v in nbrs if v > u]
+_EDGE_UV = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+
+def _large_star_runs(g: pa.Table) -> pa.Table:
+    """Vectorized large-star over a coarse bucket of complete u-groups.
+
+    ``g`` is sorted by (u, v), so v[start] is each run's min neighbor; per
+    node u with neighbors N: emit (v, min(N ∪ {u})) for every v > u. One
+    numpy pass per bucket — no per-group Python (the round-1 weak spot)."""
+    from dedup_ray.stages.grouped import run_starts
+
+    u = np.asarray(g["u"].to_pylist(), dtype=object)
+    v = np.asarray(g["v"].to_pylist(), dtype=object)
+    if len(u) == 0:
+        return _EDGE_UV.empty_table()
+    starts = run_starts(u)
+    bounds = np.append(starts, len(u))
+    run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
+    m_run = np.minimum(v[starts], u[starts])
+    mask = v > u
     return pa.table(
         {
-            "u": pa.array(out_v, type=pa.string()),
-            "v": pa.array([m] * len(out_v), type=pa.string()),
+            "u": pa.array(list(v[mask]), type=pa.string()),
+            "v": pa.array(list(m_run[run_id][mask]), type=pa.string()),
         }
     )
 
 
-def _small_star_group(g: pa.Table) -> pa.Table:
-    u = g["u"][0].as_py()
-    nbrs = g["v"].to_pylist()
-    m = min(min(nbrs), u)
-    out = {v for v in nbrs if v != m}
-    out.add(u)
-    out.discard(m)
-    out_v = sorted(out)
+def _small_star_runs(g: pa.Table) -> pa.Table:
+    """Vectorized small-star: input oriented (u > v), sorted by (u, v).
+    Per node u: m = min neighbor; emit (x, m) for x in set(N)\\{m} ∪ {u}."""
+    from dedup_ray.stages.grouped import run_starts
+
+    u = np.asarray(g["u"].to_pylist(), dtype=object)
+    v = np.asarray(g["v"].to_pylist(), dtype=object)
+    if len(u) == 0:
+        return _EDGE_UV.empty_table()
+    starts = run_starts(u)
+    bounds = np.append(starts, len(u))
+    run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
+    m_run = v[starts]  # oriented: all v < u, so min(N ∪ {u}) = v[start]
+    # drop within-run duplicate neighbors (sorted → consecutive) and m itself
+    keep = np.ones(len(u), dtype=bool)
+    keep[1:] = ~((v[1:] == v[:-1]) & (run_id[1:] == run_id[:-1]))
+    keep &= v != m_run[run_id]
+    out_u = np.concatenate([v[keep], u[starts]])
+    out_v = np.concatenate([m_run[run_id][keep], m_run])
     return pa.table(
         {
-            "u": pa.array(out_v, type=pa.string()),
-            "v": pa.array([m] * len(out_v), type=pa.string()),
+            "u": pa.array(list(out_u), type=pa.string()),
+            "v": pa.array(list(out_v), type=pa.string()),
         }
     )
 
@@ -118,7 +144,26 @@ def _checksum(ds: rd.Dataset) -> tuple[int, int]:
     return (agg["sum(s)"], agg["sum(n)"])
 
 
+def _dedup_sorted_pairs(g: pa.Table) -> pa.Table:
+    """Drop consecutive duplicate (cluster_id, image_id) rows of a bucket
+    sorted by both columns — vectorized pair dedup, no per-group Python."""
+    c = np.asarray(g["cluster_id"].to_pylist(), dtype=object)
+    i = np.asarray(g["image_id"].to_pylist(), dtype=object)
+    if len(c) == 0:
+        return CLUSTER_SCHEMA.empty_table()
+    keep = np.ones(len(c), dtype=bool)
+    keep[1:] = ~((c[1:] == c[:-1]) & (i[1:] == i[:-1]))
+    return pa.table(
+        {
+            "cluster_id": pa.array(list(c[keep]), type=pa.string()),
+            "image_id": pa.array(list(i[keep]), type=pa.string()),
+        }
+    )
+
+
 def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
+    from dedup_ray.stages.grouped import grouped_runs
+
     # undirected edge list as (u, v) string pairs, self-loops dropped
     cur = edges.select_columns(["src_id", "dst_id"]).rename_columns(
         {"src_id": "u", "dst_id": "v"}
@@ -137,7 +182,7 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
-        ls = both.groupby("u").map_groups(_large_star_group, batch_format="pyarrow")
+        ls = grouped_runs(both, "u", _large_star_runs, sort_cols=["u", "v"])
         # small star: orient (max -> min), group, link all to min
         oriented = ls.map_batches(
             lambda b: pa.table(
@@ -148,35 +193,33 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
-        cur = (
-            oriented.groupby("u")
-            .map_groups(_small_star_group, batch_format="pyarrow")
-            .materialize()
-        )
+        cur = grouped_runs(
+            oriented, "u", _small_star_runs, sort_cols=["u", "v"]
+        ).materialize()
         s = _checksum(cur)
         if s == prev_sum:
             break
         prev_sum = s
     # converged: every edge is (node -> component min)
     out = cur.rename_columns({"u": "image_id", "v": "cluster_id"})
-    # add the roots themselves as members of their cluster
-    roots = (
-        out.groupby("cluster_id")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .map_batches(
-            lambda b: pa.table(
-                {"image_id": b["cluster_id"], "cluster_id": b["cluster_id"]}
-            ),
-            batch_format="pyarrow",
-        )
+    # add the roots themselves as members of their cluster (one row per
+    # distinct cluster_id — emitted per bucket, deduped by the pair dedup)
+    roots = out.map_batches(
+        lambda b: pa.table(
+            {
+                "cluster_id": pc.unique(b["cluster_id"]),
+                "image_id": pc.unique(b["cluster_id"]),
+            }
+        ),
+        batch_format="pyarrow",
     )
-    merged = out.select_columns(["cluster_id", "image_id"]).union(
-        roots.select_columns(["cluster_id", "image_id"])
-    )
+    merged = out.select_columns(["cluster_id", "image_id"]).union(roots)
     # dedup (node may appear twice transiently) + deterministic order
-    return merged.groupby(["cluster_id", "image_id"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    ).sort(["cluster_id", "image_id"])
+    deduped = grouped_runs(
+        merged, "cluster_id", _dedup_sorted_pairs,
+        sort_cols=["cluster_id", "image_id"],
+    )
+    return deduped.sort(["cluster_id", "image_id"])
 
 
 def cluster_stage(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
