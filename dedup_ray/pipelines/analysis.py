@@ -20,7 +20,9 @@ _WS = re.compile(r"\s+")
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from dedup_ray.sources.io import read_view
+
+    return read_view(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def token_stats(sf_dir: str) -> rd.Dataset:
@@ -34,7 +36,7 @@ def token_stats(sf_dir: str) -> rd.Dataset:
         g = df.assign(tok=toks).groupby("lang", as_index=False).agg(
             pn=("lang", "size"), pt=("tok", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _docs(sf_dir, ["lang", "text"])
@@ -66,7 +68,7 @@ def quality_summary(sf_dir: str) -> rd.Dataset:
             .groupby("source", as_index=False)
             .agg(pn=("source", "size"), pc_=("n_chars", "sum"), pt=("tok", "sum"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         _docs(sf_dir, ["source", "text", "n_chars"])

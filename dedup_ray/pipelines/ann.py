@@ -18,7 +18,9 @@ import ray.data as rd
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from dedup_ray.sources.io import read_view
+
+    return read_view(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from dedup_ray.sources.io import read_view
+
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1 shape: filtered grouped aggregate with per-batch partial
@@ -30,9 +32,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             pq=("l_quantity", "sum"), pp=("l_extendedprice", "sum"), pn=("l_orderkey", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = rd.read_parquet(
+    ds = read_view(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_shipdate", "l_orderkey"],
@@ -58,7 +60,7 @@ def filter_count(sf_dir: str) -> rd.Dataset:
     """Predicate pushdown + vectorized filter (~ scanner size/glob
     predicates): lineitem with qty>45 & discount<0.05 counted per returnflag:
     (l_returnflag, n)."""
-    ds = rd.read_parquet(
+    ds = read_view(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount"],
     )
@@ -90,7 +92,7 @@ def top_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
         )
         return b.take(idx[: k])
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ds = read_view(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     return (
         ds.map_batches(local_topk, batch_format="pyarrow")
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
@@ -102,7 +104,7 @@ def revenue_by_segment(sf_dir: str) -> rd.Dataset:
     """Broadcast hash join (customer is the small side -> ray.put once, probe
     per batch; no shuffle — ray_guide 'Joins and lookups'):
     (c_mktsegment, n_orders, revenue)."""
-    cust = rd.read_parquet(
+    cust = read_view(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -117,9 +119,9 @@ def revenue_by_segment(sf_dir: str) -> rd.Dataset:
             g = df.groupby("c_mktsegment", as_index=False).agg(
                 pn=("o_orderkey", "size"), pr=("o_totalprice", "sum")
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = rd.read_parquet(
+    ds = read_view(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     agg = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4)).groupby(
@@ -140,8 +142,8 @@ def revenue_by_segment(sf_dir: str) -> rd.Dataset:
 def supplier_nations(sf_dir: str) -> rd.Dataset:
     """Two-hop broadcast join supplier->nation->region:
     (r_name, n_suppliers)."""
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation = read_view(f"{sf_dir}/nation.parquet").to_pandas()
+    region = read_view(f"{sf_dir}/region.parquet").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     lut = {k: r2name[v] for k, v in n2r.items()}
@@ -152,9 +154,9 @@ def supplier_nations(sf_dir: str) -> rd.Dataset:
         df = b.to_pandas()
         df["r_name"] = df["s_nationkey"].map(m)
         g = df.groupby("r_name", as_index=False).agg(pn=("s_suppkey", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    ds = read_view(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     agg = ds.map_batches(probe, batch_format="pyarrow").groupby("r_name").sum("pn")
     return agg.map_batches(
         lambda b: pa.table(
@@ -176,9 +178,9 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         g = df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
             pn=("event_id", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"])
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"])
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "hour_bucket"]
     ).sum("pn")
@@ -216,5 +218,5 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
         return out[["user_id", "session_idx", "n_events", "duration_us"]]
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

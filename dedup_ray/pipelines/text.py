@@ -30,7 +30,9 @@ from dedup_ray.functions.unionfind import connected_components
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from dedup_ray.sources.io import read_view
+
+    return read_view(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _add_text_hash(batch: pa.Table) -> pa.Table:
@@ -223,6 +225,33 @@ def doc_signatures(sf_dir: str, cfg: DedupConfig | None = None) -> rd.Dataset:
     )
 
 
+def _pairs_from_runs(key_col: str, id_col: str):
+    """Build a grouped_runs fn emitting all (a < b) id pairs per key-run."""
+    from dedup_ray.stages.grouped import run_starts
+
+    def pairs_fn(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
+        out_a, out_b = [], []
+        for r in np.flatnonzero(np.diff(bounds) >= 2):
+            run = np.sort(ids[bounds[r] : bounds[r + 1]])
+            iu, ju = np.triu_indices(len(run), 1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+        if not out_a:
+            return pa.schema([("src_id", pa.int64()), ("dst_id", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "src_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "dst_id": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    return pairs_fn
+
+
 def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
     """MinHash-LSH near-dup clustering over documents: shingle -> minhash ->
     band bucket groupby -> est-Jaccard verify -> union-find. Returns
@@ -261,48 +290,55 @@ def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.
         add_combo, batch_format="pyarrow"
     )
 
-    from dedup_ray.stages.grouped import grouped_runs, run_starts
+    from dedup_ray.stages.grouped import grouped_runs
+    from dedup_ray.stages.join import attach_pair_attrs
 
-    def pairs_from_runs(g: pa.Table) -> pa.Table:
-        keys = g["combo"].to_numpy(zero_copy_only=False)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        starts = run_starts(keys)
-        bounds = np.append(starts, len(keys))
-        out_a, out_b = [], []
-        for r in np.flatnonzero(np.diff(bounds) >= 2):
-            run = np.sort(ids[bounds[r] : bounds[r + 1]])
-            iu, ju = np.triu_indices(len(run), 1)
-            out_a.append(run[iu])
-            out_b.append(run[ju])
-        if not out_a:
+    # candidate pairs stay a Dataset; cross-band duplicate pairs are NOT
+    # deduped (a shuffle saved) — verification is idempotent and union-find
+    # ignores repeated edges, mirroring the flagship trade (stages/lsh.py)
+    cand = grouped_runs(buckets, "combo", _pairs_from_runs("combo", "doc_id"))
+
+    # distributed verify: attach each endpoint's signature to the pair rows
+    # (broadcast lookup at this scale, hash-join at cluster scale) and apply
+    # vectorized est-Jaccard per batch. Only confirmed EDGES (tiny) ever
+    # reach the driver — never the signature table.
+    attrs = sigs.map_batches(
+        lambda b: pa.table(
+            {"image_id": b["doc_id"], "minhash_sig": b["minhash_sig"]}
+        ),
+        batch_format="pyarrow",
+    )
+    withsig = attach_pair_attrs(cand, attrs, ["minhash_sig"])
+
+    def vfy(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.signatures import sigs_from_arrow
+
+        if b.num_rows == 0 or "src_minhash_sig" not in b.column_names:
             return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        sa = sigs_from_arrow(b["src_minhash_sig"])
+        sb = sigs_from_arrow(b["dst_minhash_sig"])
+        keep = (sa == sb).mean(axis=1) >= cfg.jaccard_threshold
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "a": b["src_id"].filter(pa.array(keep)),
+                "b": b["dst_id"].filter(pa.array(keep)),
             }
         )
 
-    cand = grouped_runs(buckets, "combo", pairs_from_runs).to_pandas()
-    cand = cand.drop_duplicates()  # cross-band duplicate pairs (small table)
+    import ray
 
-    if not len(cand):
+    edge_tables = [
+        t for t in ray.get(
+            withsig.map_batches(vfy, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not edge_tables:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})
-    # verify (small candidate set -> driver-side vectorized)
-    from dedup_ray.stages.signatures import sigs_from_arrow
-
-    sig_tbl = pa.concat_tables(
-        [t for t in __import__("ray").get(sigs.to_arrow_refs()) if t.num_rows]
-    )
-    id_to_row = {v: i for i, v in enumerate(sig_tbl["doc_id"].to_pylist())}
-    s = sigs_from_arrow(sig_tbl["minhash_sig"])
-    ia = np.array([id_to_row[x] for x in cand["a"]])
-    ib = np.array([id_to_row[x] for x in cand["b"]])
-    est = (s[ia] == s[ib]).mean(axis=1)
-    keep = est >= cfg.jaccard_threshold
+    et = pa.concat_tables(edge_tables)
     edges = [(f"{a:012d}", f"{b:012d}") for a, b in
-             zip(cand["a"][keep], cand["b"][keep])]
+             zip(et["a"].to_pylist(), et["b"].to_pylist())]
     comp = connected_components(edges)
     out = sorted((int(k), int(v)) for k, v in comp.items())
     return pd.DataFrame(
@@ -393,32 +429,76 @@ def token_count_regex(sf_dir: str) -> rd.Dataset:
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
                        cfg: DedupConfig | None = None) -> pd.DataFrame:
     """SimHash near-dup pairs over documents via 4x16-bit band candidates +
-    exact Hamming verify. Returns (a, b, hamming)."""
+    exact Hamming verify (pigeonhole: complete for hamming <= 3). Returns
+    (a, b, hamming). Fully distributed: exploded band rows -> grouped_runs
+    pair generation -> broadcast-attach simhash -> vectorized hamming64;
+    only confirmed pairs (tiny) reach the driver."""
     cfg = cfg or DedupConfig()
-    sigs = doc_signatures(sf_dir, cfg)
-    tbl = sigs.select_columns(["doc_id", "simhash"]).to_pandas()
-    sh = tbl["simhash"].to_numpy().astype(np.int64)
-    ids = tbl["doc_id"].to_numpy()
-    # band on 4 x 16-bit slices (pigeonhole: complete for hamming <= 3)
-    cand: set[tuple[int, int]] = set()
-    u = sh.view(np.uint64)
-    for band in range(4):
-        key = (u >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        start = 0
-        for e in range(1, len(ks) + 1):
-            if e == len(ks) or ks[e] != ks[start]:
-                if e - start >= 2:
-                    grp = sorted(int(ids[i]) for i in order[start:e])
-                    for x in range(len(grp) - 1):
-                        for y in range(x + 1, len(grp)):
-                            cand.add((grp[x], grp[y]))
-                start = e
-    rows = []
-    pos = {int(v): i for i, v in enumerate(ids)}
-    for a, b in sorted(cand):
-        d = int(hamming64(sh[pos[a]: pos[a] + 1], sh[pos[b]: pos[b] + 1])[0])
-        if d <= max_hamming:
-            rows.append((a, b, d))
-    return pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype("int64")
+    sigs = doc_signatures(sf_dir, cfg).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        u = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        keys = np.empty(n * 4, dtype=np.int64)
+        for band in range(4):
+            k = (u >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            # combo key: 16-bit slice + band id, disjoint across bands
+            keys[band * n : (band + 1) * n] = (k.astype(np.int64) << 2) | band
+        return pa.table(
+            {
+                "combo": pa.array(keys),
+                "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+            }
+        )
+
+    from dedup_ray.stages.grouped import grouped_runs
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    buckets = sigs.select_columns(["doc_id", "simhash"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    cand = grouped_runs(buckets, "combo", _pairs_from_runs("combo", "doc_id"))
+    attrs = sigs.map_batches(
+        lambda b: pa.table({"image_id": b["doc_id"], "simhash": b["simhash"]}),
+        batch_format="pyarrow",
+    )
+    withsig = attach_pair_attrs(cand, attrs, ["simhash"])
+
+    def vfy(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("hamming", pa.int64())])
+        if b.num_rows == 0 or "src_simhash" not in b.column_names:
+            return schema.empty_table()
+        d = hamming64(
+            b["src_simhash"].to_numpy(zero_copy_only=False),
+            b["dst_simhash"].to_numpy(zero_copy_only=False),
+        )
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "a": b["src_id"].filter(pa.array(keep)),
+                "b": b["dst_id"].filter(pa.array(keep)),
+                "hamming": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t for t in ray.get(
+            withsig.map_batches(vfy, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["a", "b", "hamming"]).astype("int64")
+    out = pa.concat_tables(parts).to_pandas()
+    # cross-band duplicate candidates re-verify idempotently; dedup the
+    # (tiny) confirmed pair set here
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+
 import ray.data as rd
 
 try:  # pragma: no cover - lance not present in this environment
@@ -31,6 +33,43 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs) -> rd.Data
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "data"))):
         return rd.read_lance(path, columns=columns, **kwargs)  # pragma: no cover
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _strip_meta(b):
+    # pandas-written parquet carries a `pandas` schema-metadata blob whose
+    # presence makes pyarrow Schema.__hash__ raise (unhashable dict) inside
+    # Ray's block concat -> "Failed to hash the schemas" warning spam and a
+    # defeated schema-dedup cache. Dropping metadata is zero-copy.
+    return b.replace_schema_metadata(None)
+
+
+def read_view(path: str, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+    """read_table with the schema metadata stripped AT the read (an explicit
+    metadata-free ``schema=`` keeps even intra-read fragment concat clean).
+
+    Use for externally-written tables (the driver's testdata is written by
+    pandas)."""
+    if not HAVE_LANCE and "schema" not in kwargs:
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+            if names:
+                f = os.path.join(path, names[0])
+        try:
+            schema = pq.read_schema(f).remove_metadata()
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            kwargs["schema"] = schema
+        except Exception:
+            pass  # fall back to a post-read strip
+    ds = read_table(path, columns=columns, **kwargs)
+    if "schema" in kwargs:
+        return ds
+    return ds.map_batches(
+        _strip_meta, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:

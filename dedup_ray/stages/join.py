@@ -54,6 +54,10 @@ class _BroadcastAttacher:
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks may arrive with a DROPPED schema (no src_id/dst_id)
+            # from an upstream groupby; pass them through untouched
+            return batch
         index, attrs = self._lookup()
         out = batch
         for side in ("src", "dst"):
