@@ -61,17 +61,24 @@ class _TopKScorer:
         )
 
 
+def _collect_queries(emb: rd.Dataset, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Filter vec_id < n_queries DISTRIBUTED, collect only the tiny query
+    set on the driver (never the full embedding table)."""
+    q = emb.map_batches(
+        lambda b: b.filter(pa.compute.less(b["vec_id"], n_queries)),
+        batch_format="pyarrow",
+    )
+    tabs = [t for t in ray.get(q.to_arrow_refs())
+            if t.num_rows and "vec_id" in t.column_names]
+    return _mat(pa.concat_tables(tabs))
+
+
 def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
     """Exact cosine top-k for the first ``n_queries`` vectors (excluding
     self): (query_id, neighbor_id, rank). Rank ties broken by neighbor_id —
     deterministic and float-free output."""
     emb = _emb(sf_dir)
-    qtbl = pa.concat_tables(
-        [t for t in ray.get(emb.to_arrow_refs()) if t.num_rows]
-    )
-    qids_all, qmat_all = _mat(qtbl)
-    sel = qids_all < n_queries
-    ref = ray.put((qids_all[sel], qmat_all[sel]))
+    ref = ray.put(_collect_queries(emb, n_queries))
 
     local = emb.map_batches(
         _TopKScorer,
@@ -117,6 +124,8 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         )
 
     out = emb.map_batches(block, batch_format="pyarrow", batch_size=2048).to_pandas()
+    if "a" not in out.columns:  # all blocks empty -> schema dropped
+        return pd.DataFrame(columns=["a", "b"]).astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
 
 
@@ -137,22 +146,34 @@ def ann_ivf_topk(
     recall measured vs the exact baseline in tests).
     """
     emb = _emb(sf_dir)
-    tbl = pa.concat_tables([t for t in ray.get(emb.to_arrow_refs()) if t.num_rows])
-    ids_all, m_all = _mat(tbl)
-    norm = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
 
-    # k-means (driver, numpy; at real scale: sample + distributed assign)
+    # k-means on a BOUNDED deterministic sample (stride on vec_id): the
+    # driver never materializes the full table, only <= max_train rows
+    max_train = 4096
+    n_total = emb.count()  # parquet metadata count, no scan
+    stride = max(1, n_total // max_train)
+    samp = emb.map_batches(
+        lambda b: b.filter(
+            pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % stride == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    tabs = [t for t in ray.get(samp.to_arrow_refs())
+            if t.num_rows and "vec_id" in t.column_names]
+    _, train = _mat(pa.concat_tables(tabs))
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+
     rng = np.random.default_rng(seed)
-    cent = norm[rng.choice(len(norm), size=min(n_cells, len(norm)), replace=False)]
+    cent = train[rng.choice(len(train), size=min(n_cells, len(train)), replace=False)]
     for _ in range(15):
-        assign = (norm @ cent.T).argmax(axis=1)
+        assign = (train @ cent.T).argmax(axis=1)
         for c in range(cent.shape[0]):
-            members = norm[assign == c]
+            members = train[assign == c]
             if len(members):
                 v = members.mean(axis=0)
                 cent[c] = v / np.linalg.norm(v)
-    sel = ids_all < n_queries
-    qids, q = ids_all[sel], norm[sel]
+    qids, q = _collect_queries(emb, n_queries)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     ref = ray.put((qids, q, cent, q_cells))
 

@@ -197,26 +197,47 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
-    """Session windows per user (gap-based): groupby(user) -> sorted
-    map_groups computing session ids, then per-session stats:
-    (user_id, session_idx, n_events, duration_us). Ordering assumption:
-    within one user's group, events are sorted by ts inside map_groups."""
+    """Session windows per user (gap-based):
+    (user_id, session_idx, n_events, duration_us).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff().dt.total_seconds().fillna(0) > gap_minutes * 60
-        sid = gap.cumsum().astype("int64")
-        out = (
-            g.assign(session_idx=sid)
-            .groupby("session_idx", as_index=False)
-            .agg(n_events=("event_id", "size"),
-                 start=("ts", "min"), end=("ts", "max"))
+    One vectorized pass per coarse bucket of complete user groups (sorted by
+    user_id, ts, event_id): session breaks, per-user cumulative session ids
+    and per-session spans all via numpy — task count is independent of the
+    number of users (was: one pandas call per user)."""
+    from dedup_ray.stages.grouped import grouped_runs
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("session_idx", pa.int64()),
+         ("n_events", pa.int64()), ("duration_us", pa.int64())]
+    )
+
+    def sess_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = np.zeros(n, dtype=bool)
+        brk[1:] = (tsv[1:] - tsv[:-1]) > gap_us
+        brk &= ~new_user
+        cum = np.cumsum(brk)
+        ustart = np.flatnonzero(new_user)
+        base = np.repeat(cum[ustart], np.diff(np.append(ustart, n)))
+        sid = cum - base  # per-user session index, 0-based
+        sess_start = new_user | brk
+        sb = np.flatnonzero(sess_start)
+        se = np.append(sb[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sb], type=pa.int64()),
+                "session_idx": pa.array(sid[sb], type=pa.int64()),
+                "n_events": pa.array(se - sb, type=pa.int64()),
+                "duration_us": pa.array(tsv[se - 1] - tsv[sb], type=pa.int64()),
+            }
         )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["duration_us"] = (
-            (out["end"] - out["start"]).dt.total_seconds().mul(1_000_000).round().astype("int64")
-        )
-        return out[["user_id", "session_idx", "n_events", "duration_us"]]
 
     ds = read_view(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return grouped_runs(ds, "user_id", sess_runs, sort_cols=["user_id", "ts", "event_id"])

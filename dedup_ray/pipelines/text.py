@@ -59,22 +59,34 @@ def exact_dedup_groups(sf_dir: str) -> pa.Table:
         _add_text_hash, batch_format="pyarrow"
     )
 
-    def emit(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def emit_runs(g: pa.Table) -> pa.Table:
+        # one vectorized pass over a bucket of complete text_hash groups
+        keys = np.asarray(g["text_hash"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
             return schema.empty_table()
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
+        sizes = np.diff(bounds)
+        dup = sizes >= 2
+        # sorted by (text_hash, doc_id) → run start IS the min doc_id
         return pa.table(
             {
-                "rep_id": pa.array([pc.min(g["doc_id"]).as_py()], type=pa.int64()),
-                "n_dups": pa.array([g.num_rows], type=pa.int64()),
+                "rep_id": pa.array(ids[starts[dup]], type=pa.int64()),
+                "n_dups": pa.array(sizes[dup], type=pa.int64()),
             }
         )
 
-    out = ds.select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
-        emit, batch_format="pyarrow"
+    out = grouped_runs(
+        ds.select_columns(["doc_id", "text_hash"]), "text_hash", emit_runs,
+        sort_cols=["text_hash", "doc_id"],
     )
     import ray
 
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(out.to_arrow_refs())
+              if t.num_rows and "rep_id" in t.column_names]
     return pa.concat_tables(tables) if tables else schema.empty_table()
 
 
@@ -85,11 +97,19 @@ def dedup_keep_first(sf_dir: str) -> rd.Dataset:
         _add_text_hash, batch_format="pyarrow"
     )
 
-    def keep(g: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pa.array([pc.min(g["doc_id"]).as_py()], type=pa.int64())})
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
 
-    return ds.select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
-        keep, batch_format="pyarrow"
+    def keep_runs(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["text_hash"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        starts = run_starts(keys)  # sorted by (hash, doc_id) → start = min
+        return pa.table({"doc_id": pa.array(ids[starts], type=pa.int64())})
+
+    return grouped_runs(
+        ds.select_columns(["doc_id", "text_hash"]), "text_hash", keep_runs,
+        sort_cols=["text_hash", "doc_id"],
     )
 
 
@@ -350,11 +370,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.D
     """EXACT token n-gram Jaccard near-dup pairs: all (a < b) with
     J(ngrams(a), ngrams(b)) >= threshold. Returns (a, b) sorted.
 
-    Brute-force-correct baseline: token-set table is broadcast once and each
-    batch computes its block of the pair matrix (same shape as the
-    embedding-cosine blocked matmul). The scale path swaps the broadcast for
-    the MinHash-LSH candidate generator + this exact verify; here exactness
-    is the point — the DuckDB oracle computes the identical relation.
+    Exact DISTRIBUTED plan via prefix filtering (Bayardo et al., "Scaling Up
+    All Pairs Similarity Search", WWW'07): under any global token order, a
+    pair with J >= t must share a token inside both docs' first
+    L = |d| - ceil(t*|d|) + 1 tokens — so grouping on prefix tokens is a
+    lossless candidate generator (unlike MinHash-LSH, which is probabilistic
+    and would break oracle hash-identity). Tokens are ordered rarest-first
+    from a shuffle-free doc-frequency pre-pass (per-block partial counts,
+    driver merge — the cascade pre-pass pattern) to minimize candidates; the
+    rank table is broadcast once. Verification is exact set intersection on
+    sorted int token-ids, on candidate pairs only.
     """
     import ray
 
@@ -375,34 +400,125 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.D
 
     sets_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tokenize, batch_format="pyarrow"
-    )
-    tbl = pa.concat_tables(
-        [t for t in ray.get(sets_ds.to_arrow_refs()) if t.num_rows]
-    )
-    all_ids = tbl["doc_id"].to_pylist()
-    all_sets = [frozenset(g) for g in tbl["grams"].to_pylist()]
-    ref = ray.put((all_ids, all_sets))
+    ).materialize()  # consumed twice: df pre-pass + explode/attrs
 
-    def block(b: pa.Table) -> pa.Table:
-        ids_b = b["doc_id"].to_pylist()
-        sets_b = [frozenset(g) for g in b["grams"].to_pylist()]
-        oids, osets = ray.get(ref)
-        out_a, out_b = [], []
-        for i, (ia, sa) in enumerate(zip(ids_b, sets_b)):
-            for ib, sb in zip(oids, osets):
-                if ia < ib:
-                    inter = len(sa & sb)
-                    if inter and inter / len(sa | sb) >= threshold:
-                        out_a.append(ia)
-                        out_b.append(ib)
+    # ---- doc-frequency pre-pass (no shuffle; tiny driver merge) ----
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b["grams"].combine_chunks()
+        vals = g.flatten()  # grams are distinct within a doc
+        if len(vals) == 0:
+            return pa.schema([("tok", pa.string()), ("n", pa.int64())]).empty_table()
+        t = pa.table({"tok": vals}).group_by("tok").aggregate([("tok", "count")])
+        return t.rename_columns(["tok", "n"])
+
+    parts = [
+        t for t in ray.get(
+            sets_ds.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "tok" in t.column_names
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["a", "b"]).astype("int64")
+    merged = pa.concat_tables(parts).group_by("tok").aggregate([("n", "sum")])
+    mdf = merged.to_pandas().sort_values(["n_sum", "tok"]).reset_index(drop=True)
+    rank = {t: i for i, t in enumerate(mdf["tok"])}  # rarest-first total order
+    rank_ref = ray.put(rank)
+
+    # ---- explode prefix tokens + build sorted-int-id attr table ----
+    def explode_prefix(b: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        out_tok, out_doc = [], []
+        for doc, grams in zip(b["doc_id"].to_pylist(), b["grams"].to_pylist()):
+            ids = sorted(r[g] for g in grams)
+            ld = len(ids)
+            if ld == 0:
+                continue
+            # ceil with an fp-safety epsilon: a LONGER prefix is always safe
+            L = ld - int(np.ceil(threshold * ld - 1e-9)) + 1
+            out_tok.extend(ids[:L])
+            out_doc.extend([doc] * L)
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
+                "tok": pa.array(out_tok, type=pa.int64()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
             }
         )
 
-    out = sets_ds.map_batches(block, batch_format="pyarrow", batch_size=512).to_pandas()
+    def to_ids(b: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        ids = [sorted(r[g] for g in grams) for grams in b["grams"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": b["doc_id"],
+                "tok_ids": pa.array(ids, type=pa.list_(pa.int64())),
+            }
+        )
+
+    from dedup_ray.stages.grouped import grouped_runs
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    exploded = sets_ds.map_batches(explode_prefix, batch_format="pyarrow")
+    cand = grouped_runs(exploded, "tok", _pairs_from_runs("tok", "doc_id"))
+
+    # dedup candidates (a pair appears once per shared prefix token): key on
+    # src_id co-locates all copies; drop consecutive duplicates of the
+    # (src,dst)-sorted runs — vectorized, no delimiter-join pair keys
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = g["src_id"].to_numpy(zero_copy_only=False)
+        b_ = g["dst_id"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.schema([("src_id", pa.int64()), ("dst_id", pa.int64())]).empty_table()
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = ~((a[1:] == a[:-1]) & (b_[1:] == b_[:-1]))
+        return pa.table(
+            {
+                "src_id": pa.array(a[keep], type=pa.int64()),
+                "dst_id": pa.array(b_[keep], type=pa.int64()),
+            }
+        )
+
+    deduped = grouped_runs(cand, "src_id", dedup_pairs, sort_cols=["src_id", "dst_id"])
+    withsets = attach_pair_attrs(deduped, sets_ds.map_batches(to_ids, batch_format="pyarrow"),
+                                 ["tok_ids"])
+
+    def vfy(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if b.num_rows == 0 or "src_tok_ids" not in b.column_names:
+            return schema.empty_table()
+        la = b["src_tok_ids"].combine_chunks()
+        lb = b["dst_tok_ids"].combine_chunks()
+        va, oa = la.values.to_numpy(zero_copy_only=False), la.offsets.to_numpy()
+        vb, ob = lb.values.to_numpy(zero_copy_only=False), lb.offsets.to_numpy()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):  # candidates only; numpy set ops per pair
+            A = va[oa[i] : oa[i + 1]]
+            B = vb[ob[i] : ob[i + 1]]
+            if A.size == 0 or B.size == 0:
+                continue
+            if A.size > B.size:
+                A, B = B, A
+            idx = np.searchsorted(B, A)
+            idx[idx >= B.size] = B.size - 1
+            inter = int(np.count_nonzero(B[idx] == A))
+            if inter and inter / (A.size + B.size - inter) >= threshold:
+                keep[i] = True
+        return pa.table(
+            {
+                "a": b["src_id"].filter(pa.array(keep)),
+                "b": b["dst_id"].filter(pa.array(keep)),
+            }
+        )
+
+    parts = [
+        t for t in ray.get(
+            withsets.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
+            .to_arrow_refs()
+        )
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["a", "b"]).astype("int64")
+    out = pa.concat_tables(parts).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
 
 
