@@ -108,7 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    tok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    # empty/whitespace-only docs: Python ''.split() yields 0 tokens, but
+    # regexp_split_to_array('') yields [''] (1 token) — align the SQL side
+    tok = ("CASE WHEN trim(text) = '' THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
     return {
         "exact_dedup_groups": (
             "SELECT min(doc_id) AS rep_id, count(*)::BIGINT AS n_dups "
@@ -131,7 +134,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_pairs": (
             "WITH s AS (SELECT doc_id, "
-            "list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks "
+            "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_distinct(regexp_split_to_array(trim(text), '\\s+')) END AS toks "
             "FROM documents) "
             "SELECT a.doc_id AS a, b.doc_id AS b FROM s a CROSS JOIN s b "
             "WHERE a.doc_id < b.doc_id AND "

@@ -51,6 +51,13 @@ class DedupConfig:
     # --- skew handling ---
     bucket_pair_cap: int = 64     # LSH bucket size above which pair emission
                                   # degrades to star+chain edges (logged)
+    salt_hot_buckets: bool = False  # EXACT alternative to capping: split
+    # over-cap buckets into salted sub-buckets + cross-salt rendezvous groups
+    # (north-rule salting). Preserves the full pair set at the cost of a
+    # bucket-count pre-pass and ~4x pair duplication inside hot buckets;
+    # capping remains the fallback if a salted sub-group still exceeds cap.
+    salt_slack: int = 4           # salt factor k = ceil(slack * n / cap):
+                                  # keeps rendezvous groups ~cap/2 w.h.p.
 
     # --- physical execution ---
     batch_size: int = 4096        # rows per map_batches batch for sig stages

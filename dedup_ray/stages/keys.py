@@ -105,6 +105,80 @@ def compute_exact_keys(batch: pa.Table, dup_phashes: np.ndarray | None = None) -
     return out.filter(pa.array(decode_ok))
 
 
+def _glob_regex(pat: str):
+    """Compile one glob with the reference's literal-separator semantics
+    (/root/reference/src/scanner.rs:13-28: globset literal_separator(true)):
+    ``*``/``?`` never cross ``/``; ``**`` does; ``[...]`` classes pass through."""
+    import re
+
+    out = []
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            if pat[i : i + 3] == "**/":
+                out.append("(?:.*/)?")  # globset: **/ matches zero or more dirs
+                i += 3
+            elif pat[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+            else:
+                out.append("[^/]*")
+                i += 1
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+                i += 1
+            else:
+                out.append(pat[i : j + 1])
+                i = j + 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return re.compile("".join(out) + r"\Z")
+
+
+def glob_keep_mask(
+    ids: list[str], include: list[str], exclude: list[str]
+) -> list[bool]:
+    """Reference include/exclude semantics on path-like ids
+    (/root/reference/src/scanner.rs:31-41,59-84):
+
+    * two-tier match: full id first, then basename (so ``*.log`` works on
+      ``a/b/x.log`` even though ``*`` never crosses ``/``);
+    * include applies to files only (full id | basename);
+    * exclude also prunes SUBTREES: an id is excluded when any directory
+      prefix (or its name) matches — the walk-time pruning analog;
+    * exclude beats include.
+    """
+    inc = [_glob_regex(p) for p in include]
+    exc = [_glob_regex(p) for p in exclude]
+
+    def file_match(rs, ident: str, base: str) -> bool:
+        return any(r.match(ident) or r.match(base) for r in rs)
+
+    keep = []
+    for ident in ids:
+        parts = ident.split("/")
+        base = parts[-1]
+        ok = (not inc) or file_match(inc, ident, base)
+        if ok and exc:
+            if file_match(exc, ident, base):
+                ok = False
+            else:
+                for k in range(1, len(parts)):
+                    prefix = "/".join(parts[:k])
+                    if any(r.match(prefix) or r.match(parts[k - 1]) for r in exc):
+                        ok = False
+                        break
+        keep.append(ok)
+    return keep
+
+
 def exact_keys_stage(
     images: rd.Dataset,
     cfg: DedupConfig,
@@ -125,20 +199,13 @@ def exact_keys_stage(
 
         ds = ds.map_batches(size_filter, batch_format="pyarrow")
     if cfg.include or cfg.exclude:
-        import fnmatch
-        import re
-
-        inc = [re.compile(fnmatch.translate(p)) for p in cfg.include]
-        exc = [re.compile(fnmatch.translate(p)) for p in cfg.exclude]
+        inc = [p for p in cfg.include]
+        exc = [p for p in cfg.exclude]
 
         def glob_filter(b: pa.Table) -> pa.Table:
-            ids = b["image_id"].to_pylist()
-            keep = [
-                (not inc or any(r.match(i) for r in inc))
-                and not any(r.match(i) for r in exc)
-                for i in ids
-            ]
-            return b.filter(pa.array(keep))
+            return b.filter(
+                pa.array(glob_keep_mask(b["image_id"].to_pylist(), inc, exc))
+            )
 
         ds = ds.map_batches(glob_filter, batch_format="pyarrow")
 

@@ -206,6 +206,88 @@ def _pairs_from_runs(cap: int, phash_hamming_max: int):
     return fn
 
 
+def _salt_hot_buckets(buckets: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """EXACT hot-bucket salting (north-rule named feature; SURVEY §4 skew row).
+
+    1. shuffle-free count pre-pass (per-block partial combo counts, driver
+       merge — the cascade-pre-pass pattern; a semi-join at cluster scale)
+       finds combos with count > bucket_pair_cap;
+    2. each hot-bucket row (salt s = crc32(id) % k, k = ceil(slack*n/cap))
+       is re-emitted into every rendezvous group p(min(s,t), max(s,t)) for
+       t in 0..k-1 — pairs WITHIN salt s arise in the diagonal group (s,s),
+       pairs ACROSS salts s<t in group (s,t), so triu over each rendezvous
+       group regenerates the complete pair set, just partitioned into groups
+       of ~2n/k <= cap rows (duplicates are absorbed by idempotent verify +
+       union-find). Cold rows pass through untouched.
+    """
+    import zlib
+
+    buckets = buckets.materialize()  # consumed by count pass + salt map
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["combo"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"combo": pa.array(u), "n": pa.array(c)})
+
+    parts = [
+        t for t in ray.get(
+            buckets.map_batches(partial_counts, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "combo" in t.column_names
+    ]
+    if not parts:
+        return buckets
+    merged = pa.concat_tables(parts)
+    cu = merged["combo"].to_numpy(zero_copy_only=False)
+    cn = merged["n"].to_numpy(zero_copy_only=False)
+    u, inv = np.unique(cu, return_inverse=True)
+    tot = np.zeros(u.size, dtype=np.int64)
+    np.add.at(tot, inv, cn)
+    hot_mask = tot > cfg.bucket_pair_cap
+    if not hot_mask.any():
+        return buckets
+    hot = u[hot_mask]  # sorted
+    hot_k = np.ceil(cfg.salt_slack * tot[hot_mask] / cfg.bucket_pair_cap).astype(np.int64)
+    inc_counter("lsh_buckets_salted", int(hot.size))
+    hot_ref = ray.put((hot, hot_k))
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        hot_c, hot_kk = ray.get(hot_ref)
+        combo = b["combo"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hot_c, combo)
+        pos[pos >= hot_c.size] = hot_c.size - 1
+        is_hot = hot_c[pos] == combo
+        cold = b.filter(pa.array(~is_hot))
+        hi = np.flatnonzero(is_hot)
+        if hi.size == 0:
+            return cold
+        ks = hot_kk[pos[hi]]
+        ids = b["image_id"].take(pa.array(hi)).to_pylist()
+        salts = np.fromiter(
+            (zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
+        ) % ks
+        # expand: row i -> k_i rendezvous groups (its salt vs every t)
+        rep = np.repeat(np.arange(hi.size), ks)
+        t_idx = np.concatenate([np.arange(k) for k in ks]) if hi.size else np.empty(0, np.int64)
+        s_rep = salts[rep]
+        lo = np.minimum(s_rep, t_idx)
+        hh = np.maximum(s_rep, t_idx)
+        p = hh * (hh + 1) // 2 + lo  # triangular index of the salt pair
+        combo2 = (
+            combo[hi][rep].view(np.uint64)
+            ^ ((p.astype(np.uint64) + np.uint64(1)) * mix)
+        ).view(np.int64)
+        hot_tbl = b.take(pa.array(hi[rep]))
+        hot_tbl = hot_tbl.set_column(
+            hot_tbl.schema.get_field_index("combo"), "combo", pa.array(combo2)
+        )
+        return pa.concat_tables([cold, hot_tbl]) if cold.num_rows else hot_tbl
+
+    return buckets.map_batches(add_salt, batch_format="pyarrow")
+
+
 def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     """signatures -> deduplicated candidate pairs. Two coarse hash-partition
     shuffles total: bucket->pairs, then pair dedup."""
@@ -227,6 +309,8 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         )
 
     buckets = signatures.map_batches(explode_with_combo, batch_format="pyarrow")
+    if cfg.salt_hot_buckets:
+        buckets = _salt_hot_buckets(buckets, cfg)
     pairs = grouped_runs(
         buckets,
         "combo",
@@ -240,12 +324,16 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     # Trades bounded redundant verify work for one fewer all-to-all — the
     # fixed shuffle cost dominated the whole stage at bench scale.
     def dedup_within_batch(b: pa.Table) -> pa.Table:
-        key = np.fromiter(
-            (s + "|" + d for s, d in zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist())),
-            dtype=object,
-            count=b.num_rows,
-        )
-        _, idx = np.unique(key, return_index=True)
-        return b.take(pa.array(np.sort(idx)))
+        if b.num_rows == 0:
+            return b
+        # structural (src,dst) dedup — a delimiter-join key would make
+        # ("a|b","c") and ("a","b|c") collide for ids containing the delimiter
+        src = np.asarray(b["src_id"].to_pylist(), dtype=object)
+        dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
+        order = np.lexsort((dst, src))  # stable: first occurrence wins
+        ss, dd = src[order], dst[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = ~((ss[1:] == ss[:-1]) & (dd[1:] == dd[:-1]))
+        return b.take(pa.array(np.sort(order[keep])))
 
     return pairs.map_batches(dedup_within_batch, batch_format="pyarrow")
