@@ -140,6 +140,35 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     return _DECODERS[fmt](data)
 
 
+def header_dims(data: bytes, fmt: str) -> tuple[int, int] | None:
+    """(w, h) from the container header WITHOUT decoding, or None when the
+    header is unreadable. Used by cascade decode to keep validity-filter
+    semantics aligned for rows whose pixel decode is skipped: header-level
+    corruption is caught either way; only deep payload corruption needs the
+    full decode."""
+    try:
+        if fmt == "raw":
+            w, h = struct.unpack(">II", data[:8])
+            if len(data) != 8 + w * h * 3:
+                return None
+            return w, h
+        if fmt == "qnt":
+            return struct.unpack(">II", data[:8])
+        if fmt == "png":
+            if data[:8] != _PNG_SIG:
+                return None
+            (length,) = struct.unpack(">I", data[8:12])
+            if data[12:16] != b"IHDR":
+                return None
+            w, h, bitdepth, ctype = struct.unpack(">IIBB", data[16:26])
+            if bitdepth != 8 or ctype != 2:
+                return None
+            return w, h
+    except Exception:
+        return None
+    return None
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))

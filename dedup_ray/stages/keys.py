@@ -67,6 +67,15 @@ def compute_exact_keys(batch: pa.Table, dup_phashes: np.ndarray | None = None) -
         raw = data[i].as_py()
         content[i] = hashlib.blake2b(raw, digest_size=32).hexdigest()
         if not need_decode[i]:
+            # cascade skip: still validate CHEAPLY (header-only dims probe)
+            # so drop semantics stay aligned with the always-decode path for
+            # header-level corruption; deep payload corruption in a
+            # phash-unique row is the documented residual difference
+            dims = codecs.header_dims(raw, fmts[i])
+            if dims is None or dims != (int(ws[i]), int(hs[i])):
+                decode_ok[i] = False
+                pixel[i] = ""
+                continue
             pixel[i] = "nd:" + content[i]
             continue
         try:

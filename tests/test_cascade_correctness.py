@@ -82,3 +82,38 @@ def test_phash_pair_bands_split_on_far_hashes():
     assert not (kb[0] == kb[1]).any()
     assert (kb[0] == kb[2]).any()
     assert hamming64(np.array([base]), np.array([near]))[0] == 1
+
+
+def test_corrupt_header_dropped_in_both_cascade_modes():
+    """Validity-filter alignment (round-2 fix): a row whose container header
+    is corrupt (or contradicts declared dims) must be dropped and counted
+    whether or not cascade decode skips its pixel decode."""
+    from dedup_ray.functions import codecs
+    from dedup_ray.stages.keys import compute_exact_keys
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = codecs.encode(px, "raw")
+    corrupt = b"\x00\x01" + good[2:]  # header now declares absurd dims
+
+    def batch(n_rows_bytes):
+        ids, bs = zip(*n_rows_bytes)
+        return pa.table(
+            {
+                "image_id": pa.array(list(ids)),
+                "bytes": pa.array(list(bs), type=pa.binary()),
+                "w": pa.array([16] * len(ids), type=pa.int32()),
+                "h": pa.array([16] * len(ids), type=pa.int32()),
+                "fmt": pa.array(["raw"] * len(ids)),
+                "caption": pa.array(["c"] * len(ids)),
+                "phash": pa.array(list(range(len(ids))), type=pa.int64()),
+            }
+        )
+
+    b = batch([("ok", good), ("bad", corrupt)])
+    # cascade OFF: full decode path
+    full = compute_exact_keys(b, None)
+    # cascade ON with no dup phashes: every row skips decode
+    skipped = compute_exact_keys(b, np.empty(0, dtype=np.int64))
+    assert full["image_id"].to_pylist() == ["ok"]
+    assert skipped["image_id"].to_pylist() == ["ok"]
