@@ -189,9 +189,71 @@ def run_scaling() -> dict:
     }
 
 
+MATRIX_PROFILES = {  # image-dimension analogs of the reference's file-size
+    "small-heavy": (48, 96),  # profiles (benchmark/config.py:8-19)
+    "mixed": (64, 160),
+    "large-heavy": (96, 256),
+}
+MATRIX_DUP_RATIOS = (0.10, 0.30, 0.60)
+MATRIX_ROWS = 5000
+
+
+def run_matrix() -> dict:
+    """Reference-style 3 size profiles x 3 dup ratios sweep
+    (/root/reference/benchmark/runner.py:221-271) with the harness's
+    accuracy cross-check upgraded to pair-level recall/precision vs the
+    single-process oracle (runner.py:181-210 analog). Small per-cell corpora;
+    results recorded in BASELINE.md."""
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+
+    from dedup_ray.oracle.recall import pair_recall_precision
+    from dedup_ray.oracle.refimpl import oracle_clusters
+    from dedup_ray.pipelines.neardup import run_neardup
+    from dedup_ray.sources.corpus import generate_corpus
+
+    cells = []
+    for prof, (lo, hi) in MATRIX_PROFILES.items():
+        for ratio in MATRIX_DUP_RATIOS:
+            cdir = f"/tmp/dedup_matrix_{prof}_{ratio}"
+            generate_corpus(cdir, scale="bench", n_rows=MATRIX_ROWS, use_ray=True,
+                            img_min=lo, img_max=hi, dup_ratio=ratio)
+            corpus = os.path.join(cdir, "images.parquet")
+            t0 = time.time()
+            res = run_neardup(corpus)
+            cl = res.clusters.to_pandas()
+            sec = round(time.time() - t0, 2)
+            tbl = pq.read_table(corpus)
+            m = pair_recall_precision(
+                dict(zip(cl["image_id"], cl["cluster_id"])), oracle_clusters(tbl)
+            )
+            cells.append({
+                "profile": prof, "dup_ratio": ratio, "rows": MATRIX_ROWS,
+                "sec": sec, "images_per_sec": round(MATRIX_ROWS / sec, 1),
+                "clusters": res.stats["duplicate_clusters"],
+                "recall": round(m["recall"], 4), "precision": round(m["precision"], 4),
+            })
+            print(json.dumps(cells[-1]), file=sys.stderr)
+    ray.shutdown()
+    return {"metric": "matrix", "cells": cells,
+            "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--matrix" in sys.argv:
+        print(json.dumps(run_matrix()))
     else:
         scope = os.environ.get("BENCH_SCOPE", "full")
         print(json.dumps(run_bench(scope)))

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--report-exit-code", action="store_true",
                    help="exit 1 iff any duplicate cluster exists")
     r.add_argument("--jobs", type=int, default=None, help="CPU count for ray.init")
+    r.add_argument("--progress", action="store_true",
+                   help="live per-operator progress bars + stage lines "
+                        "(reference indicatif bar analog, src/main.rs:173-204)")
     r.add_argument("--checkpoint", help="checkpoint directory (resumable)")
     r.add_argument("--output", help="write clusters parquet here")
     r.add_argument("--action", choices=["none", "keep-one"], default="none")
@@ -73,7 +76,7 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = bool(args.progress)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from dedup_ray.config import DedupConfig
@@ -86,7 +89,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         min_size=args.min_size, max_size=args.max_size,
         include=include, exclude=exclude,
     )
-    res = run_neardup(args.input, cfg=cfg, checkpoint_dir=args.checkpoint)
+    res = run_neardup(args.input, cfg=cfg, checkpoint_dir=args.checkpoint,
+                      progress=args.progress)
 
     if args.output:
         res.clusters.write_parquet(args.output)

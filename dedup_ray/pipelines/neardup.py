@@ -52,6 +52,7 @@ def run_neardup(
     checkpoint_dir: str | None = None,
     concurrency: int | tuple[int, int] = 4,
     compute_stats: bool = True,
+    progress: bool = False,
 ) -> NearDupResult:
     """Run the full detector over an input_hint-shaped table.
 
@@ -64,11 +65,28 @@ def run_neardup(
     reset_counters()
     ckpt = Checkpointer(checkpoint_dir, cfg.config_hash())
 
+    import sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _tick(stage: str) -> None:
+        # live stage lines (reference indicatif-bar analog); the per-operator
+        # bars themselves are Ray Data's own, toggled by the CLI --progress
+        if progress:
+            print(f"[{_time.time() - _t0:7.1f}s] stage {stage} materialized",
+                  file=sys.stderr, flush=True)
+
     # A dataset consumed by MULTIPLE downstream stages must be pinned, or the
     # lazy DAG re-executes its whole lineage once per consumer. Checkpoint
     # mode pins to parquet (resumable); otherwise pin in the object store.
-    def pin(ds: rd.Dataset) -> rd.Dataset:
-        return ds if checkpoint_dir else ds.materialize()
+    def pin(ds: rd.Dataset, stage: str = "") -> rd.Dataset:
+        if checkpoint_dir:
+            return ds
+        out = ds.materialize()
+        if stage:
+            _tick(stage)
+        return out
 
     images = read_table(input_path)
     total_rows = images.count()  # metadata count, no scan
@@ -84,11 +102,11 @@ def run_neardup(
     )
     # fused exact tier: ONE shuffle yields star edges + collapsed reps +
     # (image_id, byte_len) size rows for the report
-    fused = pin(ckpt.stage("exact_tier", lambda: exact_tier(keys), ("keys",)))
+    fused = pin(ckpt.stage("exact_tier", lambda: exact_tier(keys), ("keys",)), "exact_tier")
     edges_exact, reps, sizes = split_exact_tier(fused)
     sigs = pin(ckpt.stage(
         "signatures", lambda: signatures_stage(reps, cfg, concurrency), ("exact_tier",)
-    ))
+    ), "signatures")
     cands = ckpt.stage("candidates", lambda: lsh_candidates(sigs, cfg), ("signatures",))
 
     def _near_edges() -> rd.Dataset:
@@ -102,10 +120,10 @@ def run_neardup(
         )
         return verify_stage(attrs, cfg, concurrency)
 
-    near_edges = pin(ckpt.stage("edges_near", _near_edges, ("candidates", "signatures")))
+    near_edges = pin(ckpt.stage("edges_near", _near_edges, ("candidates", "signatures")), "edges_near")
     edges = edges_exact.union(near_edges)
     clusters = pin(ckpt.stage("clusters", lambda: cluster_stage(edges, cfg),
-                              ("edges_exact", "edges_near")))
+                              ("edges_exact", "edges_near")), "clusters")
 
     counters = snapshot_counters()
     stats = (

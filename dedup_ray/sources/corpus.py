@@ -305,7 +305,7 @@ def generate_corpus(
         )
     cfg_hash = (
         f"{spec.n_rows}-{spec.seed}-{spec.hot_cluster_size}"
-        f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-{spec.dup_ratio}-v6"
+        f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-{spec.dup_ratio}-v7"
     )
     meta_path = os.path.join(out_dir, "metadata.json")
     if os.path.exists(meta_path):
@@ -380,6 +380,9 @@ def generate_corpus(
             chunk,
             os.path.join(tmp_path, f"part-{part:05d}.parquet"),
             row_group_size=1024,
+            # image bytes are incompressible; skipping snappy reads ~40%
+            # faster at identical file size (measured round 2)
+            compression="none",
         )
         part += 1
     shutil.rmtree(corpus_path, ignore_errors=True)
@@ -430,5 +433,5 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
     tmp = path + ".tmp"
     # small row groups: Ray parallelizes reads per row group — one giant row
     # group makes every downstream map stage a single task
-    pq.write_table(table, tmp, row_group_size=1024)
+    pq.write_table(table, tmp, row_group_size=1024, compression="none")
     os.replace(tmp, path)
