@@ -94,11 +94,13 @@ def run_neardup(
     # keys has ONE consumer (the fused exact tier) -> the decode stage
     # STREAMS into the shuffle with no materialization barrier; in
     # checkpoint mode the keys boundary is still persisted for resume.
-    # the cascade pre-pass only needs phash: give it a projection-pruned READ
-    # (columns= at read time — select_columns does not push down, see keys.py)
-    phash_src = read_table(input_path, columns=["phash"]) if cfg.cascade_decode else None
+    # the cascade pre-pass only needs phash: hand the stage the input PATH so
+    # it runs as one async remote pyarrow column read overlapping the main
+    # pipeline ramp (see keys.py — the driver never blocks on it)
     keys = ckpt.stage(
-        "keys", lambda: exact_keys_stage(images, cfg, phash_source=phash_src), ("input",)
+        "keys",
+        lambda: exact_keys_stage(images, cfg, dup_phash_path=input_path),
+        ("input",),
     )
     # fused exact tier: ONE shuffle yields star edges + collapsed reps +
     # (image_id, byte_len) size rows for the report
@@ -120,7 +122,11 @@ def run_neardup(
         )
         return verify_stage(attrs, cfg, concurrency)
 
-    near_edges = pin(ckpt.stage("edges_near", _near_edges, ("candidates", "signatures")), "edges_near")
+    # near_edges has ONE consumer (cluster_stage streams it once into the
+    # driver union-find) -> no pin: the verify stage STREAMS into clustering
+    # with no materialization barrier. The rare >max_edges fallback re-reads
+    # the edge dataset; cluster_stage pins it first in that branch.
+    near_edges = ckpt.stage("edges_near", _near_edges, ("candidates", "signatures"))
     edges = edges_exact.union(near_edges)
     clusters = pin(ckpt.stage("clusters", lambda: cluster_stage(edges, cfg),
                               ("edges_exact", "edges_near")), "clusters")

@@ -234,4 +234,6 @@ def cluster_stage(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     out = _driver_unionfind(edges, max_edges=cfg.driver_unionfind_max_edges)
     if out is not None:
         return out
-    return _distributed_star(edges)  # pragma: no cover (exercised in tests explicitly)
+    # fallback consumes the edge dataset several times (star iterations):
+    # pin it so the (possibly unmaterialized) verify lineage runs only once
+    return _distributed_star(edges.materialize())

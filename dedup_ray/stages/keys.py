@@ -192,6 +192,7 @@ def exact_keys_stage(
     images: rd.Dataset,
     cfg: DedupConfig,
     phash_source: rd.Dataset | None = None,
+    dup_phash_path: str | None = None,
 ) -> rd.Dataset:
     """images -> signatures-base table; applies the size predicate
     (reference --min-size/--max-size, src/scanner.rs:101-103) and the
@@ -222,43 +223,85 @@ def exact_keys_stage(
     if cfg.cascade_decode:
         import ray
 
-        # cheap pre-pass: count phash occurrences WITHOUT a shuffle — each
-        # block emits its partial (phash, n) table (<= rows ints), the driver
-        # merges with one np.unique. The source must be a ``columns=`` pruned
-        # READ: select_columns() after read_parquet does NOT push projection
-        # into the parquet scan in Ray 2.49 (measured 17 s vs 1 s at 100k
-        # rows of 4.3 GB). Driver holds only the dup-phash list; at cluster
-        # scale this broadcast becomes a semi-join on phash.
-        src = phash_source if phash_source is not None else images.select_columns(["phash"])
-
-        def partial_counts(b: pa.Table) -> pa.Table:
-            u, c = np.unique(b["phash"].to_numpy(zero_copy_only=False), return_counts=True)
-            return pa.table({"phash": pa.array(u, type=pa.int64()),
-                             "n": pa.array(c, type=pa.int64())})
-
-        parts = [
-            t for t in ray.get(
-                src.map_batches(partial_counts, batch_format="pyarrow").to_arrow_refs()
-            )
-            if t.num_rows and "phash" in t.column_names
-        ]
-        if parts:
-            merged = pa.concat_tables(parts)
-            ph = merged["phash"].to_numpy(zero_copy_only=False)
-            cnt = merged["n"].to_numpy(zero_copy_only=False)
-            u, inv = np.unique(ph, return_inverse=True)
-            tot = np.zeros(u.size, dtype=np.int64)
-            np.add.at(tot, inv, cnt)
-            dup = u[tot >= 2]  # np.unique output is already sorted
+        # cheap pre-pass: count phash occurrences. Preferred path: ONE async
+        # ray.remote task reading ONLY the phash column via pyarrow.dataset
+        # (a few MB even at 100k rows) — the driver never blocks and the task
+        # overlaps the main read's ramp-up; workers block on the ref only for
+        # their first batch. Fallback (non-path inputs): per-block partial
+        # counts + driver merge over ``phash_source``/``images``. NEVER a
+        # groupby shuffle, and never select_columns-after-read (no projection
+        # pushdown in Ray 2.49 — measured 17 s vs 1 s at 100k rows / 4.3 GB).
+        # At cluster scale this broadcast becomes a semi-join on phash.
+        if dup_phash_path is not None:
+            dup_ref = _dup_phashes_task.remote(dup_phash_path)
         else:
-            dup = np.empty(0, dtype=np.int64)
-        from dedup_ray.state.metrics import inc_counter
+            src = (
+                phash_source
+                if phash_source is not None
+                else images.select_columns(["phash"])
+            )
 
-        inc_counter("cascade_dup_phashes", int(dup.size))
-        dup_ref = ray.put(dup)
+            def partial_counts(b: pa.Table) -> pa.Table:
+                u, c = np.unique(
+                    b["phash"].to_numpy(zero_copy_only=False), return_counts=True
+                )
+                return pa.table({"phash": pa.array(u, type=pa.int64()),
+                                 "n": pa.array(c, type=pa.int64())})
+
+            parts = [
+                t for t in ray.get(
+                    src.map_batches(partial_counts, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                if t.num_rows and "phash" in t.column_names
+            ]
+            if parts:
+                merged = pa.concat_tables(parts)
+                ph = merged["phash"].to_numpy(zero_copy_only=False)
+                cnt = merged["n"].to_numpy(zero_copy_only=False)
+                u, inv = np.unique(ph, return_inverse=True)
+                tot = np.zeros(u.size, dtype=np.int64)
+                np.add.at(tot, inv, cnt)
+                dup = u[tot >= 2]  # np.unique output is already sorted
+            else:
+                dup = np.empty(0, dtype=np.int64)
+            from dedup_ray.state.metrics import inc_counter
+
+            inc_counter("cascade_dup_phashes", int(dup.size))
+            dup_ref = ray.put(dup)
 
     def keys_fn(b: pa.Table) -> pa.Table:
-        dp = None if dup_ref is None else __import__("ray").get(dup_ref)
+        dp = None if dup_ref is None else _resolve_dup_ref(dup_ref)
         return compute_exact_keys(b, dp)
 
     return ds.map_batches(keys_fn, batch_format="pyarrow")
+
+
+_DUP_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def _resolve_dup_ref(ref) -> np.ndarray:
+    """ray.get the dup-phash array once per worker process."""
+    import ray
+
+    key = ref.binary()
+    got = _DUP_CACHE.get(key)
+    if got is None:
+        got = ray.get(ref)
+        _DUP_CACHE.clear()
+        _DUP_CACHE[key] = got
+    return got
+
+
+def _dup_phashes_impl(path: str) -> np.ndarray:
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path, format="parquet").to_table(columns=["phash"])
+    ph = t["phash"].to_numpy(zero_copy_only=False)
+    u, c = np.unique(ph, return_counts=True)
+    return np.ascontiguousarray(u[c >= 2])
+
+
+import ray as _ray
+
+_dup_phashes_task = _ray.remote(num_cpus=1)(_dup_phashes_impl)
