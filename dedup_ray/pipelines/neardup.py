@@ -122,11 +122,13 @@ def run_neardup(
         )
         return verify_stage(attrs, cfg, concurrency)
 
-    # near_edges has ONE consumer (cluster_stage streams it once into the
-    # driver union-find) -> no pin: the verify stage STREAMS into clustering
-    # with no materialization barrier. The rare >max_edges fallback re-reads
-    # the edge dataset; cluster_stage pins it first in that branch.
-    near_edges = ckpt.stage("edges_near", _near_edges, ("candidates", "signatures"))
+    # near_edges is PINNED even though it has one consumer: letting the
+    # driver union-find's iter_batches stream the verify lineage throttles
+    # the verify stage to the driver's consumption rate (measured 72 s
+    # pinned vs 157 s streamed at 4 CPUs / 100k rows — backpressure tuned
+    # for consumption, not completion).
+    near_edges = pin(ckpt.stage("edges_near", _near_edges, ("candidates", "signatures")),
+                     "edges_near")
     edges = edges_exact.union(near_edges)
     clusters = pin(ckpt.stage("clusters", lambda: cluster_stage(edges, cfg),
                               ("edges_exact", "edges_near")), "clusters")
