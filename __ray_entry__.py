@@ -69,6 +69,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return resize_images(rd.read_parquet(_corpus(sf_dir)), max_side=8)
 
+    def audio_features(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.sources.av_corpus import generate_clips
+        from dedup_ray.stages.multimodal import audio_feature_extract
+
+        return audio_feature_extract(
+            rd.read_parquet(generate_clips("/tmp/dedup_ray_av"))
+        )
+
+    def video_frame_sample(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.sources.av_corpus import generate_videos
+        from dedup_ray.stages.multimodal import sample_video_frames
+
+        return sample_video_frames(
+            rd.read_parquet(generate_videos("/tmp/dedup_ray_av")), every_n=10
+        ).select_columns(["video_id", "frame_idx"])  # bytes out of the compare
+
     return {
         # --- dedup over documents (SQL-checked) ---
         "exact_dedup_groups": text.exact_dedup_groups,
@@ -104,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_report": flagship_report,
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
+        # --- audio/video (inputs synthesised; rows-only) ---
+        "audio_features": audio_features,
+        "video_frame_sample": video_frame_sample,
     }
 
 

@@ -1,10 +1,11 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample as actor-pool map_batches stages.
 
-Images are REAL here (our own codecs); audio/video decode is STUBBED behind
-NotImplementedError per the build contract (no codec libs in this container)
-— but the Ray-side plumbing (schema, batch size, actor signature, output
-layout) is genuine and tested.
+Images are REAL (our own codecs). Audio is REAL for WAV PCM16 (stdlib wave +
+numpy, functions/av.py). Video sampling is real over the engine's documented
+``fvc`` frame container (no standard video codec is self-implementable in a
+no-libs container; the decode seam is one function swap on a real cluster).
+All payloads ride as opaque ``binary`` columns with typed metadata.
 """
 
 from __future__ import annotations
@@ -88,28 +89,64 @@ class ImageResizer:
         )
 
 
-class AudioFeatureStub:
-    """Audio decode/feature stage CONTRACT. The container has no audio
-    codecs, so __call__ raises NotImplementedError by design; the schema and
-    actor wiring are real (swap in a decoder on a cluster with libs)."""
+class AudioFeatures:
+    """Audio decode + feature stage — REAL for WAV PCM16 (stdlib ``wave`` +
+    numpy, functions/av.py): per clip, duration, RMS, zero-crossing rate and
+    8 log-spaced FFT band energies. Unreadable clips are dropped + counted
+    (the validity-filter rule, reference src/hasher.rs:56-60). Other
+    containers (mp3/flac/ogg) need codec libs absent here and raise at
+    decode — swap the decoder on a cluster that has them."""
 
     OUTPUT_SCHEMA = pa.schema(
         [("clip_id", pa.string()), ("duration_s", pa.float64()),
-         ("rms", pa.float64()), ("mfcc", pa.list_(pa.float32()))]
+         ("rms", pa.float64()), ("zcr", pa.float64()),
+         ("band_energy", pa.list_(pa.float32()))]
     )
 
-    def __init__(self, sample_rate: int = 16000) -> None:
-        self.sample_rate = sample_rate
+    def __init__(self, n_bands: int = 8) -> None:
+        self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode requires codec libs absent from this environment; "
-            "this stage defines the schema/actor contract only"
+        from dedup_ray.functions.av import audio_features, decode_wav
+
+        ids = batch["clip_id"].to_pylist()
+        data = batch["bytes"]
+        rows = {k: [] for k in ("clip_id", "duration_s", "rms", "zcr", "band_energy")}
+        dropped = 0
+        for i, cid in enumerate(ids):
+            try:
+                samples, sr = decode_wav(data[i].as_py())
+                f = audio_features(samples, sr, self.n_bands)
+            except Exception:
+                dropped += 1
+                continue
+            rows["clip_id"].append(cid)
+            rows["duration_s"].append(f["duration_s"])
+            rows["rms"].append(f["rms"])
+            rows["zcr"].append(f["zcr"])
+            rows["band_energy"].append(f["band_energy"])
+        if dropped:
+            from dedup_ray.state.metrics import inc_counter
+
+            inc_counter("clips_dropped_unreadable", dropped)
+        return pa.table(
+            {
+                "clip_id": pa.array(rows["clip_id"], type=pa.string()),
+                "duration_s": pa.array(rows["duration_s"], type=pa.float64()),
+                "rms": pa.array(rows["rms"], type=pa.float64()),
+                "zcr": pa.array(rows["zcr"], type=pa.float64()),
+                "band_energy": pa.array(rows["band_energy"], type=pa.list_(pa.float32())),
+            }
         )
 
 
-class VideoFrameSamplerStub:
-    """Video frame-sampling stage CONTRACT (stub — see AudioFeatureStub)."""
+class VideoFrameSampler:
+    """Video frame sampling — REAL over the engine's documented ``fvc``
+    frame container (functions/av.py; no standard video codec is
+    self-implementable, so the container is ours while the sampling, decode
+    seam and Ray plumbing are genuine). Emits every ``every_n``-th frame as
+    (video_id, frame_idx, frame_bytes) rows WITHOUT decoding pixels —
+    downstream stages decode only sampled frames."""
 
     OUTPUT_SCHEMA = pa.schema(
         [("video_id", pa.string()), ("frame_idx", pa.int32()),
@@ -120,10 +157,52 @@ class VideoFrameSamplerStub:
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode requires codec libs absent from this environment; "
-            "this stage defines the schema/actor contract only"
+        from dedup_ray.functions.av import iter_fvc_frames
+
+        ids = batch["video_id"].to_pylist()
+        data = batch["bytes"]
+        out_id, out_idx, out_b = [], [], []
+        dropped = 0
+        for i, vid in enumerate(ids):
+            try:
+                for idx, fb in iter_fvc_frames(data[i].as_py()):
+                    if idx % self.every_n == 0:
+                        out_id.append(vid)
+                        out_idx.append(idx)
+                        out_b.append(fb)
+            except Exception:
+                dropped += 1
+        if dropped:
+            from dedup_ray.state.metrics import inc_counter
+
+            inc_counter("videos_dropped_unreadable", dropped)
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, type=pa.string()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "frame_bytes": pa.array(out_b, type=pa.binary()),
+            }
         )
+
+
+def audio_feature_extract(clips: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+    """clips(clip_id, bytes) -> per-clip audio features (actor pool)."""
+    return clips.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+    )
+
+
+def sample_video_frames(videos: rd.Dataset, every_n: int = 30,
+                        concurrency=(1, 4)) -> rd.Dataset:
+    """videos(video_id, bytes) -> sampled (video_id, frame_idx, frame_bytes).
+    Large binary payloads: keep batches small (SURVEY memory-aware rule)."""
+    return videos.map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(every_n,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
 
 
 def image_features(images: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:

@@ -78,13 +78,13 @@ def test_all_queries_have_callable(entrymod):
     assert set(entrymod.oracle_sql()) <= set(qs)
 
 
-def test_multimodal_stubs_and_features(tiny_corpus):
+def test_multimodal_features(tiny_corpus):
     import os
 
     from dedup_ray.stages.multimodal import (
-        AudioFeatureStub,
+        AudioFeatures,
         ImageResizer,
-        VideoFrameSamplerStub,
+        VideoFrameSampler,
         image_features,
     )
 
@@ -102,7 +102,12 @@ def test_multimodal_stubs_and_features(tiny_corpus):
     out = rs(batch)
     assert (pd.Series(out["w"].to_pylist()) <= 8).all()
 
-    with pytest.raises(NotImplementedError):
-        AudioFeatureStub()(pa.table({"clip_id": pa.array(["a"])}))
-    with pytest.raises(NotImplementedError):
-        VideoFrameSamplerStub()(pa.table({"video_id": pa.array(["a"])}))
+    # unreadable audio/video payloads are dropped + counted, never raised
+    bad_clip = pa.table(
+        {"clip_id": pa.array(["a"]), "bytes": pa.array([b"junk"], type=pa.binary())}
+    )
+    assert AudioFeatures()(bad_clip).num_rows == 0
+    bad_video = pa.table(
+        {"video_id": pa.array(["a"]), "bytes": pa.array([b"junk"], type=pa.binary())}
+    )
+    assert VideoFrameSampler()(bad_video).num_rows == 0
