@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_stats": analysis.token_stats,
         "quality_summary": analysis.quality_summary,
-        "quality_scores": analysis.quality_scores,
+        "quality_scores": analysis.quality_scores,  # SQL-checked
         "langid_docs": analysis.langid,
         "fingerprints_docs": analysis.fingerprints,
         # --- relational core ---
@@ -178,6 +178,47 @@ def oracle_sql() -> dict[str, str]:
         "quality_summary": (
             "SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             f"sum({tok})::BIGINT AS total_tokens FROM documents GROUP BY source"
+        ),
+        # mirrors QualityScorer exactly: words = [a-z]+ runs of lower(text)
+        # (ASCII corpus, so Python's unicode \w == RE2 \w); all ratios are
+        # raw int/int IEEE divisions on both sides -> bit-identical doubles
+        "quality_scores": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z]+') AS words, "
+            "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+            "length(text) AS n_char FROM documents) "
+            "SELECT doc_id, len(words)::BIGINT AS n_tokens, "
+            "CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+            "len(list_filter(words, x -> list_contains("
+            "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that'], x"
+            "))) / len(words) END AS stopword_ratio, "
+            "CASE WHEN n_char = 0 THEN 0.0 ELSE n_punct / n_char END AS punct_ratio, "
+            "CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(words, x -> length(x))) / len(words) END "
+            "AS mean_token_len FROM w"
+        ),
+        # mirrors LangId exactly: trigram sets of '  '||lower(text)||'  ' vs
+        # the 5 constant seed profiles, Jaccard = |∩|/max(1,|∪|) (identical
+        # int/int IEEE division), argmax with ties to the lexically-first
+        # lang (the Python loop iterates sorted(langs) keeping strict >)
+        "langid_docs": (
+            "WITH seeds(lang, seed) AS (VALUES "
+            "('en', 'the quick brown fox jumps over the lazy dog and then runs away with them'), "
+            "('de', 'der schnelle braune fuchs springt über den faulen hund und läuft dann weg'), "
+            "('fr', 'le renard brun rapide saute par dessus le chien paresseux et s''enfuit'), "
+            "('es', 'el rápido zorro marrón salta sobre el perro perezoso y luego huye con'), "
+            "('zh', '敏捷的棕色狐狸跳过懒狗然后跑掉了他们一起去了很远的地方看风景')), "
+            "profiles AS (SELECT lang, list_distinct(list_transform("
+            "range(1, length('  ' || lower(seed) || '  ') - 1), "
+            "i -> substr('  ' || lower(seed) || '  ', CAST(i AS INT), 3))) AS prof FROM seeds), "
+            "tg AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, length('  ' || lower(text) || '  ') - 1), "
+            "i -> substr('  ' || lower(text) || '  ', CAST(i AS INT), 3))) AS t FROM documents), "
+            "scored AS (SELECT doc_id, lang, "
+            "len(list_intersect(t, prof)) / greatest(1, len(list_distinct(list_concat(t, prof)))) AS s "
+            "FROM tg CROSS JOIN profiles) "
+            "SELECT doc_id, lang AS pred_lang FROM scored "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

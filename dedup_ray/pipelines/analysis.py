@@ -109,9 +109,11 @@ class QualityScorer:
             words = self.word.findall(t.lower())
             n = len(words)
             n_tok.append(n)
-            stop_r.append(round(sum(w in self.STOP for w in words) / n, 4) if n else 0.0)
-            punct_r.append(round(len(self.punct.findall(t)) / len(t), 4) if t else 0.0)
-            mean_len.append(round(sum(map(len, words)) / n, 4) if n else 0.0)
+            # raw IEEE doubles (no rounding): int/int division is
+            # bit-identical to the DuckDB oracle's, so values hash-match
+            stop_r.append(sum(w in self.STOP for w in words) / n if n else 0.0)
+            punct_r.append(len(self.punct.findall(t)) / len(t) if t else 0.0)
+            mean_len.append(sum(map(len, words)) / n if n else 0.0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
