@@ -77,7 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_feature_extract(
             rd.read_parquet(generate_clips("/tmp/dedup_ray_av"))
-        )
+        ).select_columns(
+            ["clip_id", "duration_s", "rms", "zcr"]
+        )  # band_energy is list<float32> — keep the compare scalar-only
 
     def video_frame_sample(sf_dir: str):
         import ray.data as rd
@@ -130,12 +132,145 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_N64 = "18446744073709551616"   # 2^64
+_P61 = "2305843009213693952"    # 2^61
+
+
+def _hug_list(vals) -> str:
+    return "[" + ",".join(str(int(v)) for v in vals) + "]::HUGEINT[]"
+
+
+def _sketch_oracles() -> dict[str, str]:
+    """DuckDB oracles for the sketch-based operators (SimHash, winnowing,
+    MinHash-LSH, hyperplane LSH). Each reproduces the Python kernel
+    BIT-IDENTICALLY: integer hashing is mod-2^64 HUGEINT arithmetic, float
+    dot products share the same left-fold summation order (DuckDB list_sum
+    is a strict sequential fold — verified), and all constants (permutation
+    tables, rolling-hash powers, hyperplanes) are interpolated from the very
+    seeded generators the pipeline uses."""
+    import numpy as np
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.functions.hashing import MinHasher, _shingle_powers
+
+    cfg = DedupConfig()
+
+    # --- simhash_near_pairs: FNV-1a token hashes -> 64-bit simhash ->
+    #     all pairs hamming <= 3 (banding is pigeonhole-lossless at <= 3,
+    #     so the oracle may skip it)
+    fnv = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+        "list_transform(range(1, length(t)+1), i -> CAST(ord(substr(t,i,1)) AS UBIGINT))), "
+        "(a,b) -> CAST((CAST(xor(a,b) AS HUGEINT) * 1099511628211) % "
+        f"{_N64} AS UBIGINT))"
+    )
+    simhash_sql = (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t "
+        "FROM documents WHERE trim(text) <> ''), "
+        f"th AS (SELECT doc_id, {fnv} AS h FROM tok), "
+        "bitsum AS (SELECT doc_id, b.i, "
+        "sum(CASE WHEN ((h >> b.i) & 1) = 1 THEN 1 ELSE -1 END) AS acc "
+        "FROM th CROSS JOIN (SELECT unnest(range(0,64)) AS i) b GROUP BY doc_id, b.i), "
+        "sh AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i "
+        "ELSE 0 END) AS uval FROM bitsum GROUP BY doc_id), "
+        "shx AS (SELECT d.doc_id, CAST(coalesce(s.uval, 0) AS UBIGINT) AS uval "
+        "FROM documents d LEFT JOIN sh s USING (doc_id)) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "bit_count(xor(x.uval, y.uval))::BIGINT AS hamming "
+        "FROM shx x JOIN shx y ON x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(x.uval, y.uval)) <= 3"
+    )
+
+    # --- fingerprints_docs: 30-gram rolling hash, winnow window 8
+    k, w = cfg.substring_min_len, cfg.winnow_window
+    pw = _hug_list(_shingle_powers(k).tolist())
+    fingerprints_sql = (
+        "WITH bl AS (SELECT doc_id, length(text) AS n, "
+        "list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text,i,1)) AS HUGEINT)) AS b "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, CASE WHEN n < {k} THEN CAST([] AS HUGEINT[]) "
+        f"ELSE list_transform(range(1, n-{k}+2), i -> "
+        f"list_sum(list_transform(range(0,{k}), j -> (b[i+j] * ({pw})[j+1]) % {_N64})) % {_N64}) "
+        "END AS hs FROM bl) "
+        "SELECT doc_id, (CASE WHEN len(hs) = 0 THEN 0 "
+        f"WHEN len(hs) <= {w} THEN 1 "
+        f"ELSE len(list_distinct(list_transform(range(1, len(hs)-{w}+2), i -> "
+        f"list_min(list_slice(hs, i, i+{w - 1}))))) END)::BIGINT AS n_fp FROM g"
+    )
+
+    # --- embedding_lsh_buckets: seeded hyperplane signs -> bucket histogram
+    planes = np.random.default_rng(42).standard_normal((64, 12))
+    pls = ("[" + ",".join(
+        "[" + ",".join(repr(float(planes[j, p])) for j in range(64)) + "]"
+        for p in range(12)
+    ) + "]::DOUBLE[][]")
+    lsh_buckets_sql = (
+        f"WITH pl AS (SELECT {pls} AS pls), "
+        "bk AS (SELECT vec_id, list_sum(list_transform(range(0,12), p -> "
+        "CASE WHEN list_sum(list_transform(range(1,65), j -> "
+        "CAST(embedding[j] AS DOUBLE) * pls[p+1][j])) > 0 "
+        "THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS bucket "
+        "FROM embeddings CROSS JOIN pl) "
+        "SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_vecs FROM bk GROUP BY 1"
+    )
+
+    # --- minhash_neardup_docs: shingle -> 128-perm MinHash -> 32x4 LSH
+    #     bands -> est-Jaccard verify -> min-label connected components
+    mh = MinHasher(cfg.num_perm, cfg.seed)
+    sk = cfg.shingle_k
+    a_l, b_l = _hug_list(mh.a.tolist()), _hug_list(mh.b.tolist())
+    pw5 = _hug_list(_shingle_powers(sk).tolist())
+    nb, rpb, np_ = cfg.bands, cfg.rows_per_band, cfg.num_perm
+    minhash_sql = (
+        "WITH RECURSIVE bl AS (SELECT doc_id, length(text) AS n, "
+        "list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text,i,1)) AS HUGEINT)) AS b "
+        "FROM documents), "
+        f"shl AS (SELECT doc_id, list_distinct(list_transform(range(1, n-{sk}+2), i -> "
+        f"list_sum(list_transform(range(0,{sk}), j -> (b[i+j] * ({pw5})[j+1]) % {_N64})) % {_N64})) AS hs "
+        f"FROM bl WHERE n >= {sk}), "
+        f"sh61 AS (SELECT doc_id, unnest(hs) % {_P61} AS h FROM shl), "
+        f"pvv AS (SELECT doc_id, k, (({a_l})[k+1]*h + ({b_l})[k+1]) % {_N64} AS v "
+        f"FROM sh61 CROSS JOIN (SELECT unnest(range(0,{np_})) AS k)), "
+        f"pv AS (SELECT doc_id, k, min((v % {_P61}) + (v // {_P61})) AS sig "
+        "FROM pvv GROUP BY doc_id, k), "
+        "sig AS (SELECT doc_id, list(sig ORDER BY k) AS s FROM pv GROUP BY doc_id), "
+        # (y * C) % 2^64 with y,C up to 2^64 overflows INT128 — split y into
+        # 32-bit halves: ((y_hi*C % 2^32) * 2^32 + y_lo*C) % 2^64
+        f"bk AS (SELECT doc_id, bd, list_reduce("
+        f"list_prepend(CAST(bd+1 AS HUGEINT), list_slice(s, bd*{rpb}+1, bd*{rpb}+{rpb})), "
+        "(a, x) -> ((((CAST(xor(CAST(a AS UBIGINT), CAST(x AS UBIGINT)) AS HUGEINT) // 4294967296) "
+        "* 11400714819323198485) % 4294967296) * 4294967296 "
+        "+ (CAST(xor(CAST(a AS UBIGINT), CAST(x AS UBIGINT)) AS HUGEINT) % 4294967296) "
+        f"* 11400714819323198485) % {_N64}) AS key "
+        f"FROM sig CROSS JOIN (SELECT unnest(range(0,{nb})) AS bd)), "
+        "cand AS (SELECT DISTINCT x.doc_id AS ca, y.doc_id AS cb FROM bk x "
+        "JOIN bk y ON x.bd = y.bd AND x.key = y.key AND x.doc_id < y.doc_id), "
+        "edges AS (SELECT ca, cb FROM cand JOIN sig sa ON sa.doc_id = ca "
+        "JOIN sig sb ON sb.doc_id = cb "
+        f"WHERE len(list_filter(range(1,{np_}+1), i -> sa.s[i] = sb.s[i])) / {float(np_)} "
+        f">= {cfg.jaccard_threshold}), "
+        "nodes AS (SELECT DISTINCT n FROM (SELECT ca AS n FROM edges "
+        "UNION ALL SELECT cb FROM edges)), "
+        "und AS (SELECT ca, cb FROM edges UNION SELECT cb, ca FROM edges), "
+        "r(n, l) AS (SELECT n, n FROM nodes "
+        "UNION SELECT u.cb, r.l FROM r JOIN und u ON u.ca = r.n) "
+        "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n"
+    )
+
+    return {
+        "simhash_near_pairs": simhash_sql,
+        "fingerprints_docs": fingerprints_sql,
+        "embedding_lsh_buckets": lsh_buckets_sql,
+        "minhash_neardup_docs": minhash_sql,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     # empty/whitespace-only docs: Python ''.split() yields 0 tokens, but
     # regexp_split_to_array('') yields [''] (1 token) — align the SQL side
     tok = ("CASE WHEN trim(text) = '' THEN 0 "
            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
-    return {
+    return _sketch_oracles() | {
         "exact_dedup_groups": (
             "SELECT min(doc_id) AS rep_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text HAVING count(*) >= 2"

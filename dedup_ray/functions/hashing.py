@@ -263,15 +263,28 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(val.astype(np.int64))
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def token_hashes(text: str) -> np.ndarray:
-    """uint64 hashes of whitespace tokens (stable, blake2b-based)."""
+    """uint64 FNV-1a hashes of whitespace tokens.
+
+    Stable across processes AND SQL-expressible: the DuckDB oracle for
+    ``simhash_near_pairs`` recomputes the exact same hash with a
+    ``list_reduce`` over token bytes. Vectorized across tokens (sequential
+    only over byte position, bounded by the longest token)."""
     toks = text.split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in toks
-        ],
-        dtype=np.uint64,
-    )
+    raws = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in toks]
+    lens = np.array([r.size for r in raws])
+    mat = np.zeros((len(toks), int(lens.max())), dtype=np.uint64)
+    for i, r in enumerate(raws):
+        mat[i, : r.size] = r
+    h = np.full(len(toks), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        for j in range(mat.shape[1]):
+            active = j < lens
+            h[active] = (h[active] ^ mat[active, j]) * _FNV_PRIME
+    return h

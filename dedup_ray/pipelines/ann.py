@@ -222,7 +222,13 @@ def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 42) -> rd.Dataset:
     def bucketize(batch: pa.Table) -> pa.Table:
         ids, m = _mat(batch)
         p = ray.get(ref)
-        bits = (m @ p) > 0
+        # sequential accumulation over dims (not matmul): the fold order is
+        # part of the operator's definition so the DuckDB oracle's
+        # list_sum (a strict left fold) reproduces the signs bit-identically
+        acc = np.zeros((m.shape[0], p.shape[1]), dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc += m[:, j : j + 1] * p[j]
+        bits = acc > 0
         bucket = (bits.astype(np.int64) * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
         t = pa.table({"bucket": pa.array(bucket, type=pa.int64()),
                       "vec_id": pa.array(ids, type=pa.int64())})
