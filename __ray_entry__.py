@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
         "cosine_neardup_pairs": ann.cosine_neardup_pairs,
         "embedding_lsh_buckets": ann.lsh_buckets,
+        "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,
@@ -257,10 +258,38 @@ def _sketch_oracles() -> dict[str, str]:
         "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n"
     )
 
+    # --- embedding_neardup_lsh: banded hyperplane keys (8 bands x 4 planes,
+    #     one fresh seeded matrix), candidates = same (band, key), DISTINCT
+    #     pairs, exact cosine verify. Verify-then-dedup (Python) and
+    #     dedup-then-verify (here) agree because the predicate is
+    #     pair-deterministic.
+    planes2 = np.random.default_rng(42).standard_normal((64, 32))
+    pls2 = ("[" + ",".join(
+        "[" + ",".join(repr(float(planes2[j, p])) for j in range(64)) + "]"
+        for p in range(32)
+    ) + "]::DOUBLE[][]")
+    neardup_lsh_sql = (
+        f"WITH pl AS (SELECT {pls2} AS pls), "
+        "bk AS (SELECT vec_id, embedding, bd.b AS bd, "
+        "list_sum(list_transform(range(0,4), p -> "
+        "CASE WHEN list_sum(list_transform(range(1,65), j -> "
+        "CAST(embedding[j] AS DOUBLE) * pls[bd.b*4+p+1][j])) > 0 "
+        "THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS key "
+        "FROM embeddings CROSS JOIN pl "
+        "CROSS JOIN (SELECT unnest(range(0,8)) AS b) bd), "
+        "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bk x "
+        "JOIN bk y ON x.bd = y.bd AND x.key = y.key AND x.vec_id < y.vec_id) "
+        "SELECT a, b FROM cand "
+        "JOIN embeddings ea ON ea.vec_id = cand.a "
+        "JOIN embeddings eb ON eb.vec_id = cand.b "
+        "WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3"
+    )
+
     return {
         "simhash_near_pairs": simhash_sql,
         "fingerprints_docs": fingerprints_sql,
         "embedding_lsh_buckets": lsh_buckets_sql,
+        "embedding_neardup_lsh": neardup_lsh_sql,
         "minhash_neardup_docs": minhash_sql,
     }
 

@@ -211,6 +211,19 @@ def ann_ivf_topk(
     return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True).astype("int64")
 
 
+def _bucket_keys(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Hyperplane-sign bucket key per row. Sequential accumulation over dims
+    (not matmul): the fold order is part of the operator's definition so the
+    DuckDB oracle's list_sum (a strict left fold) reproduces the signs
+    bit-identically."""
+    n_planes = planes.shape[1]
+    acc = np.zeros((m.shape[0], n_planes), dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc += m[:, j : j + 1] * planes[j]
+    bits = acc > 0
+    return (bits.astype(np.int64) * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+
+
 def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 42) -> rd.Dataset:
     """Random-hyperplane LSH bucket histogram: (bucket, n_vecs). The
     candidate generator of the scale ANN path — same-bucket vectors are the
@@ -221,15 +234,7 @@ def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 42) -> rd.Dataset:
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids, m = _mat(batch)
-        p = ray.get(ref)
-        # sequential accumulation over dims (not matmul): the fold order is
-        # part of the operator's definition so the DuckDB oracle's
-        # list_sum (a strict left fold) reproduces the signs bit-identically
-        acc = np.zeros((m.shape[0], p.shape[1]), dtype=np.float64)
-        for j in range(m.shape[1]):
-            acc += m[:, j : j + 1] * p[j]
-        bits = acc > 0
-        bucket = (bits.astype(np.int64) * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+        bucket = _bucket_keys(m, ray.get(ref))
         t = pa.table({"bucket": pa.array(bucket, type=pa.int64()),
                       "vec_id": pa.array(ids, type=pa.int64())})
         return t.group_by("bucket").aggregate([("vec_id", "count")]).rename_columns(
@@ -243,3 +248,93 @@ def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 42) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def embedding_neardup_lsh(
+    sf_dir: str,
+    threshold: float = 0.3,
+    rows_per_band: int = 4,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Scale-path embedding near-dup: banded hyperplane-LSH candidates ->
+    exact cosine verify on same-bucket pairs only. Output (a, b), a < b.
+
+    This is the 100-TB shape the cosine_neardup_pairs docstring promises,
+    with the OR-amplification the single-signature lsh_buckets histogram
+    lacks: each vector gets ``n_bands`` independent ``rows_per_band``-plane
+    sign keys; a pair is a candidate iff it collides in ANY band
+    (recall = 1-(1-p^r)^L per the angle-collision model, measured vs the
+    brute baseline in tests; precision 1.0 — the verify is the same exact
+    cosine threshold). Vectors are hash-partitioned by (band, key) with the
+    embedding co-located, so pair generation AND verify run vectorized inside
+    each shuffle partition; a pair verified in several bands is deduped by a
+    second (verified-pairs-only, post-filter) shuffle. Nothing — not the
+    matrix, not the pair set — is ever materialized on the driver before the
+    final result."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((64, n_bands * rows_per_band))
+    ref = ray.put(planes)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids, m = _mat(batch)
+        keys = _bucket_keys(m, ray.get(ref))  # n_bands*r sign bits, folded
+        n = len(ids)
+        # band b's key = bits [b*r, (b+1)*r) of the folded signature,
+        # prefixed with the band id so bands never collide across buckets
+        bkeys = np.empty((n, n_bands), dtype=np.int64)
+        mask = (1 << rows_per_band) - 1
+        for b in range(n_bands):
+            bkeys[:, b] = (b << rows_per_band) | ((keys >> (b * rows_per_band)) & mask)
+        idx = np.repeat(np.arange(n), n_bands)
+        return batch.take(pa.array(idx)).append_column(
+            "bkey", pa.array(bkeys.reshape(-1), type=pa.int64())
+        )
+
+    keyed = _emb(sf_dir).map_batches(explode_bands, batch_format="pyarrow")
+
+    def verified_pairs_of_runs(g: pa.Table) -> pa.Table:
+        ids, m = _mat(g)
+        bkeys = g["bkey"].to_numpy(zero_copy_only=False)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bounds = np.append(run_starts(bkeys), len(bkeys))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sub = m[s:e]
+            sims = sub @ sub.T  # one matmul per bucket-run, no Python pairs
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ai):
+                out_a.append(ids[s:e][ai])
+                out_b.append(ids[s:e][bi])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    pairs = grouped_runs(
+        keyed, "bkey", verified_pairs_of_runs, sort_cols=["bkey", "vec_id"]
+    )
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:  # g sorted by (a, b)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return g
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return g.filter(pa.array(keep))
+
+    out = grouped_runs(pairs, "a", dedup_pairs, sort_cols=["a", "b"]).to_pandas()
+    if "a" not in out.columns:  # no collisions anywhere -> schema dropped
+        return pd.DataFrame(columns=["a", "b"]).astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")

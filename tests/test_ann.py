@@ -2,7 +2,13 @@
 
 import pandas as pd
 
-from dedup_ray.pipelines.ann import ann_ivf_topk, ann_topk, cosine_neardup_pairs, lsh_buckets
+from dedup_ray.pipelines.ann import (
+    ann_ivf_topk,
+    ann_topk,
+    cosine_neardup_pairs,
+    embedding_neardup_lsh,
+    lsh_buckets,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -35,3 +41,21 @@ def test_lsh_buckets_partition():
     buckets = lsh_buckets(SF).to_pandas()
     assert buckets.n_vecs.sum() == 500  # every vector in exactly one bucket
     assert buckets.bucket.is_unique
+
+
+def test_embedding_neardup_lsh_vs_brute():
+    """Scale path vs brute baseline: precision 1.0 (every emitted pair really
+    clears the threshold), recall per the banded collision model, no dups,
+    deterministic."""
+    brute = cosine_neardup_pairs(SF, threshold=0.3)
+    lsh = embedding_neardup_lsh(SF, threshold=0.3)
+    assert (lsh.a < lsh.b).all()
+    assert not lsh.duplicated().any()
+    b = set(map(tuple, brute[["a", "b"]].values))
+    l = set(map(tuple, lsh[["a", "b"]].values))
+    assert l <= b  # precision 1.0: verify is the same exact threshold
+    recall = len(l) / len(b)
+    # 8 bands x 4 planes at cos>=0.3: model-expected ~0.5-0.8 on random vecs
+    assert recall >= 0.4, recall
+    again = embedding_neardup_lsh(SF, threshold=0.3)
+    assert lsh.equals(again)
