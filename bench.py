@@ -109,6 +109,7 @@ def run_bench(scope: str) -> dict:
             "token_stats", "quality_summary", "exact_dedup_groups",
             "minhash_neardup_docs", "simhash_near_pairs",
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",
+            "embedding_neardup_lsh",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)
