@@ -62,6 +62,11 @@ class DedupConfig:
     # --- physical execution ---
     batch_size: int = 4096        # rows per map_batches batch for sig stages
     driver_unionfind_max_edges: int = 2_000_000  # below -> driver union-find
+    ckpt_chunk_files: int = 8     # per-partition lineage: input part files
+    # per independently-committed decode-stage chunk (north-rule "resumable
+    # from checkpoint with per-partition lineage"). Bounds lost work on a
+    # crash to one chunk of the expensive decode stage instead of the whole
+    # stage; each chunk commit is atomic (tmp+rename + manifest entry).
 
     # --- cascade decode (the reference's load-bearing property: work scales
     # with the dup ratio, not the corpus — src/hasher.rs cascade) ---

@@ -97,11 +97,36 @@ def run_neardup(
     # the cascade pre-pass only needs phash: hand the stage the input PATH so
     # it runs as one async remote pyarrow column read overlapping the main
     # pipeline ramp (see keys.py — the driver never blocks on it)
-    keys = ckpt.stage(
-        "keys",
-        lambda: exact_keys_stage(images, cfg, dup_phash_path=input_path),
-        ("input",),
-    )
+    from dedup_ray.sources.io import list_shards
+
+    shards = list_shards(input_path) if checkpoint_dir else []
+    if len(shards) > 1:
+        # PER-PARTITION lineage for the expensive decode stage (north_rule):
+        # each chunk of input part files is computed and committed
+        # independently, so a crash loses at most one chunk, not the stage.
+        # The cascade pre-pass (global: dup phashes over the WHOLE input) is
+        # hoisted to one async task shared by every chunk.
+        from dedup_ray.stages.keys import _dup_phashes_task
+
+        dup_ref = (
+            _dup_phashes_task.remote(input_path) if cfg.cascade_decode else None
+        )
+        chunks = [
+            shards[i : i + cfg.ckpt_chunk_files]
+            for i in range(0, len(shards), cfg.ckpt_chunk_files)
+        ]
+        keys = ckpt.partitioned_stage(
+            "keys",
+            chunks,
+            lambda paths: exact_keys_stage(read_table(paths), cfg, dup_ref=dup_ref),
+            ("input",),
+        )
+    else:
+        keys = ckpt.stage(
+            "keys",
+            lambda: exact_keys_stage(images, cfg, dup_phash_path=input_path),
+            ("input",),
+        )
     # fused exact tier: ONE shuffle yields star edges + collapsed reps +
     # (image_id, byte_len) size rows for the report
     fused = pin(ckpt.stage("exact_tier", lambda: exact_tier(keys), ("keys",)), "exact_tier")

@@ -23,16 +23,33 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(path: str, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
-    """Read a corpus table (``.lance`` dataset dir or ``.parquet`` file/dir).
+def read_table(
+    path: str | list[str], columns: list[str] | None = None, **kwargs
+) -> rd.Dataset:
+    """Read a corpus table (``.lance`` dataset dir or ``.parquet`` file/dir,
+    or an explicit list of part files — the per-partition checkpoint path).
 
     ~ the reference's scan stage (/root/reference/src/scanner.rs:44-111):
     fragments/row-groups give read parallelism; ``columns`` is projection
     pushdown (the analog of never stat-ing files you won't hash).
     """
+    if isinstance(path, list):
+        return rd.read_parquet(path, columns=columns, **kwargs)
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "data"))):
         return rd.read_lance(path, columns=columns, **kwargs)  # pragma: no cover
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def list_shards(path: str) -> list[str]:
+    """Deterministically-ordered physical shards of a table: the part files
+    of a parquet directory (one Lance fragment each at the north star), or
+    the single file itself. The unit of per-partition checkpoint lineage —
+    chunk membership must be a pure function of the input layout."""
+    if os.path.isdir(path) and not (HAVE_LANCE and path.endswith(".lance")):
+        names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+        if names:
+            return [os.path.join(path, n) for n in names]
+    return [path]
 
 
 def _strip_meta(b):

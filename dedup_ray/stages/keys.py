@@ -193,6 +193,7 @@ def exact_keys_stage(
     cfg: DedupConfig,
     phash_source: rd.Dataset | None = None,
     dup_phash_path: str | None = None,
+    dup_ref=None,
 ) -> rd.Dataset:
     """images -> signatures-base table; applies the size predicate
     (reference --min-size/--max-size, src/scanner.rs:101-103) and the
@@ -219,8 +220,9 @@ def exact_keys_stage(
 
         ds = ds.map_batches(glob_filter, batch_format="pyarrow")
 
-    dup_ref = None
-    if cfg.cascade_decode:
+    # dup_ref: a caller-precomputed dup-phash ObjectRef (the partitioned
+    # checkpoint path hoists the pre-pass so it runs ONCE, not once per chunk)
+    if cfg.cascade_decode and dup_ref is None:
         import ray
 
         # cheap pre-pass: count phash occurrences. Preferred path: ONE async
