@@ -55,6 +55,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = run_neardup(_corpus(sf_dir))
         return pd.DataFrame([res.stats])
 
+    def flagship_incremental(sf_dir: str):
+        """Incremental admission: 80% of the corpus is clustered and
+        checkpointed (the standing corpus), the other 20% is admitted via
+        run_neardup_incremental — decode/signatures/verify run for the delta
+        only, prior digests and verified edges replay from the checkpoint.
+        Returns the union clusters (rows-only; tests/test_incremental.py
+        asserts equality with the full run)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dedup_ray.pipelines.incremental import run_neardup_incremental
+        from dedup_ray.pipelines.neardup import run_neardup
+
+        full = _corpus(sf_dir)
+        base = os.path.dirname(full.rstrip("/"))  # the corpus cache dir
+        prior_p = os.path.join(base, "images_prior.parquet")
+        delta_p = os.path.join(base, "images_delta.parquet")
+        if not (os.path.exists(prior_p) and os.path.exists(delta_p)):
+            t = pq.read_table(full)
+            delta_mask = np.arange(t.num_rows) % 5 == 0
+            pq.write_table(t.filter(pa.array(~delta_mask)), prior_p, row_group_size=512)
+            pq.write_table(t.filter(pa.array(delta_mask)), delta_p, row_group_size=512)
+        ck = os.path.join(base, "prior_ck")
+        run_neardup(prior_p, checkpoint_dir=ck)  # cached: resumes instantly
+        return run_neardup_incremental(prior_p, ck, delta_p).clusters
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -125,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,
+        "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---

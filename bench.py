@@ -250,11 +250,82 @@ def run_matrix() -> dict:
             "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}
 
 
+def run_incremental() -> dict:
+    """Incremental admission vs full re-run: the flagship corpus split 80/20,
+    prior side clustered+checkpointed (setup, untimed), then (a) the 20%
+    delta admitted via run_neardup_incremental and (b) a full run over the
+    union, both timed. The speedup is the scale story: incremental decode
+    work ∝ |delta|, full-run decode ∝ |corpus|."""
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.incremental import run_neardup_incremental
+    from dedup_ray.pipelines.neardup import run_neardup
+    from dedup_ray.sources.corpus import generate_corpus
+
+    cdir = f"/tmp/dedup_ray_bench_{FLAGSHIP_ROWS}_r{FLAGSHIP_DUP_RATIO}"
+    generate_corpus(cdir, scale="bench", n_rows=FLAGSHIP_ROWS, use_ray=True,
+                    img_min=FLAGSHIP_IMG[0], img_max=FLAGSHIP_IMG[1],
+                    dup_ratio=FLAGSHIP_DUP_RATIO)
+    corpus = os.path.join(cdir, "images.parquet")
+    idir = f"/tmp/dedup_ray_bench_incr_{FLAGSHIP_ROWS}"
+    shutil.rmtree(idir, ignore_errors=True)
+    os.makedirs(idir)
+    t = pq.read_table(corpus)
+    delta_mask = np.arange(t.num_rows) % 5 == 0
+    prior_p = os.path.join(idir, "prior.parquet")
+    delta_p = os.path.join(idir, "delta.parquet")
+    pq.write_table(t.filter(pa.array(~delta_mask)), prior_p, row_group_size=2048)
+    pq.write_table(t.filter(pa.array(delta_mask)), delta_p, row_group_size=2048)
+    del t
+
+    ck = os.path.join(idir, "prior_ck")
+    run_neardup(prior_p, checkpoint_dir=ck)  # standing corpus (setup)
+
+    t0 = time.time()
+    inc = run_neardup_incremental(prior_p, ck, delta_p)
+    incr_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    full = run_neardup(corpus)
+    full_sec = round(time.time() - t0, 2)
+    assert inc.stats == full.stats, (inc.stats, full.stats)
+    n_delta = int(delta_mask.sum())
+    ray.shutdown()
+    return {
+        "metric": "incremental_speedup",
+        "value": round(full_sec / incr_sec, 2),
+        "unit": "ratio",
+        "incremental_sec": incr_sec,
+        "full_sec": full_sec,
+        "delta_rows": n_delta,
+        "total_rows": FLAGSHIP_ROWS,
+        "delta_rows_per_sec": round(n_delta / incr_sec, 1),
+        "stats_equal": True,
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--matrix" in sys.argv:
         print(json.dumps(run_matrix()))
+    elif "--incremental" in sys.argv:
+        print(json.dumps(run_incremental()))
     else:
         scope = os.environ.get("BENCH_SCOPE", "full")
         print(json.dumps(run_bench(scope)))

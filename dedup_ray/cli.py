@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="live per-operator progress bars + stage lines "
                         "(reference indicatif bar analog, src/main.rs:173-204)")
     r.add_argument("--checkpoint", help="checkpoint directory (resumable)")
+    r.add_argument("--prior-input", help="incremental mode: standing-corpus "
+                   "table; --input becomes the delta batch")
+    r.add_argument("--prior-checkpoint", help="incremental mode: completed "
+                   "checkpoint dir of a prior run over --prior-input")
     r.add_argument("--output", help="write clusters parquet here")
     r.add_argument("--action", choices=["none", "keep-one"], default="none")
     r.add_argument("--decisions", help="output path for the decisions table")
@@ -89,8 +93,19 @@ def cmd_run(args: argparse.Namespace) -> int:
         min_size=args.min_size, max_size=args.max_size,
         include=include, exclude=exclude,
     )
-    res = run_neardup(args.input, cfg=cfg, checkpoint_dir=args.checkpoint,
-                      progress=args.progress)
+    if args.prior_input and args.prior_checkpoint:
+        from dedup_ray.pipelines.incremental import run_neardup_incremental
+
+        res = run_neardup_incremental(
+            args.prior_input, args.prior_checkpoint, args.input, cfg=cfg
+        )
+    elif args.prior_input or args.prior_checkpoint:
+        print("error: incremental mode needs BOTH --prior-input and "
+              "--prior-checkpoint", file=sys.stderr)
+        return 2
+    else:
+        res = run_neardup(args.input, cfg=cfg, checkpoint_dir=args.checkpoint,
+                          progress=args.progress)
 
     if args.output:
         res.clusters.write_parquet(args.output)

@@ -1,0 +1,202 @@
+"""Incremental near-dup: dedup a DELTA batch against a prior run's persisted
+state — the daily-ingestion operation of a training-data pipeline. At 100 TB
+you never re-decode the standing corpus to admit a day's new images; you
+replay its (cheap, digest-only) keys and edges and pay decode + signatures +
+verify ONLY for the delta.
+
+No reference analog (the reference rescans from zero each run,
+/root/reference/src/main.rs:155-205); the correctness contract is defined
+against this repo's own full run instead:
+
+    clusters(incremental(prior, delta)) == clusters(full(prior ∪ delta))
+
+given the same config (property-tested in tests/test_incremental.py; exact
+when no LSH bucket exceeds ``bucket_pair_cap`` — capping picks pairs by
+bucket population, which differs between the two runs, the same documented
+trade as stages/lsh.py).
+
+Why the equality holds (each stage's incremental form is exact):
+
+* keys — prior rows replay their checkpointed digests. The only rows whose
+  keys depend on OTHER rows are cascade sentinels (phash-unique rows skip
+  pixel decode); a delta row colliding with a prior-unique phash invalidates
+  that sentinel, so exactly those prior rows (sentinel ∧ phash ∈ delta) are
+  re-decoded, and delta rows decode against the UNION dup-phash set. The
+  resulting union keys table is row-identical to a full run's.
+* exact tier — recomputed over the union keys (digest-only shuffle: ids,
+  hashes, captions — never bytes; the expensive decode is what we skipped).
+* signatures — recomputed per union rep (caption MinHash; orders of
+  magnitude cheaper than decode — reuse is the documented next step).
+* candidates/verify — only pairs touching a delta id are verified: a
+  prior-prior candidate pair has identical (sig, phash, caption) inputs in
+  both runs, so it was a candidate in the prior run and its verified edge is
+  replayed from the prior checkpoint. Rep-identity drift (a delta id
+  becoming the min of an existing class) is absorbed by the exact-tier star
+  edges connecting old and new rep.
+* clustering — union-find over replayed ∪ fresh edges; duplicate edges are
+  absorbed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.pipelines.neardup import NearDupResult
+from dedup_ray.sources.io import read_table
+from dedup_ray.stages.cluster import cluster_stage
+from dedup_ray.stages.exact import EDGE_SCHEMA, exact_tier, split_exact_tier
+from dedup_ray.stages.join import attach_pair_attrs
+from dedup_ray.stages.keys import (
+    _col_uniques_task,
+    _dup_union_phashes_task,
+    exact_keys_stage,
+)
+from dedup_ray.stages.lsh import lsh_candidates
+from dedup_ray.stages.report import cluster_stats
+from dedup_ray.stages.signatures import signatures_stage
+from dedup_ray.stages.verify import verify_stage
+from dedup_ray.state.metrics import inc_counter, reset_counters, snapshot_counters
+
+
+def _is_sentinel(pixel_hash: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.starts_with(pixel_hash, "nd:")
+
+
+def run_neardup_incremental(
+    prior_input: str,
+    prior_ckpt_dir: str,
+    delta_input: str,
+    cfg: DedupConfig | None = None,
+    concurrency: int | tuple[int, int] = 4,
+) -> NearDupResult:
+    """Cluster ``prior ∪ delta`` reusing ``prior_ckpt_dir`` (a completed
+    ``run_neardup(prior_input, checkpoint_dir=...)``): prior decode output
+    and prior verified near edges are replayed; decode, signatures and
+    verification run for delta-touching work only."""
+    cfg = cfg or DedupConfig()
+    reset_counters()
+
+    # async pre-passes — tiny single-column reads that overlap the delta read
+    union_dup_ref = (
+        _dup_union_phashes_task.remote([prior_input, delta_input])
+        if cfg.cascade_decode
+        else None
+    )
+    delta_ph_ref = _col_uniques_task.remote(delta_input, "phash")
+    delta_id_ref = _col_uniques_task.remote(delta_input, "image_id")
+
+    # ---- delta keys: the only full decode in the pipeline -----------------
+    delta_keys = exact_keys_stage(
+        read_table(delta_input), cfg, dup_ref=union_dup_ref
+    )
+
+    # ---- prior keys: replay; re-decode ONLY invalidated cascade sentinels -
+    prior_keys = rd.read_parquet(os.path.join(prior_ckpt_dir, "keys"))
+    rekey_ids = np.empty(0, dtype=object)
+    if cfg.cascade_decode:
+        delta_ph = np.sort(ray.get(delta_ph_ref))
+
+        def mark_rekey(b: pa.Table) -> pa.Table:
+            ph = b["phash"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(delta_ph, ph)
+            pos[pos >= delta_ph.size] = max(delta_ph.size - 1, 0)
+            hit = (delta_ph[pos] == ph) if delta_ph.size else np.zeros(len(ph), bool)
+            sent = _is_sentinel(b["pixel_hash"]).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"image_id": b["image_id"].filter(pa.array(hit & sent))}
+            )
+
+        # bounded driver materialization: ids of prior SENTINEL rows whose
+        # phash collides with the delta — at most |delta| phash groups' worth
+        parts = [
+            t
+            for t in ray.get(
+                prior_keys.map_batches(mark_rekey, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows and "image_id" in t.column_names
+        ]
+        if parts:
+            rekey_ids = np.sort(
+                np.asarray(
+                    pa.concat_tables(parts)["image_id"].to_pylist(), dtype=object
+                )
+            )
+        inc_counter("incremental_rekeyed_rows", int(rekey_ids.size))
+
+    def drop_rekeyed(b: pa.Table) -> pa.Table:
+        if rekey_ids.size == 0:
+            return b
+        ids = np.asarray(b["image_id"].to_pylist(), dtype=object)
+        pos = np.searchsorted(rekey_ids, ids)
+        pos[pos >= rekey_ids.size] = rekey_ids.size - 1
+        return b.filter(pa.array(rekey_ids[pos] != ids))
+
+    keys = prior_keys.map_batches(drop_rekeyed, batch_format="pyarrow").union(
+        delta_keys
+    )
+    if rekey_ids.size:
+        rekeyed = exact_keys_stage(
+            read_table(
+                prior_input,
+                filter=pc.field("image_id").isin(pa.array(list(rekey_ids))),
+            ),
+            cfg,
+            dup_ref=union_dup_ref,
+        )
+        keys = keys.union(rekeyed)
+
+    # ---- union exact tier (digest-only shuffle, no decode) ----------------
+    fused = exact_tier(keys).materialize()
+    edges_exact, reps, sizes = split_exact_tier(fused)
+    sigs = signatures_stage(reps, cfg, concurrency).materialize()
+
+    # ---- candidates: verify delta-touching pairs only ---------------------
+    delta_ids = np.sort(ray.get(delta_id_ref).astype(object))
+
+    def delta_touching(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or delta_ids.size == 0:
+            return b.slice(0, 0)
+        src = np.asarray(b["src_id"].to_pylist(), dtype=object)
+        dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
+
+        def member(a: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(delta_ids, a)
+            pos[pos >= delta_ids.size] = delta_ids.size - 1
+            return delta_ids[pos] == a
+
+        return b.filter(pa.array(member(src) | member(dst)))
+
+    if sigs.count() == 0:
+        near_new = rd.from_arrow(EDGE_SCHEMA.empty_table())
+    else:
+        cands = lsh_candidates(sigs, cfg).map_batches(
+            delta_touching, batch_format="pyarrow"
+        )
+        attrs = attach_pair_attrs(
+            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption"]
+        )
+        near_new = verify_stage(attrs, cfg, concurrency)
+
+    # ---- replayed prior near edges + fresh edges -> clusters --------------
+    prior_near = rd.read_parquet(os.path.join(prior_ckpt_dir, "edges_near"))
+    edges = edges_exact.union(near_new.materialize()).union(prior_near)
+    clusters = cluster_stage(edges, cfg).materialize()
+
+    total_rows = read_table(prior_input).count() + read_table(delta_input).count()
+    counters = snapshot_counters()
+    stats = cluster_stats(clusters, sizes, total_rows)
+    return NearDupResult(
+        clusters=clusters,
+        stats=stats,
+        counters=counters,
+        report={"stats": stats, "counters": counters, "groups_sample": None},
+    )

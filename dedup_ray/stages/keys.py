@@ -304,6 +304,33 @@ def _dup_phashes_impl(path: str) -> np.ndarray:
     return np.ascontiguousarray(u[c >= 2])
 
 
+def _dup_union_phashes_impl(paths: list[str]) -> np.ndarray:
+    """Dup phashes over the UNION of several tables (incremental pipeline:
+    prior ∪ delta — a delta row colliding with a prior-unique phash makes
+    BOTH cascade-decode)."""
+    import pyarrow.dataset as pads
+
+    parts = [
+        pads.dataset(p, format="parquet")
+        .to_table(columns=["phash"])["phash"]
+        .to_numpy(zero_copy_only=False)
+        for p in paths
+    ]
+    u, c = np.unique(np.concatenate(parts), return_counts=True)
+    return np.ascontiguousarray(u[c >= 2])
+
+
+def _col_uniques_impl(path: str, col: str) -> np.ndarray:
+    """Sorted unique values of one column (tiny async column read)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path, format="parquet").to_table(columns=[col])
+    vals = t[col].to_numpy(zero_copy_only=False)
+    return np.unique(vals)
+
+
 import ray as _ray
 
 _dup_phashes_task = _ray.remote(num_cpus=1)(_dup_phashes_impl)
+_dup_union_phashes_task = _ray.remote(num_cpus=1)(_dup_union_phashes_impl)
+_col_uniques_task = _ray.remote(num_cpus=1)(_col_uniques_impl)

@@ -96,3 +96,29 @@ def test_parser_defaults():
     args = build_parser().parse_args(["run", "--input", "x"])
     assert args.format == "human" and args.action == "none"
     assert args.min_size == 0 and not args.report_exit_code
+
+
+def test_incremental_mode_flags(corpus, tmp_path, capsys):
+    """--prior-input/--prior-checkpoint route through the incremental
+    pipeline; partial flags are a usage error."""
+    assert main(["run", "--input", corpus, "--prior-input", corpus,
+                 "--format", "quiet"]) == 2
+    ck = str(tmp_path / "ck")
+    assert main(["run", "--input", corpus, "--format", "quiet",
+                 "--checkpoint", ck]) == 0
+    # empty delta: reuse the corpus as its own (trivial) delta — the run
+    # must succeed and report the union (= corpus twice would double-count
+    # ids, so use a real empty delta instead)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(corpus).slice(0, 0)
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(t, empty)
+    rc = main(["run", "--input", empty, "--prior-input", corpus,
+               "--prior-checkpoint", ck, "--format", "json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    rep = _json.loads(out)
+    assert rep["stats"]["total_rows"] > 0
