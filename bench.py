@@ -250,12 +250,35 @@ def run_matrix() -> dict:
             "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}
 
 
-def run_incremental() -> dict:
-    """Incremental admission vs full re-run: the flagship corpus split 80/20,
-    prior side clustered+checkpointed (setup, untimed), then (a) the 20%
-    delta admitted via run_neardup_incremental and (b) a full run over the
-    union, both timed. The speedup is the scale story: incremental decode
-    work ∝ |delta|, full-run decode ∝ |corpus|."""
+# incremental-bench cells: (tag, rows, (img_min, img_max)). The flagship
+# cell shares the headline corpus; the decode-heavy cell uses larger images,
+# where decode dominates and the incremental decode-∝-|delta| story shows.
+INCR_CELLS = [
+    ("flagship", FLAGSHIP_ROWS, FLAGSHIP_IMG),
+    ("decode-heavy", 20_000, (160, 256)),
+    ("decode-bound", 10_000, (320, 512)),
+]
+
+
+def _incr_paths(rows: int, img: tuple[int, int]) -> dict:
+    cdir = f"/tmp/dedup_ray_bench_incr_{rows}_{img[0]}x{img[1]}"
+    return {
+        "cdir": cdir,
+        "corpus": os.path.join(cdir, "corpus", "images.parquet"),
+        "prior": os.path.join(cdir, "prior.parquet"),
+        "delta": os.path.join(cdir, "delta.parquet"),
+        "ck": os.path.join(cdir, "prior_ck"),
+    }
+
+
+def _incremental_phase(phase: str) -> dict:
+    """One phase of the incremental bench, run in its OWN process: same-
+    session reruns inherit object-store pressure from the previous phase and
+    measure 2-3x slow (the reason run_scaling uses fresh processes too)."""
+    rows = int(os.environ["DEDUP_INCR_ROWS"])
+    img = tuple(int(x) for x in os.environ["DEDUP_INCR_IMG"].split(","))
+    p = _incr_paths(rows, img)
+
     import ray
 
     ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
@@ -267,54 +290,94 @@ def run_incremental() -> dict:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    import shutil
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from dedup_ray.pipelines.incremental import run_neardup_incremental
     from dedup_ray.pipelines.neardup import run_neardup
-    from dedup_ray.sources.corpus import generate_corpus
 
-    cdir = f"/tmp/dedup_ray_bench_{FLAGSHIP_ROWS}_r{FLAGSHIP_DUP_RATIO}"
-    generate_corpus(cdir, scale="bench", n_rows=FLAGSHIP_ROWS, use_ray=True,
-                    img_min=FLAGSHIP_IMG[0], img_max=FLAGSHIP_IMG[1],
-                    dup_ratio=FLAGSHIP_DUP_RATIO)
-    corpus = os.path.join(cdir, "images.parquet")
-    idir = f"/tmp/dedup_ray_bench_incr_{FLAGSHIP_ROWS}"
-    shutil.rmtree(idir, ignore_errors=True)
-    os.makedirs(idir)
-    t = pq.read_table(corpus)
-    delta_mask = np.arange(t.num_rows) % 5 == 0
-    prior_p = os.path.join(idir, "prior.parquet")
-    delta_p = os.path.join(idir, "delta.parquet")
-    pq.write_table(t.filter(pa.array(~delta_mask)), prior_p, row_group_size=2048)
-    pq.write_table(t.filter(pa.array(delta_mask)), delta_p, row_group_size=2048)
-    del t
+    out: dict = {"phase": phase}
+    if phase == "setup":
+        import shutil
 
-    ck = os.path.join(idir, "prior_ck")
-    run_neardup(prior_p, checkpoint_dir=ck)  # standing corpus (setup)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-    t0 = time.time()
-    inc = run_neardup_incremental(prior_p, ck, delta_p)
-    incr_sec = round(time.time() - t0, 2)
-    t0 = time.time()
-    full = run_neardup(corpus)
-    full_sec = round(time.time() - t0, 2)
-    assert inc.stats == full.stats, (inc.stats, full.stats)
-    n_delta = int(delta_mask.sum())
+        from dedup_ray.sources.corpus import generate_corpus
+
+        # drop derived artifacts but KEEP the corpus dir — generate_corpus
+        # caches a finished corpus and regenerating GBs dominates setup time
+        for name in ("prior.parquet", "delta.parquet"):
+            try:
+                os.remove(os.path.join(p["cdir"], name))
+            except OSError:
+                pass
+        shutil.rmtree(p["ck"], ignore_errors=True)
+        generate_corpus(os.path.dirname(p["corpus"]), scale="bench", n_rows=rows,
+                        use_ray=True, img_min=img[0], img_max=img[1],
+                        dup_ratio=FLAGSHIP_DUP_RATIO)
+        t = pq.read_table(p["corpus"])
+        delta_mask = np.arange(t.num_rows) % 5 == 0
+        # small row groups: Ray parallelizes parquet reads per row group, and
+        # the delta file is 1/5 the corpus — coarse groups serialize its decode
+        pq.write_table(t.filter(pa.array(~delta_mask)), p["prior"],
+                       row_group_size=512)
+        pq.write_table(t.filter(pa.array(delta_mask)), p["delta"],
+                       row_group_size=512)
+        out["delta_rows"] = int(delta_mask.sum())
+        del t
+        run_neardup(p["prior"], checkpoint_dir=p["ck"])  # standing corpus
+    elif phase == "inc":
+        from dedup_ray.pipelines.incremental import run_neardup_incremental
+
+        t0 = time.time()
+        res = run_neardup_incremental(p["prior"], p["ck"], p["delta"])
+        out["sec"] = round(time.time() - t0, 2)
+        out["stats"] = res.stats
+    elif phase == "full":
+        t0 = time.time()
+        res = run_neardup(p["corpus"])
+        out["sec"] = round(time.time() - t0, 2)
+        out["stats"] = res.stats
     ray.shutdown()
+    return out
+
+
+def run_incremental() -> dict:
+    """Incremental admission vs full re-run, per INCR_CELLS cell: corpus
+    split 80/20, prior side clustered+checkpointed (setup, untimed), then
+    (a) the 20% delta admitted via run_neardup_incremental and (b) a full
+    run over the union, each timed in a FRESH process. The speedup is the
+    scale story: incremental decode work ∝ |delta|, full-run ∝ |corpus|."""
+
+    def spawn(phase: str, rows: int, img: tuple[int, int]) -> dict:
+        env = dict(os.environ, DEDUP_INCR_ROWS=str(rows),
+                   DEDUP_INCR_IMG=f"{img[0]},{img[1]}")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--incremental-phase", phase],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    cells = []
+    for tag, rows, img in INCR_CELLS:
+        setup = spawn("setup", rows, img)
+        inc = spawn("inc", rows, img)
+        full = spawn("full", rows, img)
+        assert inc["stats"] == full["stats"], (inc["stats"], full["stats"])
+        cells.append({
+            "cell": tag, "rows": rows, "img": list(img),
+            "incremental_sec": inc["sec"], "full_sec": full["sec"],
+            "speedup": round(full["sec"] / inc["sec"], 2),
+            "delta_rows": setup["delta_rows"],
+            "delta_rows_per_sec": round(setup["delta_rows"] / inc["sec"], 1),
+            "stats_equal": True,
+        })
+        print(json.dumps(cells[-1]), file=sys.stderr)
     return {
         "metric": "incremental_speedup",
-        "value": round(full_sec / incr_sec, 2),
+        "value": cells[0]["speedup"],
         "unit": "ratio",
-        "incremental_sec": incr_sec,
-        "full_sec": full_sec,
-        "delta_rows": n_delta,
-        "total_rows": FLAGSHIP_ROWS,
-        "delta_rows_per_sec": round(n_delta / incr_sec, 1),
-        "stats_equal": True,
+        "cells": cells,
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
     }
 
@@ -324,6 +387,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--matrix" in sys.argv:
         print(json.dumps(run_matrix()))
+    elif "--incremental-phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--incremental-phase") + 1]
+        print(json.dumps(_incremental_phase(phase)))
     elif "--incremental" in sys.argv:
         print(json.dumps(run_incremental()))
     else:

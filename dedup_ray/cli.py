@@ -97,7 +97,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         from dedup_ray.pipelines.incremental import run_neardup_incremental
 
         res = run_neardup_incremental(
-            args.prior_input, args.prior_checkpoint, args.input, cfg=cfg
+            args.prior_input, args.prior_checkpoint, args.input, cfg=cfg,
+            progress=args.progress,
         )
     elif args.prior_input or args.prior_checkpoint:
         print("error: incremental mode needs BOTH --prior-input and "

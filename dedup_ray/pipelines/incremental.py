@@ -25,8 +25,12 @@ Why the equality holds (each stage's incremental form is exact):
   resulting union keys table is row-identical to a full run's.
 * exact tier — recomputed over the union keys (digest-only shuffle: ids,
   hashes, captions — never bytes; the expensive decode is what we skipped).
-* signatures — recomputed per union rep (caption MinHash; orders of
-  magnitude cheaper than decode — reuse is the documented next step).
+* signatures — recomputed per union rep. Measured trade (round-2 profile,
+  50k rows / 32 CPUs): signing ALL union reps is 1.1 s of a 25 s run (~4%)
+  vs 8.7 s for the delta decode — per-rep MinHash is ~25 µs while decode is
+  ~3 ms/row, so recompute stays a rounding error at any scale with this
+  ratio. Replaying prior signatures would also need a per-class staleness
+  join (a delta member can dethrone a prior rep); not worth the machinery.
 * candidates/verify — only pairs touching a delta id are verified: a
   prior-prior candidate pair has identical (sig, phash, caption) inputs in
   both runs, so it was a candidate in the prior run and its verified edge is
@@ -57,6 +61,7 @@ from dedup_ray.stages.join import attach_pair_attrs
 from dedup_ray.stages.keys import (
     _col_uniques_task,
     _dup_union_phashes_task,
+    _rekey_scan_file_task,
     exact_keys_stage,
 )
 from dedup_ray.stages.lsh import lsh_candidates
@@ -66,16 +71,13 @@ from dedup_ray.stages.verify import verify_stage
 from dedup_ray.state.metrics import inc_counter, reset_counters, snapshot_counters
 
 
-def _is_sentinel(pixel_hash: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return pc.starts_with(pixel_hash, "nd:")
-
-
 def run_neardup_incremental(
     prior_input: str,
     prior_ckpt_dir: str,
     delta_input: str,
     cfg: DedupConfig | None = None,
     concurrency: int | tuple[int, int] = 4,
+    progress: bool = False,
 ) -> NearDupResult:
     """Cluster ``prior ∪ delta`` reusing ``prior_ckpt_dir`` (a completed
     ``run_neardup(prior_input, checkpoint_dir=...)``): prior decode output
@@ -83,6 +85,45 @@ def run_neardup_incremental(
     verification run for delta-touching work only."""
     cfg = cfg or DedupConfig()
     reset_counters()
+
+    import sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _tick(stage: str) -> None:
+        if progress:
+            print(f"[{_time.time() - _t0:7.1f}s] stage {stage} done",
+                  file=sys.stderr, flush=True)
+
+    # replaying keys/edges from a checkpoint built under a DIFFERENT config
+    # would be silently wrong (other thresholds -> other edges); refuse, the
+    # same contract as Checkpointer's config-hash invalidation.
+    import json
+
+    manifest_p = os.path.join(prior_ckpt_dir, "manifest.json")
+    try:
+        with open(manifest_p) as f:
+            stages = json.load(f)["stages"]
+    except (OSError, ValueError, KeyError) as e:
+        raise ValueError(
+            f"{prior_ckpt_dir} is not a completed run_neardup checkpoint "
+            f"(missing/unreadable manifest.json)"
+        ) from e
+    for need in ("keys", "edges_near"):
+        ent = stages.get(need)
+        if ent is None:
+            raise ValueError(
+                f"prior checkpoint lacks completed stage {need!r}; run "
+                f"run_neardup({prior_input!r}, checkpoint_dir=...) to the end first"
+            )
+        got = ent.get("config_hash")
+        if got is not None and got != cfg.config_hash():
+            raise ValueError(
+                f"prior checkpoint stage {need!r} was built under config hash "
+                f"{got}, incremental run uses {cfg.config_hash()}; rebuild the "
+                f"prior checkpoint or pass the matching DedupConfig"
+            )
 
     # async pre-passes — tiny single-column reads that overlap the delta read
     union_dup_ref = (
@@ -93,44 +134,43 @@ def run_neardup_incremental(
     delta_ph_ref = _col_uniques_task.remote(delta_input, "phash")
     delta_id_ref = _col_uniques_task.remote(delta_input, "image_id")
 
-    # ---- delta keys: the only full decode in the pipeline -----------------
+    # ---- rekey pre-scan: one remote task per prior-keys checkpoint file,
+    # launched BEFORE the delta decode so the two overlap fully (the round-2
+    # profile showed a 4 s driver barrier here at 50k rows) ------------------
+    keys_dir = os.path.join(prior_ckpt_dir, "keys")
+    rekey_refs = []
+    if cfg.cascade_decode:
+        # flat stage dir or partitioned_stage chunk subdirs — walk both
+        key_files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(keys_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        rekey_refs = [
+            _rekey_scan_file_task.remote(f, delta_ph_ref) for f in key_files
+        ]
+
+    # ---- delta keys: the only full decode in the pipeline. LAZY: the only
+    # driver barrier before the fused exact tier is the (cheap, plain-task)
+    # rekey scan below, so the decode streams straight into the union
+    # shuffle together with the prior-keys replay read — one overlapped
+    # graph, mirroring run_neardup's shape. -------------------------------
     delta_keys = exact_keys_stage(
         read_table(delta_input), cfg, dup_ref=union_dup_ref
     )
 
     # ---- prior keys: replay; re-decode ONLY invalidated cascade sentinels -
-    prior_keys = rd.read_parquet(os.path.join(prior_ckpt_dir, "keys"))
+    prior_keys = rd.read_parquet(keys_dir)
     rekey_ids = np.empty(0, dtype=object)
-    if cfg.cascade_decode:
-        delta_ph = np.sort(ray.get(delta_ph_ref))
-
-        def mark_rekey(b: pa.Table) -> pa.Table:
-            ph = b["phash"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(delta_ph, ph)
-            pos[pos >= delta_ph.size] = max(delta_ph.size - 1, 0)
-            hit = (delta_ph[pos] == ph) if delta_ph.size else np.zeros(len(ph), bool)
-            sent = _is_sentinel(b["pixel_hash"]).to_numpy(zero_copy_only=False)
-            return pa.table(
-                {"image_id": b["image_id"].filter(pa.array(hit & sent))}
-            )
-
+    if rekey_refs:
         # bounded driver materialization: ids of prior SENTINEL rows whose
         # phash collides with the delta — at most |delta| phash groups' worth
-        parts = [
-            t
-            for t in ray.get(
-                prior_keys.map_batches(mark_rekey, batch_format="pyarrow")
-                .to_arrow_refs()
-            )
-            if t.num_rows and "image_id" in t.column_names
-        ]
+        parts = [a for a in ray.get(rekey_refs) if a.size]
         if parts:
-            rekey_ids = np.sort(
-                np.asarray(
-                    pa.concat_tables(parts)["image_id"].to_pylist(), dtype=object
-                )
-            )
+            rekey_ids = np.sort(np.concatenate(parts))
         inc_counter("incremental_rekeyed_rows", int(rekey_ids.size))
+        _tick("rekey_scan")
 
     def drop_rekeyed(b: pa.Table) -> pa.Table:
         if rekey_ids.size == 0:
@@ -156,8 +196,10 @@ def run_neardup_incremental(
 
     # ---- union exact tier (digest-only shuffle, no decode) ----------------
     fused = exact_tier(keys).materialize()
+    _tick("union_exact_tier")
     edges_exact, reps, sizes = split_exact_tier(fused)
     sigs = signatures_stage(reps, cfg, concurrency).materialize()
+    _tick("signatures")
 
     # ---- candidates: verify delta-touching pairs only ---------------------
     delta_ids = np.sort(ray.get(delta_id_ref).astype(object))
@@ -189,11 +231,14 @@ def run_neardup_incremental(
     # ---- replayed prior near edges + fresh edges -> clusters --------------
     prior_near = rd.read_parquet(os.path.join(prior_ckpt_dir, "edges_near"))
     edges = edges_exact.union(near_new.materialize()).union(prior_near)
+    _tick("verify")
     clusters = cluster_stage(edges, cfg).materialize()
+    _tick("clusters")
 
     total_rows = read_table(prior_input).count() + read_table(delta_input).count()
     counters = snapshot_counters()
     stats = cluster_stats(clusters, sizes, total_rows)
+    _tick("stats")
     return NearDupResult(
         clusters=clusters,
         stats=stats,

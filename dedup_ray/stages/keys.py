@@ -329,8 +329,33 @@ def _col_uniques_impl(path: str, col: str) -> np.ndarray:
     return np.unique(vals)
 
 
+def _rekey_scan_file_impl(path: str, delta_phashes: np.ndarray) -> np.ndarray:
+    """Incremental pre-pass, one prior-keys checkpoint file: ids of cascade
+    SENTINEL rows whose phash collides with the delta (these must re-decode).
+    Runs as one remote task per file so the whole scan overlaps the delta
+    decode — no driver barrier until the ids are actually needed."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path, format="parquet").to_table(
+        columns=["image_id", "phash", "pixel_hash"]
+    )
+    ph = t["phash"].to_numpy(zero_copy_only=False)
+    dp = np.sort(delta_phashes)
+    if dp.size == 0 or len(ph) == 0:
+        return np.empty(0, dtype=object)
+    pos = np.searchsorted(dp, ph)
+    pos[pos >= dp.size] = dp.size - 1
+    hit = dp[pos] == ph
+    sent = pa.compute.starts_with(t["pixel_hash"], "nd:").to_numpy(
+        zero_copy_only=False
+    )
+    ids = t["image_id"].filter(pa.array(hit & sent)).to_pylist()
+    return np.asarray(ids, dtype=object)
+
+
 import ray as _ray
 
 _dup_phashes_task = _ray.remote(num_cpus=1)(_dup_phashes_impl)
 _dup_union_phashes_task = _ray.remote(num_cpus=1)(_dup_union_phashes_impl)
 _col_uniques_task = _ray.remote(num_cpus=1)(_col_uniques_impl)
+_rekey_scan_file_task = _ray.remote(num_cpus=1)(_rekey_scan_file_impl)

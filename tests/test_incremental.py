@@ -60,6 +60,21 @@ def test_incremental_rekeys_invalidated_sentinels(split_corpus, tmp_path):
     assert inc.counters.get("incremental_rekeyed_rows", 0) > 0
 
 
+def test_incremental_rejects_mismatched_checkpoint(split_corpus, tmp_path):
+    """A prior checkpoint built under a different config must be refused —
+    replaying its keys/edges under new thresholds would be silently wrong."""
+    from dedup_ray.config import DedupConfig
+
+    prior_p, delta_p, _ = split_corpus
+    ck = str(tmp_path / "ck_cfg")
+    run_neardup(prior_p, checkpoint_dir=ck)
+    other = DedupConfig(jaccard_threshold=0.99)
+    with pytest.raises(ValueError, match="config hash"):
+        run_neardup_incremental(prior_p, ck, delta_p, cfg=other)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_neardup_incremental(prior_p, str(tmp_path / "nope"), delta_p)
+
+
 def test_incremental_empty_delta(split_corpus, tmp_path):
     """An empty delta must reproduce the prior clustering exactly."""
     prior_p, _, _ = split_corpus
