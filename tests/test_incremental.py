@@ -60,6 +60,32 @@ def test_incremental_rekeys_invalidated_sentinels(split_corpus, tmp_path):
     assert inc.counters.get("incremental_rekeyed_rows", 0) > 0
 
 
+def test_incremental_multishard_prior(split_corpus, tmp_path):
+    """Prior input as a DIRECTORY of part files: the prior run takes the
+    per-partition (chunked) checkpoint path, so the keys stage lands in
+    chunkNNNNN/ subdirs — the incremental rekey scan must walk them, and
+    the union must still equal the full run."""
+    from dedup_ray.config import DedupConfig
+
+    prior_p, delta_p, full = split_corpus
+    t = pq.read_table(prior_p)
+    shard_dir = tmp_path / "prior_shards"
+    shard_dir.mkdir()
+    n = t.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), str(shard_dir / f"part-{i}.parquet"))
+    cfg = DedupConfig(ckpt_chunk_files=2)  # 4 shards -> 2 checkpoint chunks
+    ck = str(tmp_path / "ck_shards")
+    run_neardup(str(shard_dir), cfg=cfg, checkpoint_dir=ck)
+    assert any((tmp_path / "ck_shards" / "keys").glob("chunk*"))
+
+    inc = run_neardup_incremental(str(shard_dir), ck, delta_p, cfg=cfg)
+    ref = run_neardup(full, cfg=cfg)
+    assert _clusters_df(inc).equals(_clusters_df(ref))
+    assert inc.counters.get("incremental_rekeyed_rows", 0) > 0
+
+
 def test_incremental_rejects_mismatched_checkpoint(split_corpus, tmp_path):
     """A prior checkpoint built under a different config must be refused —
     replaying its keys/edges under new thresholds would be silently wrong."""
