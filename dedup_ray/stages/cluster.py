@@ -133,10 +133,12 @@ def _checksum(ds: rd.Dataset) -> tuple[int, int]:
     import zlib
 
     def h(b: pa.Table) -> pa.Table:
-        # process-independent checksum (python hash() varies per worker)
+        # process-independent checksum (python hash() varies per worker);
+        # length-prefixed so ids containing any delimiter can't alias two
+        # different edge sets into one sum (early-terminating the fixpoint)
         a = np.array(
             [
-                zlib.crc32(f"{x}|{y}".encode())
+                zlib.crc32(f"{len(x)}\x00{x}{y}".encode())
                 for x, y in zip(b["u"].to_pylist(), b["v"].to_pylist())
             ],
             dtype=np.int64,
