@@ -73,12 +73,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         base = os.path.dirname(full.rstrip("/"))  # the corpus cache dir
         prior_p = os.path.join(base, "images_prior.parquet")
         delta_p = os.path.join(base, "images_delta.parquet")
-        if not (os.path.exists(prior_p) and os.path.exists(delta_p)):
+        ck = os.path.join(base, "prior_ck")
+        # derived artifacts are only valid for THIS corpus generation: a
+        # regenerated corpus (generator version bump) must invalidate the
+        # splits AND the prior checkpoint or stale rows replay silently
+        corpus_mtime = os.path.getmtime(full)
+        stale = not (
+            os.path.exists(prior_p)
+            and os.path.exists(delta_p)
+            and os.path.getmtime(prior_p) >= corpus_mtime
+            and os.path.getmtime(delta_p) >= corpus_mtime
+        )
+        if stale:
+            import shutil
+
+            shutil.rmtree(ck, ignore_errors=True)
             t = pq.read_table(full)
             delta_mask = np.arange(t.num_rows) % 5 == 0
             pq.write_table(t.filter(pa.array(~delta_mask)), prior_p, row_group_size=512)
             pq.write_table(t.filter(pa.array(delta_mask)), delta_p, row_group_size=512)
-        ck = os.path.join(base, "prior_ck")
         run_neardup(prior_p, checkpoint_dir=ck)  # cached: resumes instantly
         return run_neardup_incremental(prior_p, ck, delta_p).clusters
 

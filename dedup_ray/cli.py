@@ -94,6 +94,11 @@ def cmd_run(args: argparse.Namespace) -> int:
         include=include, exclude=exclude,
     )
     if args.prior_input and args.prior_checkpoint:
+        if args.checkpoint:
+            print("error: --checkpoint is not supported in incremental mode "
+                  "(the incremental run replays --prior-checkpoint and does "
+                  "not write one)", file=sys.stderr)
+            return 2
         from dedup_ray.pipelines.incremental import run_neardup_incremental
 
         res = run_neardup_incremental(

@@ -133,14 +133,24 @@ def phash_band_pair_keys(phash: np.ndarray, n_bands: int) -> np.ndarray:
 # ---------------------------------------------------------------- shingles
 
 
+def _codepoints(text: str) -> np.ndarray:
+    """Unicode codepoints as uint32, vectorized (no Python char loop).
+
+    All text hashing works on CODEPOINTS, not UTF-8 bytes, so k-gram
+    positions/lengths match character semantics and the DuckDB oracles'
+    ``ord(substr(t, i, 1))`` reproduces the exact same values for any
+    unicode text, not just ASCII."""
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
 def char_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """uint64 polynomial rolling hashes of all k-char shingles (UTF-8 bytes).
+    """uint64 polynomial rolling hashes of all k-char shingles (codepoints).
 
     Fully vectorized: sliding windows x precomputed base powers, mod 2^64 via
     natural uint64 wraparound. Deterministic across processes. Returns the
     UNIQUE shingle hash set (set semantics for Jaccard).
     """
-    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    raw = _codepoints(text)
     if raw.size < k:
         return np.empty(0, dtype=np.uint64)
     powers = _shingle_powers(k)
@@ -229,7 +239,7 @@ def winnow_fingerprints(text: str, gram_len: int, window: int) -> np.ndarray:
     generator AND (with an exact LCS verify) part of its relation definition,
     shared with the oracle. Returns unique uint64 fingerprints.
     """
-    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    raw = _codepoints(text)
     n = raw.size - gram_len + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
@@ -272,12 +282,14 @@ def token_hashes(text: str) -> np.ndarray:
 
     Stable across processes AND SQL-expressible: the DuckDB oracle for
     ``simhash_near_pairs`` recomputes the exact same hash with a
-    ``list_reduce`` over token bytes. Vectorized across tokens (sequential
-    only over byte position, bounded by the longest token)."""
+    ``list_reduce`` over token CODEPOINTS (``ord(substr(t,i,1))``) — FNV-1a
+    folded per character, which matches this implementation for any unicode
+    text. Vectorized across tokens (sequential only over character
+    position, bounded by the longest token)."""
     toks = text.split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    raws = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in toks]
+    raws = [_codepoints(t) for t in toks]
     lens = np.array([r.size for r in raws])
     mat = np.zeros((len(toks), int(lens.max())), dtype=np.uint64)
     for i, r in enumerate(raws):

@@ -326,15 +326,12 @@ def embedding_neardup_lsh(
         keyed, "bkey", verified_pairs_of_runs, sort_cols=["bkey", "vec_id"]
     )
 
-    def dedup_pairs(g: pa.Table) -> pa.Table:  # g sorted by (a, b)
-        a = g["a"].to_numpy(zero_copy_only=False)
-        b = g["b"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return g
-        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        return g.filter(pa.array(keep))
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs
 
-    out = grouped_runs(pairs, "a", dedup_pairs, sort_cols=["a", "b"]).to_pandas()
+    out = grouped_runs(
+        pairs, "a", lambda g: drop_sorted_dup_pairs(g, "a", "b"),
+        sort_cols=["a", "b"],
+    ).to_pandas()
     if "a" not in out.columns:  # no collisions anywhere -> schema dropped
         return pd.DataFrame(columns=["a", "b"]).astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")

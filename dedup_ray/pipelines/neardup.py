@@ -108,19 +108,22 @@ def run_neardup(
         # hoisted to one async task shared by every chunk.
         from dedup_ray.stages.keys import _dup_phashes_task
 
-        dup_ref = (
-            _dup_phashes_task.remote(input_path) if cfg.cascade_decode else None
-        )
+        # submitted LAZILY on the first chunk that actually recomputes: a
+        # fully-checkpointed resume must not pay the whole-corpus phash scan
+        _dup_box: list = []
+
+        def _chunk_fn(paths: list[str]) -> rd.Dataset:
+            if cfg.cascade_decode and not _dup_box:
+                _dup_box.append(_dup_phashes_task.remote(input_path))
+            return exact_keys_stage(
+                read_table(paths), cfg, dup_ref=_dup_box[0] if _dup_box else None
+            )
+
         chunks = [
             shards[i : i + cfg.ckpt_chunk_files]
             for i in range(0, len(shards), cfg.ckpt_chunk_files)
         ]
-        keys = ckpt.partitioned_stage(
-            "keys",
-            chunks,
-            lambda paths: exact_keys_stage(read_table(paths), cfg, dup_ref=dup_ref),
-            ("input",),
-        )
+        keys = ckpt.partitioned_stage("keys", chunks, _chunk_fn, ("input",))
     else:
         keys = ckpt.stage(
             "keys",

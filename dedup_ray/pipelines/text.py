@@ -463,21 +463,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.D
     # dedup candidates (a pair appears once per shared prefix token): key on
     # src_id co-locates all copies; drop consecutive duplicates of the
     # (src,dst)-sorted runs — vectorized, no delimiter-join pair keys
-    def dedup_pairs(g: pa.Table) -> pa.Table:
-        a = g["src_id"].to_numpy(zero_copy_only=False)
-        b_ = g["dst_id"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.schema([("src_id", pa.int64()), ("dst_id", pa.int64())]).empty_table()
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = ~((a[1:] == a[:-1]) & (b_[1:] == b_[:-1]))
-        return pa.table(
-            {
-                "src_id": pa.array(a[keep], type=pa.int64()),
-                "dst_id": pa.array(b_[keep], type=pa.int64()),
-            }
-        )
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs
 
-    deduped = grouped_runs(cand, "src_id", dedup_pairs, sort_cols=["src_id", "dst_id"])
+    deduped = grouped_runs(
+        cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
+        sort_cols=["src_id", "dst_id"],
+    )
     withsets = attach_pair_attrs(deduped, sets_ds.map_batches(to_ids, batch_format="pyarrow"),
                                  ["tok_ids"])
 

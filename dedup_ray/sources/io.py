@@ -69,11 +69,7 @@ def read_view(path: str, columns: list[str] | None = None, **kwargs) -> rd.Datas
     if not HAVE_LANCE and "schema" not in kwargs:
         import pyarrow.parquet as pq
 
-        f = path
-        if os.path.isdir(path):
-            names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
-            if names:
-                f = os.path.join(path, names[0])
+        f = list_shards(path)[0]
         try:
             schema = pq.read_schema(f).remove_metadata()
             if columns:

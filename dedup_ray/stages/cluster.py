@@ -152,19 +152,12 @@ def _checksum(ds: rd.Dataset) -> tuple[int, int]:
 
 def _dedup_sorted_pairs(g: pa.Table) -> pa.Table:
     """Drop consecutive duplicate (cluster_id, image_id) rows of a bucket
-    sorted by both columns — vectorized pair dedup, no per-group Python."""
-    c = np.asarray(g["cluster_id"].to_pylist(), dtype=object)
-    i = np.asarray(g["image_id"].to_pylist(), dtype=object)
-    if len(c) == 0:
+    sorted by both columns (shared kernel in stages/grouped.py)."""
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs
+
+    if g.num_rows == 0:
         return CLUSTER_SCHEMA.empty_table()
-    keep = np.ones(len(c), dtype=bool)
-    keep[1:] = ~((c[1:] == c[:-1]) & (i[1:] == i[:-1]))
-    return pa.table(
-        {
-            "cluster_id": pa.array(list(c[keep]), type=pa.string()),
-            "image_id": pa.array(list(i[keep]), type=pa.string()),
-        }
-    )
+    return drop_sorted_dup_pairs(g, "cluster_id", "image_id")
 
 
 def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:

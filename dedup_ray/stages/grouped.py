@@ -83,3 +83,29 @@ def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     neq = sorted_keys[1:] != sorted_keys[:-1]
     return np.concatenate([[0], np.flatnonzero(neq) + 1])
+
+
+def merge_partial_counts(
+    keys: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge concatenated per-block (key, n) partial counts into
+    (unique_sorted_keys, totals) — the driver-side tail of the
+    partial-agg-then-merge pattern (shared by the cascade dup-phash pre-pass
+    and LSH hot-bucket detection)."""
+    u, inv = np.unique(keys, return_inverse=True)
+    tot = np.zeros(u.size, dtype=np.int64)
+    np.add.at(tot, inv, counts)
+    return u, tot
+
+
+def drop_sorted_dup_pairs(g: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Drop consecutive duplicate (a, b) rows of a table sorted by BOTH
+    columns — the vectorized pair-dedup kernel shared by the candidate-pair
+    / cluster-row dedup stages (one copy, one fix; round-2 review)."""
+    a = g[a_col].to_numpy(zero_copy_only=False)
+    b = g[b_col].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return g
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = ~((a[1:] == a[:-1]) & (b[1:] == b[:-1]))
+    return g.filter(pa.array(keep))

@@ -138,12 +138,24 @@ def _glob_regex(pat: str):
             out.append("[^/]")
             i += 1
         elif c == "[":
-            j = pat.find("]", i + 1)
+            # glob classes negate with '!', regex with '^'; translate (and a
+            # ']' first in the class is a literal member, as in fnmatch)
+            k = i + 1
+            if k < n and pat[k] == "!":
+                k += 1
+            if k < n and pat[k] == "]":
+                k += 1
+            j = pat.find("]", k)
             if j == -1:
                 out.append(re.escape(c))
                 i += 1
             else:
-                out.append(pat[i : j + 1])
+                inner = pat[i + 1 : j]
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                elif inner.startswith("^"):
+                    inner = "\\^" + inner[1:]
+                out.append("[" + inner + "]")
                 i = j + 1
         else:
             out.append(re.escape(c))
@@ -258,12 +270,13 @@ def exact_keys_stage(
                 if t.num_rows and "phash" in t.column_names
             ]
             if parts:
+                from dedup_ray.stages.grouped import merge_partial_counts
+
                 merged = pa.concat_tables(parts)
-                ph = merged["phash"].to_numpy(zero_copy_only=False)
-                cnt = merged["n"].to_numpy(zero_copy_only=False)
-                u, inv = np.unique(ph, return_inverse=True)
-                tot = np.zeros(u.size, dtype=np.int64)
-                np.add.at(tot, inv, cnt)
+                u, tot = merge_partial_counts(
+                    merged["phash"].to_numpy(zero_copy_only=False),
+                    merged["n"].to_numpy(zero_copy_only=False),
+                )
                 dup = u[tot >= 2]  # np.unique output is already sorted
             else:
                 dup = np.empty(0, dtype=np.int64)

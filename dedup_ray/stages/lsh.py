@@ -236,12 +236,13 @@ def _salt_hot_buckets(buckets: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     ]
     if not parts:
         return buckets
+    from dedup_ray.stages.grouped import merge_partial_counts
+
     merged = pa.concat_tables(parts)
-    cu = merged["combo"].to_numpy(zero_copy_only=False)
-    cn = merged["n"].to_numpy(zero_copy_only=False)
-    u, inv = np.unique(cu, return_inverse=True)
-    tot = np.zeros(u.size, dtype=np.int64)
-    np.add.at(tot, inv, cn)
+    u, tot = merge_partial_counts(
+        merged["combo"].to_numpy(zero_copy_only=False),
+        merged["n"].to_numpy(zero_copy_only=False),
+    )
     hot_mask = tot > cfg.bucket_pair_cap
     if not hot_mask.any():
         return buckets

@@ -116,6 +116,14 @@ class Checkpointer:
         os.makedirs(base, exist_ok=True)
         entry = self.manifest["stages"].get(name)
         if entry is None or "chunks" not in entry:
+            # converting a flat stage() layout (or an unknown dir) to chunked:
+            # stale flat part files next to chunkNNNNN/ dirs would be picked
+            # up by consumers that read the whole directory (incremental's
+            # rd.read_parquet/os.walk) — clear anything that isn't a chunk
+            for leftover in os.listdir(base):
+                if not leftover.startswith("chunk"):
+                    p = os.path.join(base, leftover)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
             entry = {
                 "partitioned": True,
                 "chunks": {},

@@ -122,3 +122,7 @@ def test_incremental_mode_flags(corpus, tmp_path, capsys):
 
     rep = _json.loads(out)
     assert rep["stats"]["total_rows"] > 0
+    # --checkpoint is meaningless in incremental mode: reject, don't ignore
+    assert main(["run", "--input", empty, "--prior-input", corpus,
+                 "--prior-checkpoint", ck, "--checkpoint",
+                 str(tmp_path / "ck2"), "--format", "quiet"]) == 2

@@ -78,3 +78,15 @@ def test_exclude_file_patterns_mix():  # glob_pattern.rs:431
     kept = _kept(ids, include=["*.rs", "*.txt"],
                  exclude=["test_*.rs", "node_modules"])
     assert kept == ["main.rs", "lib.rs", "readme.txt"]
+
+
+def test_negated_character_class():
+    """Glob [!...] must translate to regex [^...] — the raw passthrough
+    inverted the semantics (round-2 review finding, verified vs fnmatch)."""
+    import fnmatch
+
+    ids = ["f1.txt", "fa.txt", "f!.txt", "f^.txt"]
+    for pat in ["f[!0-9].txt", "f[0-9].txt", "f[]!].txt", "f[!]a].txt"]:
+        got = glob_keep_mask(ids, [pat], [])
+        want = [fnmatch.fnmatchcase(i, pat) for i in ids]
+        assert got == want, (pat, got, want)

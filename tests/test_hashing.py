@@ -132,3 +132,30 @@ def test_simhash_locality():
     d_ac = hamming64(np.array([a]), np.array([c]))[0]
     assert d_ab < d_ac
     assert simhash64(token_hashes("")) == 0
+
+
+def test_token_fnv_matches_duckdb_on_unicode():
+    """The SQL oracles hash per-character CODEPOINTS (ord(substr(t,i,1)));
+    the Python kernels must produce the same values for non-ASCII text,
+    not just ASCII (round-2 review finding)."""
+    import duckdb
+
+    fnv = (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+        "list_transform(range(1, length(t)+1), i -> CAST(ord(substr(t,i,1)) AS UBIGINT))), "
+        "(a,b) -> CAST((CAST(xor(a,b) AS HUGEINT) * 1099511628211) % "
+        f"{1 << 64} AS UBIGINT))"
+    )
+    for tok in ["hello", "café", "naïve", "日本語", "🦆duck"]:
+        got = duckdb.sql(
+            f"SELECT {fnv} AS h FROM (SELECT ? AS t)", params=[tok]
+        ).fetchone()[0]
+        want = int(token_hashes(tok)[0])
+        assert got == want, tok
+
+
+def test_char_shingles_codepoint_positions():
+    """k counts CHARACTERS (codepoints): a 4-char non-ASCII string has
+    exactly one 4-shingle even though it is >4 UTF-8 bytes."""
+    assert char_shingle_hashes("café", 4).size == 1
+    assert char_shingle_hashes("caf", 4).size == 0
