@@ -61,6 +61,30 @@ def connected_components(edges: Iterable[tuple[str, str]]) -> dict[str, str]:
     return uf.components()
 
 
+def cc_codes(a, b, n):
+    """Vectorized connected components over integer-coded endpoints: min-code
+    hooking + pointer jumping (C-speed). ``a``/``b`` are equal-length int
+    arrays of node codes in [0, n); returns ``parent`` where parent[i] is
+    the minimum CODE in i's component (a canonical root under whatever order
+    the coding imposes — callers wanting min-LABEL roots re-rank after)."""
+    import numpy as np
+
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        pa_, pb_ = parent[a], parent[b]
+        hi = np.maximum(pa_, pb_)
+        lo = np.minimum(pa_, pb_)
+        np.minimum.at(parent, hi, lo)
+        while True:  # pointer jumping to idempotence
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if (parent[a] == parent[b]).all():
+            break
+    return parent
+
+
 def connected_components_np(src, dst):
     """Vectorized connected components: min-label hooking + pointer jumping
     (C-speed; ~10x the pure-Python union-find on 10^5+ edges).
@@ -75,18 +99,6 @@ def connected_components_np(src, dst):
 
     both = np.concatenate([np.asarray(src), np.asarray(dst)])
     nodes, inv = np.unique(both, return_inverse=True)
-    a, b = inv[: len(src)], inv[len(src):]
-    parent = np.arange(len(nodes), dtype=np.int64)
-    while True:
-        pa_, pb_ = parent[a], parent[b]
-        hi = np.maximum(pa_, pb_)
-        lo = np.minimum(pa_, pb_)
-        np.minimum.at(parent, hi, lo)
-        while True:  # pointer jumping to idempotence
-            pp = parent[parent]
-            if np.array_equal(pp, parent):
-                break
-            parent = pp
-        if (parent[a] == parent[b]).all():
-            break
+    # codes ARE label ranks (np.unique sorts), so min code == min label
+    parent = cc_codes(inv[: len(src)], inv[len(src):], len(nodes))
     return nodes, parent

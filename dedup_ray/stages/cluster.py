@@ -40,11 +40,15 @@ CLUSTER_SCHEMA = pa.schema([("cluster_id", pa.string()), ("image_id", pa.string(
 def _driver_unionfind(edges: rd.Dataset, max_edges: int | None = None) -> rd.Dataset | None:
     """Stream edges once, then run vectorized min-label connected components.
     Returns None if ``max_edges`` is exceeded mid-stream (caller falls back to
-    the distributed algorithm) — avoids a separate count() pass."""
-    from dedup_ray.functions.unionfind import connected_components_np
+    the distributed algorithm) — avoids a separate count() pass.
 
-    src_parts: list[np.ndarray] = []
-    dst_parts: list[np.ndarray] = []
+    The node table never leaves Arrow: endpoints are dictionary-encoded
+    (C++), components run over the int codes, and min-LABEL cluster ids are
+    recovered by ranking the dictionary once — no per-string Python
+    (to_pylist of 10^5+ ids was ~half this stage's wall)."""
+    from dedup_ray.functions.unionfind import cc_codes
+
+    parts: list[pa.Table] = []
     seen = 0
     for batch in edges.select_columns(["src_id", "dst_id"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
@@ -52,23 +56,36 @@ def _driver_unionfind(edges: rd.Dataset, max_edges: int | None = None) -> rd.Dat
         seen += batch.num_rows
         if max_edges is not None and seen > max_edges:
             return None
-        src_parts.append(np.asarray(batch["src_id"].to_pylist(), dtype=object))
-        dst_parts.append(np.asarray(batch["dst_id"].to_pylist(), dtype=object))
+        parts.append(batch)
     if seen == 0:
         return rd.from_arrow(CLUSTER_SCHEMA.empty_table())
-    nodes, root = connected_components_np(
-        np.concatenate(src_parts), np.concatenate(dst_parts)
+    t = pa.concat_tables(parts)
+    both = pa.concat_arrays(
+        [t["src_id"].combine_chunks(), t["dst_id"].combine_chunks()]
     )
+    enc = pc.dictionary_encode(both)  # codes in first-occurrence order
+    codes = enc.indices.to_numpy().astype(np.int64)
+    nodes = enc.dictionary  # unique node labels (StringArray)
+    n = len(nodes)
+    parent = cc_codes(codes[:seen], codes[seen:], n)
+    # parent holds each component's min CODE; re-label to min LABEL: rank the
+    # dictionary (one C++ string sort), take the min rank per component.
+    order = pc.sort_indices(nodes).to_numpy().astype(np.int64)  # rank -> code
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)  # code -> rank
+    min_rank = np.full(n, n, dtype=np.int64)
+    np.minimum.at(min_rank, parent, rank)
+    rep_code = order[min_rank[parent]]  # per node: code of min member label
     table = pa.table(
         {
-            "cluster_id": pa.array(list(nodes[root]), type=pa.string()),
-            "image_id": pa.array(list(nodes), type=pa.string()),
+            "cluster_id": nodes.take(pa.array(rep_code)),
+            "image_id": nodes,
         }
     )
-    order = pc.sort_indices(
+    sorted_idx = pc.sort_indices(
         table, sort_keys=[("cluster_id", "ascending"), ("image_id", "ascending")]
     )
-    return rd.from_arrow(table.take(order))
+    return rd.from_arrow(table.take(sorted_idx))
 
 
 # ------------------------------------------------------- distributed star
