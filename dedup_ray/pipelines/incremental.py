@@ -224,7 +224,7 @@ def run_neardup_incremental(
             delta_touching, batch_format="pyarrow"
         )
         attrs = attach_pair_attrs(
-            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption"]
+            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"]
         )
         near_new = verify_stage(attrs, cfg, concurrency)
 

@@ -146,7 +146,7 @@ def run_neardup(
         if sigs.count() == 0:  # e.g. filters removed every row
             return rd.from_arrow(EDGE_SCHEMA.empty_table())
         attrs = attach_pair_attrs(
-            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption"]
+            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"]
         )
         return verify_stage(attrs, cfg, concurrency)
 

@@ -41,7 +41,7 @@ import ray
 import ray.data as rd
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.functions.hashing import band_keys, phash_band_pair_keys, winnow_fingerprints
+from dedup_ray.functions.hashing import band_keys, phash_band_pair_keys
 from dedup_ray.stages.signatures import sigs_from_arrow
 from dedup_ray.state.metrics import inc_counter
 
@@ -85,16 +85,19 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     out_idx.append(np.repeat(np.arange(n), n_combo))
     out_gen.append(np.ones(n * n_combo, dtype=np.int8))
 
-    # --- winnowed substring anchors (long captions only)
-    caps = batch["caption"].to_pylist()
-    for i, cap in enumerate(caps):
-        if cap and len(cap) >= cfg.substring_caption_min:
-            fp = winnow_fingerprints(cap, cfg.substring_min_len, cfg.winnow_window)
-            if fp.size:
-                out_band.append(np.full(fp.size, 2000, dtype=np.int32))
-                out_key.append(fp.view(np.int64))
-                out_idx.append(np.full(fp.size, i, dtype=np.int64))
-                out_gen.append(np.full(fp.size, 2, dtype=np.int8))
+    # --- winnowed substring anchors (long captions only): the fingerprints
+    # were computed ONCE in the signatures stage; explode is a zero-Python
+    # flatten of the list column (empty below the caption-length gate)
+    fp_col = batch["winnow_fp"]
+    if isinstance(fp_col, pa.ChunkedArray):
+        fp_col = fp_col.combine_chunks()
+    flat_fp = fp_col.flatten().to_numpy(zero_copy_only=False)
+    if flat_fp.size:
+        fp_lens = fp_col.value_lengths().to_numpy(zero_copy_only=False)
+        out_band.append(np.full(flat_fp.size, 2000, dtype=np.int32))
+        out_key.append(flat_fp)
+        out_idx.append(np.repeat(np.arange(n), fp_lens))
+        out_gen.append(np.full(flat_fp.size, 2, dtype=np.int8))
 
     band = np.concatenate(out_band)
     key = np.concatenate(out_key)
@@ -172,24 +175,39 @@ def _pairs_from_runs(cap: int, phash_hamming_max: int):
         src_parts, dst_parts = [], []
         capped = 0
         capped_rows = 0
-        for r in np.flatnonzero(sizes >= 2):
+        # triu pairs for every in-cap run at once, batched BY RUN SIZE: one
+        # triu_indices + one fancy-index per distinct size (<= cap distinct
+        # values) instead of one Python iteration per run — the per-run loop
+        # was ~70 CPU-s at 1.2M candidate pairs
+        in_cap = (sizes >= 2) & (sizes <= cap)
+        if in_cap.any():
+            offs_all = bounds[:-1][in_cap]
+            sz_all = sizes[in_cap]
+            for s in np.unique(sz_all):
+                offs = offs_all[sz_all == s]
+                iu, ju = np.triu_indices(int(s), 1)
+                gi = (offs[:, None] + iu[None, :]).ravel()
+                gj = (offs[:, None] + ju[None, :]).ravel()
+                # runs are gen-uniform (combo encodes band_id encodes gen);
+                # phash buckets get the exact Hamming re-check in place
+                is_ph = gens[gi] == 1
+                if is_ph.any():
+                    keep = np.ones(gi.size, dtype=bool)
+                    keep[is_ph] = (
+                        hamming64(phs[gi[is_ph]], phs[gj[is_ph]])
+                        <= phash_hamming_max
+                    )
+                    gi, gj = gi[keep], gj[keep]
+                src_parts.append(ids[gi])
+                dst_parts.append(ids[gj])
+        for r in np.flatnonzero(sizes > cap):
             s, e = int(bounds[r]), int(bounds[r + 1])
             n = e - s
             run = ids[s:e]
-            if n <= cap:
-                iu, ju = np.triu_indices(n, 1)
-                if gens[s] == 1:  # phash bucket: exact Hamming filter now
-                    ok = (
-                        hamming64(phs[s:e][iu], phs[s:e][ju]) <= phash_hamming_max
-                    )
-                    iu, ju = iu[ok], ju[ok]
-                src_parts.append(run[iu])
-                dst_parts.append(run[ju])
-            else:
-                capped += 1
-                capped_rows += n
-                src_parts.append(np.concatenate([np.repeat(run[0], n - 1), run[1:-1]]))
-                dst_parts.append(np.concatenate([run[1:], run[2:]]))
+            capped += 1
+            capped_rows += n
+            src_parts.append(np.concatenate([np.repeat(run[0], n - 1), run[1:-1]]))
+            dst_parts.append(np.concatenate([run[1:], run[2:]]))
         if capped:
             inc_counter("lsh_buckets_capped", capped)
             inc_counter("lsh_capped_rows", capped_rows)

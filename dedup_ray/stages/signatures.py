@@ -10,6 +10,11 @@ reference's per-worker hasher state. Emits, per representative row:
                   empty-caption hot key is EXCLUDED from MinHash LSH here,
                   generalizing the reference's empty-file skip,
                   /root/reference/src/scanner.rs:96-99)
+    winnow_fp   : large_list<int64>  winnowed fingerprints (empty below the
+                  tier-3 caption-length gate). Computed ONCE here and reused
+                  by BOTH the LSH anchor explode and the tier-3 verify gate —
+                  recomputing per batch in verify was the top CPU sink at
+                  1M+ candidate pairs
     n_fp        : int32  count of winnowed fingerprints (tier-3 fan-out metric)
 
 Band explosion happens in the LSH stage; this stage's output is the
@@ -41,14 +46,26 @@ class SignerActor:
         sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
         has = np.zeros(n, dtype=bool)
         nfp = np.zeros(n, dtype=np.int32)
+        fp_parts: list[np.ndarray] = []
+        fp_offsets = np.zeros(n + 1, dtype=np.int64)
         for i, cap in enumerate(captions):
             sh = char_shingle_hashes(cap or "", cfg.shingle_k)
             sigs[i] = self.minhasher.signature(sh)
             has[i] = sh.size > 0
             if cap and len(cap) >= cfg.substring_caption_min:
-                nfp[i] = winnow_fingerprints(
+                fp = winnow_fingerprints(
                     cap, cfg.substring_min_len, cfg.winnow_window
-                ).size
+                )
+                nfp[i] = fp.size
+                fp_parts.append(fp.view(np.int64))
+            fp_offsets[i + 1] = fp_offsets[i] + nfp[i]
+        flat_fp = (
+            np.concatenate(fp_parts) if fp_parts else np.empty(0, dtype=np.int64)
+        )
+        fp_col = pa.LargeListArray.from_arrays(
+            pa.array(fp_offsets, type=pa.int64()),
+            pa.array(flat_fp, type=pa.int64()),
+        )
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()), cfg.num_perm
         )
@@ -59,6 +76,7 @@ class SignerActor:
                 "caption": batch["caption"],
                 "minhash_sig": sig_col,
                 "has_sig": pa.array(has),
+                "winnow_fp": fp_col,
                 "n_fp": pa.array(nfp, type=pa.int32()),
             }
         )

@@ -23,10 +23,23 @@ import ray.data as rd
 
 from dedup_ray.config import DedupConfig
 from dedup_ray.functions.hashing import MinHasher, hamming64
-from dedup_ray.functions.suffix import lcs_len
+from dedup_ray.functions.suffix import lcs_len_many
 from dedup_ray.stages.exact import EDGE_SCHEMA
 from dedup_ray.stages.signatures import sigs_from_arrow
 from dedup_ray.state.metrics import inc_counter
+
+
+def _fp_lists(
+    col: pa.ChunkedArray | pa.Array, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rows ``idx`` of a large_list<int64> column as (flat values, offsets)
+    numpy views — per-row slices without per-element Python conversion."""
+    arr = col.take(pa.array(idx))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+    return vals, np.concatenate([[0], np.cumsum(lens)])
 
 
 class PairVerifier:
@@ -68,39 +81,30 @@ class PairVerifier:
         # can arrive via the minhash/phash generators; without it the
         # pipeline's relation would be (any candidate) AND LCS>=L, a strict
         # superset of the oracle's (observed as precision < 1 on pairs with
-        # LCS in [L, L+w-1)).
+        # LCS in [L, L+w-1)). The fingerprints ride in as attached list
+        # columns (computed once in the signatures stage; an empty list
+        # encodes "below the caption-length gate") — recomputing the winnow
+        # per batch here was the top CPU sink at 1M+ candidate pairs.
         need_lcs = np.flatnonzero(evidence == "")
         if need_lcs.size:
-            from dedup_ray.functions.hashing import winnow_fingerprints
-
+            fa_vals, fa_offs = _fp_lists(batch["src_winnow_fp"], need_lcs)
+            fb_vals, fb_offs = _fp_lists(batch["dst_winnow_fp"], need_lcs)
             caps_a = batch["src_caption"].take(pa.array(need_lcs)).to_pylist()
             caps_b = batch["dst_caption"].take(pa.array(need_lcs)).to_pylist()
-            fp_cache: dict[str, frozenset] = {}
-
-            def fps(c: str) -> frozenset:
-                f = fp_cache.get(c)
-                if f is None:
-                    f = frozenset(
-                        winnow_fingerprints(
-                            c, cfg.substring_min_len, cfg.winnow_window
-                        ).tolist()
-                    )
-                    fp_cache[c] = f
-                return f
-
-            for k, (ca, cb) in enumerate(zip(caps_a, caps_b)):
-                if (
-                    ca
-                    and cb
-                    and len(ca) >= cfg.substring_caption_min
-                    and len(cb) >= cfg.substring_caption_min
-                    and (fps(ca) & fps(cb))
-                ):
-                    L = lcs_len(ca, cb)
-                    if L >= cfg.substring_min_len:
-                        i = need_lcs[k]
-                        evidence[i] = "substring"
-                        score[i] = L / max(len(ca), len(cb))
+            todo = [
+                (k, caps_a[k], caps_b[k])
+                for k in range(need_lcs.size)
+                if fa_offs[k] != fa_offs[k + 1]
+                and fb_offs[k] != fb_offs[k + 1]
+                and not set(
+                    fa_vals[fa_offs[k] : fa_offs[k + 1]]
+                ).isdisjoint(fb_vals[fb_offs[k] : fb_offs[k + 1]])
+            ]
+            for k, L in lcs_len_many(todo, cfg.substring_min_len):
+                if L >= cfg.substring_min_len:
+                    i = need_lcs[k]
+                    evidence[i] = "substring"
+                    score[i] = L / max(len(caps_a[k]), len(caps_b[k]))
         keep = evidence != ""
         inc_counter("pairs_verified", n)
         inc_counter("edges_emitted", int(keep.sum()))

@@ -24,6 +24,22 @@ def _sig(text: str) -> np.ndarray:
     return mh.signature(char_shingle_hashes(text, CFG.shingle_k))
 
 
+def _fp_col(caption: str) -> pa.Array:
+    """One-row winnow_fp list column, gated exactly like the signatures
+    stage (empty below the tier-3 caption-length threshold)."""
+    from dedup_ray.functions.hashing import winnow_fingerprints
+
+    fp = (
+        winnow_fingerprints(caption, CFG.substring_min_len, CFG.winnow_window)
+        if caption and len(caption) >= CFG.substring_caption_min
+        else np.empty(0, dtype=np.uint64)
+    )
+    return pa.LargeListArray.from_arrays(
+        pa.array([0, fp.size], type=pa.int64()),
+        pa.array(fp.view(np.int64), type=pa.int64()),
+    )
+
+
 def _find_band_collision_below_threshold():
     """Deterministically scan seeded caption pairs for one that shares a
     MinHash band (candidate!) but has est-Jaccard < threshold (must be
@@ -65,6 +81,8 @@ def test_band_candidate_rejected_by_verify():
             "dst_has_sig": pa.array([True]),
             "src_caption": pa.array([a]),
             "dst_caption": pa.array([b]),
+            "src_winnow_fp": _fp_col(a),
+            "dst_winnow_fp": _fp_col(b),
         }
     )
     out = PairVerifier(CFG)(batch)

@@ -104,6 +104,10 @@ def test_all_singleton_input_yields_no_candidates():
             "has_sig": pa.array([True] * n),
             "phash": pa.array(rng.integers(0, 2**63, n, dtype=np.int64), type=pa.int64()),
             "caption": pa.array([""] * n, type=pa.string()),
+            "winnow_fp": pa.LargeListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int64)),
+                pa.array([], type=pa.int64()),
+            ),
         }
     )
     cand = lsh_candidates(rd.from_arrow(t).repartition(4), cfg)

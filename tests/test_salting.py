@@ -26,6 +26,10 @@ def _hot_signatures(num_perm: int) -> rd.Dataset:
             "has_sig": pa.array([True] * N),
             "phash": pa.array(rng.integers(0, 2**63, N, dtype=np.int64), type=pa.int64()),
             "caption": pa.array(["short"] * N, type=pa.string()),
+            "winnow_fp": pa.LargeListArray.from_arrays(
+                pa.array(np.zeros(N + 1, dtype=np.int64)),
+                pa.array([], type=pa.int64()),
+            ),
         }
     )
     return rd.from_arrow(t).repartition(4)
