@@ -28,11 +28,20 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
         cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=pa.timestamp("us"))
         b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
-        df = b.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            pq=("l_quantity", "sum"), pp=("l_extendedprice", "sum"), pn=("l_orderkey", "size")
+        # Arrow C++ hash aggregation — no pandas round-trip in the hot path
+        g = b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_orderkey", "count", pc.CountOptions(mode="all"))]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "pq": g["l_quantity_sum"],
+                "pp": g["l_extendedprice_sum"],
+                "pn": g["l_orderkey_count"],
+            }
+        )
 
     ds = read_view(
         f"{sf_dir}/lineitem.parquet",
@@ -106,23 +115,46 @@ def revenue_by_segment(sf_dir: str) -> rd.Dataset:
     (c_mktsegment, n_orders, revenue)."""
     cust = read_view(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ).to_arrow_refs()
+    ref = ray.put(cust)
 
     class Probe:
+        """Broadcast hash join, fully vectorized: the small side is shipped
+        once as sorted (key, dict-code) numpy arrays; each batch probes via
+        np.searchsorted (O(n log m), C speed) and aggregates with Arrow's
+        C++ group_by — no pandas, no per-row Python."""
+
         def __init__(self) -> None:
-            self.lut = ray.get(ref)
+            t = pa.concat_tables(ray.get(ray.get(ref))).combine_chunks()
+            keys = t["c_custkey"].to_numpy()
+            seg = t["c_mktsegment"].combine_chunks().dictionary_encode()
+            order = np.argsort(keys, kind="stable")
+            self.keys = keys[order]
+            self.codes = seg.indices.to_numpy().astype(np.int64)[order]
+            self.segments = seg.dictionary
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            df = b.to_pandas()
-            df["c_mktsegment"] = df["o_custkey"].map(self.lut)
-            g = df.groupby("c_mktsegment", as_index=False).agg(
-                pn=("o_orderkey", "size"), pr=("o_totalprice", "sum")
+            ck = b["o_custkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(self.keys, ck), len(self.keys) - 1)
+            hit = self.keys[pos] == ck  # inner-join: drop FK misses
+            code = self.codes[pos[hit]]
+            t = pa.table(
+                {"seg_code": code, "o_totalprice": b["o_totalprice"].filter(pa.array(hit))}
             )
-            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+            g = t.group_by("seg_code").aggregate(
+                [("o_totalprice", "sum"),
+                 ("o_totalprice", "count", pc.CountOptions(mode="all"))]
+            )
+            return pa.table(
+                {
+                    "c_mktsegment": self.segments.take(g["seg_code"]),
+                    "pn": g["o_totalprice_count"],
+                    "pr": g["o_totalprice_sum"],
+                }
+            )
 
     ds = read_view(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     agg = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4)).groupby(
         "c_mktsegment"
@@ -151,10 +183,18 @@ def supplier_nations(sf_dir: str) -> rd.Dataset:
 
     def probe(b: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        df = b.to_pandas()
-        df["r_name"] = df["s_nationkey"].map(m)
-        g = df.groupby("r_name", as_index=False).agg(pn=("s_suppkey", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        keys = np.fromiter(m.keys(), dtype=np.int64)
+        names = pa.array(list(m.values()))
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], names.take(pa.array(order))
+        nk = b["s_nationkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+        hit = keys[pos] == nk
+        t = pa.table({"r_name": names.take(pa.array(pos[hit]))})
+        g = t.group_by("r_name").aggregate(
+            [("r_name", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table({"r_name": g["r_name"], "pn": g["r_name_count"]})
 
     ds = read_view(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     agg = ds.map_batches(probe, batch_format="pyarrow").groupby("r_name").sum("pn")
@@ -172,15 +212,21 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     n_events). hour_bucket = epoch_seconds // 3600."""
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
-        df["hour_bucket"] = (ts_us // 10**6) // 3600
-        g = df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
-            pn=("event_id", "size")
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(pc.divide(ts_us, 10**6), 3600)  # ints are non-negative: trunc == floor
+        t = pa.table({"event_type": b["event_type"], "hour_bucket": hour})
+        g = t.group_by(["event_type", "hour_bucket"]).aggregate(
+            [("hour_bucket", "count", pc.CountOptions(mode="all"))]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour_bucket": g["hour_bucket"],
+                "pn": g["hour_bucket_count"],
+            }
+        )
 
-    ds = read_view(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"])
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "hour_bucket"]
     ).sum("pn")
