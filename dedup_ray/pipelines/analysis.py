@@ -31,12 +31,17 @@ def token_stats(sf_dir: str) -> rd.Dataset:
     'Aggregation at scale')."""
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        toks = df["text"].fillna("").map(lambda t: len(_WS.split(t.strip())) if t.strip() else 0)
-        g = df.assign(tok=toks).groupby("lang", as_index=False).agg(
-            pn=("lang", "size"), pt=("tok", "sum")
+        # token count == number of \S+ runs: one RE2 C++ pass, no per-row
+        # Python (ASCII corpus: RE2 \S == Python unicode \S here); 0 for
+        # empty/whitespace-only/null, matching the aligned DuckDB oracle
+        toks = pc.fill_null(pc.count_substring_regex(b["text"], r"\S+"), 0)
+        t = pa.table({"lang": b["lang"], "tok": toks})
+        g = t.group_by("lang").aggregate(
+            [("tok", "count", pc.CountOptions(mode="all")), ("tok", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.table(
+            {"lang": g["lang"], "pn": g["tok_count"], "pt": g["tok_sum"]}
+        )
 
     agg = (
         _docs(sf_dir, ["lang", "text"])
@@ -61,14 +66,16 @@ def quality_summary(sf_dir: str) -> rd.Dataset:
     total_tokens) — SQL-checkable; per-row scores live in quality_scores."""
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        toks = df["text"].fillna("").map(lambda t: len(_WS.split(t.strip())) if t.strip() else 0)
-        g = (
-            df.assign(tok=toks)
-            .groupby("source", as_index=False)
-            .agg(pn=("source", "size"), pc_=("n_chars", "sum"), pt=("tok", "sum"))
+        toks = pc.fill_null(pc.count_substring_regex(b["text"], r"\S+"), 0)
+        t = pa.table({"source": b["source"], "n_chars": b["n_chars"], "tok": toks})
+        g = t.group_by("source").aggregate(
+            [("tok", "count", pc.CountOptions(mode="all")), ("n_chars", "sum"),
+             ("tok", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.table(
+            {"source": g["source"], "pn": g["tok_count"],
+             "pc_": g["n_chars_sum"], "pt": g["tok_sum"]}
+        )
 
     agg = (
         _docs(sf_dir, ["source", "text", "n_chars"])
