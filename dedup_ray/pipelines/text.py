@@ -519,15 +519,14 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 def token_count_regex(sf_dir: str) -> rd.Dataset:
-    """Per-doc BPE-ish token counts: (doc_id, n_tokens_re)."""
-    import re
-
-    pat = re.compile(TOKEN_REGEX)
+    """Per-doc BPE-ish token counts: (doc_id, n_tokens_re). One RE2 C++
+    pass over the whole column — identical match semantics to Python
+    re.findall for these ASCII token classes."""
 
     def fn(b: pa.Table) -> pa.Table:
-        counts = [len(pat.findall(t or "")) for t in b["text"].to_pylist()]
+        counts = pc.fill_null(pc.count_substring_regex(b["text"], TOKEN_REGEX), 0)
         return pa.table(
-            {"doc_id": b["doc_id"], "n_tokens_re": pa.array(counts, type=pa.int64())}
+            {"doc_id": b["doc_id"], "n_tokens_re": counts.cast(pa.int64())}
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
