@@ -148,7 +148,10 @@ def revenue_by_segment(sf_dir: str) -> rd.Dataset:
         def __call__(self, b: pa.Table) -> pa.Table:
             self.keys, self.codes, self.segments = self._side()
             ck = b["o_custkey"].to_numpy()
-            pos = np.minimum(np.searchsorted(self.keys, ck), len(self.keys) - 1)
+            if len(self.keys) == 0:  # degenerate empty small side: inner join = 0 rows
+                ck = ck[:0]
+                b = b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(self.keys, ck), max(len(self.keys) - 1, 0))
             hit = self.keys[pos] == ck  # inner-join: drop FK misses
             code = self.codes[pos[hit]]
             t = pa.table(
@@ -201,7 +204,9 @@ def supplier_nations(sf_dir: str) -> rd.Dataset:
         order = np.argsort(keys, kind="stable")
         keys, names = keys[order], names.take(pa.array(order))
         nk = b["s_nationkey"].to_numpy()
-        pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+        if len(keys) == 0:
+            nk = nk[:0]
+        pos = np.minimum(np.searchsorted(keys, nk), max(len(keys) - 1, 0))
         hit = keys[pos] == nk
         t = pa.table({"r_name": names.take(pa.array(pos[hit]))})
         g = t.group_by("r_name").aggregate(
