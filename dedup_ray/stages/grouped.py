@@ -30,7 +30,21 @@ DEFAULT_BUCKETS = 256
 
 
 def coarse_hash(col: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
-    """Deterministic (process-independent) bucket index per row."""
+    """Deterministic (process-independent) bucket index per row.
+
+    Integer keys (LSH band/combo keys, user ids, ...): zero-copy to_numpy +
+    one vectorized Fibonacci-mix pass. String keys (image ids): per-string
+    crc32 — measured ~4M rows/s, i.e. ~0.25 us/row vs the ~100 us/row decode
+    that dominates the flagship; kept over vectorized-but-version-unstable
+    alternatives (e.g. polars ahash) because bucket assignment must be
+    reproducible across processes for byte-identical checkpoint resume."""
+    if pa.types.is_integer(col.type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False).view(np.uint64)
+        return ((arr * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+            np.int64
+        ) % num_buckets
     vals = col.to_pylist()
     if vals and isinstance(vals[0], str):
         return np.fromiter(
