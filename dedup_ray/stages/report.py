@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -25,6 +26,71 @@ from dedup_ray.stages.join import attach_pair_attrs  # noqa: F401 (sibling API)
 
 
 BROADCAST_STATS_MAX_ROWS = 2_000_000
+
+
+_STATS_CACHE: dict[bytes, tuple] = {}
+
+
+class _StatsPartial:
+    """Vectorized per-batch cluster-stat partials over the keys stream.
+
+    The cluster map is shipped once as shared object-store blocks; each
+    worker process builds (member-id hash index, int cluster codes, keeper
+    flags) ONCE (module cache), then every batch is C-speed: hash probes via
+    pandas get_indexer + np.bincount partial sums. Replaces a per-row Python
+    dict loop that walked the ENTIRE corpus in the report stage."""
+
+    def __init__(self, refs: list) -> None:
+        self.refs = refs
+
+    def _state(self):
+        import pandas as pd
+        import ray
+
+        key = b"".join(r.binary() for r in self.refs)
+        got = _STATS_CACHE.get(key)
+        if got is None:
+            ctbl = pa.concat_tables(
+                [t for t in ray.get(self.refs) if t.num_rows]
+            ).combine_chunks()
+            member = np.asarray(ctbl["image_id"].to_pylist(), dtype=object)
+            cluster = np.asarray(ctbl["cluster_id"].to_pylist(), dtype=object)
+            codes, uniques = pd.factorize(cluster)
+            got = (
+                pd.Index(member),
+                codes.astype(np.int64),
+                member == cluster,  # member is its cluster's keeper
+                len(uniques),
+            )
+            _STATS_CACHE.clear()
+            _STATS_CACHE[key] = got
+        return got
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "image_id" not in b.column_names:
+            return pa.schema(
+                [("cluster_code", pa.int64()), ("pn", pa.int64()),
+                 ("psum", pa.int64()), ("pkeep", pa.int64())]
+            ).empty_table()
+        index, codes, keeper, ncl = self._state()
+        pos = index.get_indexer(b["image_id"].to_pylist())
+        m = pos >= 0
+        pos = pos[m]
+        lens = b["byte_len"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        cc = codes[pos]
+        pn = np.bincount(cc, minlength=ncl)
+        psum = np.bincount(cc, weights=lens, minlength=ncl).astype(np.int64)
+        kf = keeper[pos]
+        pkeep = np.bincount(cc[kf], weights=lens[kf], minlength=ncl).astype(np.int64)
+        nz = np.flatnonzero(pn)
+        return pa.table(
+            {
+                "cluster_code": pa.array(nz, type=pa.int64()),
+                "pn": pa.array(pn[nz], type=pa.int64()),
+                "psum": pa.array(psum[nz], type=pa.int64()),
+                "pkeep": pa.array(pkeep[nz], type=pa.int64()),
+            }
+        )
 
 
 def cluster_stats(
@@ -50,41 +116,14 @@ def cluster_stats(
             "wasted_bytes": 0,
         }
     if n_cluster_rows <= broadcast_max_rows:
-        ctbl = pa.concat_tables(
-            [t for t in ray.get(clusters.to_arrow_refs()) if t.num_rows]
-        )
-        cmap = dict(zip(ctbl["image_id"].to_pylist(), ctbl["cluster_id"].to_pylist()))
-        ref = ray.put(cmap)
-
-        def partial(b: pa.Table) -> pa.Table:
-            m = ray.get(ref)
-            ids = b["image_id"].to_pylist()
-            lens = b["byte_len"].to_pylist()
-            agg: dict[str, list[int]] = {}
-            for i, l in zip(ids, lens):
-                cid = m.get(i)
-                if cid is None:
-                    continue
-                e = agg.setdefault(cid, [0, 0, 0])
-                e[0] += 1
-                e[1] += l
-                if i == cid:  # the keeper
-                    e[2] = l
-            return pa.table(
-                {
-                    "cluster_id": pa.array(list(agg), type=pa.string()),
-                    "pn": pa.array([v[0] for v in agg.values()], type=pa.int64()),
-                    "psum": pa.array([v[1] for v in agg.values()], type=pa.int64()),
-                    "pkeep": pa.array([v[2] for v in agg.values()], type=pa.int64()),
-                }
-            )
-
+        refs = [r for r in clusters.to_arrow_refs()]
+        partial = _StatsPartial(refs)
         pdf = (
             keys.select_columns(["image_id", "byte_len"])
-            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow", batch_size=8192)
             .to_pandas()
         )
-        g = pdf.groupby("cluster_id").sum()
+        g = pdf.groupby("cluster_code").sum()
         return {
             "total_rows": total_rows,
             "duplicate_rows": int(g["pn"].sum()),
