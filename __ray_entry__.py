@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nations": relational.supplier_nations,
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
+        "asof_join_clicks": relational.asof_join_clicks,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -461,6 +462,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events, "
             "datediff('microsecond', min(ts), max(ts))::BIGINT AS duration_us "
             "FROM s GROUP BY user_id, session_idx"
+        ),
+        "asof_join_clicks": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, "
+            "(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us "
+            "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "

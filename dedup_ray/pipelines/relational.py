@@ -305,3 +305,66 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
 
     ds = read_view(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
     return grouped_runs(ds, "user_id", sess_runs, sort_cols=["user_id", "ts", "event_id"])
+
+
+def asof_join_clicks(sf_dir: str) -> rd.Dataset:
+    """As-of join (attribution window): each purchase event joined to the
+    same user's most recent click at or before its timestamp:
+    (event_id, user_id, ts, click_ts, lag_us). Purchases with no prior
+    click drop out (inner as-of, DuckDB ASOF JOIN semantics).
+
+    Ray-Data-first custom operator: ONE hash-partitioned shuffle on user_id
+    (grouped_runs), then a fully vectorized last-click forward-fill per
+    bucket — rows sorted by (user_id, ts, event_type) ['click' < 'purchase'
+    lexicographically, so an equal-ts click is eligible], click positions
+    forward-filled with np.maximum.accumulate, validity = filled position
+    inside the row's own user run. Partitioning assumption: one user's rows
+    fit a bucket (same as sessionize); no per-user Python calls.
+    """
+    from dedup_ray.stages.grouped import grouped_runs
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("click_ts", pa.timestamp("us")),
+         ("lag_us", pa.int64())]
+    )
+
+    def asof_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_click = pc.equal(g["event_type"], "click").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        last_click = np.maximum.accumulate(np.where(is_click, idx, -1))
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        ustart = np.flatnonzero(new_user)
+        run_start = np.repeat(ustart, np.diff(np.append(ustart, n)))
+        sel = (~is_click) & (last_click >= run_start)
+        src = last_click[sel]
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    g["event_id"].to_numpy(zero_copy_only=False)[sel], type=pa.int64()
+                ),
+                "user_id": pa.array(uid[sel], type=pa.int64()),
+                "ts": pa.array(tsv[sel], type=pa.timestamp("us")),
+                "click_ts": pa.array(tsv[src], type=pa.timestamp("us")),
+                "lag_us": pa.array(tsv[sel] - tsv[src], type=pa.int64()),
+            }
+        )
+
+    def keep_types(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["click", "purchase"]))
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(keep_types, batch_format="pyarrow")
+    return grouped_runs(
+        ds, "user_id", asof_runs, sort_cols=["user_id", "ts", "event_type"]
+    )
