@@ -1,0 +1,54 @@
+"""as-of join semantics on planted edge cases (equal-ts click counts;
+purchase before any click drops; users never bleed into each other)."""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dedup_ray.pipelines.relational import asof_join_clicks
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_edge_semantics(tmp_path, ray_session):
+    rows = [
+        # user 1: click@1, purchase@5 -> attributed to click@1 (lag 4 min)
+        (1, _ts(1), 1, "click"),
+        (2, _ts(5), 1, "purchase"),
+        # user 1: click@5 EXACTLY at purchase2's ts -> equal-ts click wins
+        (3, _ts(7), 1, "click"),
+        (4, _ts(7), 1, "purchase"),
+        # user 2: purchase BEFORE any click -> dropped; later one attributed
+        (5, _ts(2), 2, "purchase"),
+        (6, _ts(3), 2, "click"),
+        (7, _ts(9), 2, "purchase"),
+        # user 3: clicks only -> nothing emitted; must not leak into user 2
+        (8, _ts(0), 3, "click"),
+        # other event types are ignored entirely
+        (9, _ts(4), 1, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = asof_join_clicks(str(tmp_path)).to_pandas().sort_values("event_id")
+    got = {
+        int(r.event_id): (int(r.user_id), r.click_ts.to_pydatetime(), int(r.lag_us))
+        for r in out.itertuples()
+    }
+    assert got == {
+        2: (1, _ts(1), 4 * 60 * 1_000_000),
+        4: (1, _ts(7), 0),
+        7: (2, _ts(3), 6 * 60 * 1_000_000),
+    }
