@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "asof_join_clicks": relational.asof_join_clicks,
+        "sliding_window_counts": relational.sliding_window_counts,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -462,6 +463,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events, "
             "datediff('microsecond', min(ts), max(ts))::BIGINT AS duration_us "
             "FROM s GROUP BY user_id, session_idx"
+        ),
+        "sliding_window_counts": (
+            "SELECT event_id, user_id, ts, count(*) OVER (PARTITION BY user_id "
+            "ORDER BY ts RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+            "::BIGINT AS n_win FROM events"
         ),
         "asof_join_clicks": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "

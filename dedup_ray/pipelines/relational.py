@@ -368,3 +368,63 @@ def asof_join_clicks(sf_dir: str) -> rd.Dataset:
     return grouped_runs(
         ds, "user_id", asof_runs, sort_cols=["user_id", "ts", "event_type"]
     )
+
+
+def sliding_window_counts(sf_dir: str, window_minutes: int = 30) -> rd.Dataset:
+    """Sliding-window aggregate: for every event, the number of same-user
+    events in the preceding ``window_minutes`` (inclusive, RANGE-frame peer
+    semantics — equal-ts rows count each other): (event_id, user_id, ts,
+    n_win). Oracle: DuckDB `count(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE INTERVAL .. PRECEDING)`.
+
+    Vectorized per bucket with NO per-user work: each user run is shifted
+    onto one shared monotonic axis with inter-run gaps wider than the
+    window (run-relative ts + cumsum of run durations + W + 1), after which
+    two global np.searchsorted calls yield every row's frame bounds at
+    C speed. Gap construction bounds the int64 cumsum by
+    n_runs_per_bucket x (max run duration + W); at extreme scale raise
+    num_buckets rather than widening buckets.
+    """
+    from dedup_ray.stages.grouped import grouped_runs
+
+    w_us = window_minutes * 60 * 1_000_000
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("n_win", pa.int64())]
+    )
+
+    def win_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, n))
+        ts_rel = tsv - np.repeat(tsv[starts], counts)
+        last_rel = ts_rel[np.append(starts[1:], n) - 1]  # per-run duration
+        shifts = np.concatenate(
+            [[0], np.cumsum(last_rel[:-1] + w_us + 1)]
+        ).astype(np.int64)
+        key = ts_rel + np.repeat(shifts, counts)
+        lo = np.searchsorted(key, key - w_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    g["event_id"].to_numpy(zero_copy_only=False), type=pa.int64()
+                ),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "ts": pa.array(tsv, type=pa.timestamp("us")),
+                "n_win": pa.array(hi - lo, type=pa.int64()),
+            }
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return grouped_runs(
+        ds, "user_id", win_runs, sort_cols=["user_id", "ts", "event_id"]
+    )

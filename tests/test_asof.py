@@ -52,3 +52,32 @@ def test_asof_edge_semantics(tmp_path, ray_session):
         4: (1, _ts(7), 0),
         7: (2, _ts(3), 6 * 60 * 1_000_000),
     }
+
+
+def test_sliding_window_peer_semantics(tmp_path, ray_session):
+    """RANGE-frame peers: equal-ts rows count each other (both directions);
+    window boundary is inclusive; users are isolated."""
+    from dedup_ray.pipelines.relational import sliding_window_counts
+
+    rows = [
+        (1, _ts(0), 1),   # alone at window start
+        (2, _ts(29), 1),  # 29 min later: within 30 min of event 1 -> 2
+        (3, _ts(31), 1),  # within 30 of ev2, NOT of ev1 (31>30) -> 2
+        (4, _ts(31), 1),  # PEER of ev3 (equal ts): both count both -> 3
+        (5, _ts(31), 2),  # other user, same ts: isolated -> 1
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), type=pa.string()),
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = sliding_window_counts(str(tmp_path)).to_pandas()
+    got = dict(zip(out["event_id"], out["n_win"]))
+    # ev2 at +29 min: inclusive boundary keeps ev1. ev3/ev4 at +31: ev1 out.
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3, 5: 1}
