@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "asof_join_clicks": relational.asof_join_clicks,
         "sliding_window_counts": relational.sliding_window_counts,
+        "range_join_price_bands": relational.range_join_price_bands,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -463,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events, "
             "datediff('microsecond', min(ts), max(ts))::BIGINT AS duration_us "
             "FROM s GROUP BY user_id, session_idx"
+        ),
+        "range_join_price_bands": (
+            "WITH bands(band, lo, hi) AS (VALUES ('budget', 0.0, 950.0), "
+            "('mid', 950.0, 1050.0), ('premium', 1050.0, 2000.0)) "
+            "SELECT band, count(*)::BIGINT AS n_parts, "
+            "round(sum(p_retailprice) / count(*), 2) AS avg_price "
+            "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi "
+            "GROUP BY band"
         ),
         "sliding_window_counts": (
             "SELECT event_id, user_id, ts, count(*) OVER (PARTITION BY user_id "

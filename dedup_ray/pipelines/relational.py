@@ -428,3 +428,65 @@ def sliding_window_counts(sf_dir: str, window_minutes: int = 30) -> rd.Dataset:
     return grouped_runs(
         ds, "user_id", win_runs, sort_cols=["user_id", "ts", "event_id"]
     )
+
+
+# Price bands for the range join: [lo, hi) — a small static dimension side.
+PRICE_BANDS = [
+    ("budget", 0.0, 950.0),
+    ("mid", 950.0, 1050.0),
+    ("premium", 1050.0, 2000.0),
+]
+
+
+def range_join_price_bands(sf_dir: str) -> rd.Dataset:
+    """Non-equi range join: every part matched to the price band whose
+    [lo, hi) interval contains its retail price, then aggregated:
+    (band, n_parts, avg_price). The dimension side is tiny and static, so
+    the join is broadcast binning — np.searchsorted against the sorted band
+    edges per batch, no shuffle (the 100 TB path for any small interval
+    dimension: ship the edges once, bin vectorized). Parts outside every
+    band drop (inner join). Oracle: DuckDB non-equi JOIN ON price >= lo AND
+    price < hi over a literal VALUES band table.
+    """
+    names = [b[0] for b in PRICE_BANDS]
+    los = np.array([b[1] for b in PRICE_BANDS])
+    his = np.array([b[2] for b in PRICE_BANDS])
+    # contiguous check not required: bin against each band's own [lo, hi)
+    edges = los  # bands sorted by lo; searchsorted picks candidate band
+
+    def bin_parts(b: pa.Table) -> pa.Table:
+        price = b["p_retailprice"].to_numpy()
+        cand = np.clip(np.searchsorted(edges, price, side="right") - 1, 0, len(names) - 1)
+        hit = (price >= los[cand]) & (price < his[cand])
+        cc = cand[hit]
+        t = pa.table({"band_code": cc, "price": price[hit]})
+        g = t.group_by("band_code").aggregate(
+            [("price", "sum"),
+             ("price", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {
+                "band_code": g["band_code"],
+                "pn": g["price_count"],
+                "ps": g["price_sum"],
+            }
+        )
+
+    ds = read_view(f"{sf_dir}/part.parquet", columns=["p_retailprice"])
+    agg = ds.map_batches(bin_parts, batch_format="pyarrow").groupby("band_code").sum(
+        ["pn", "ps"]
+    )
+    name_arr = pa.array(names, type=pa.string())
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": name_arr.take(b["band_code"].cast(pa.int64())),
+                "n_parts": b["sum(pn)"].cast(pa.int64()),
+                "avg_price": pc.round(
+                    pc.divide(b["sum(ps)"], b["sum(pn)"].cast(pa.float64())), 2
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
