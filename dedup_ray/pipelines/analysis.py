@@ -4,8 +4,6 @@ training-data-pipeline staples layered on the same engine."""
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -15,9 +13,6 @@ import ray.data as rd
 
 from dedup_ray.config import DedupConfig
 from dedup_ray.functions.hashing import winnow_fingerprints
-
-_WS = re.compile(r"\s+")
-
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     from dedup_ray.sources.io import read_view
@@ -98,36 +93,59 @@ def quality_summary(sf_dir: str) -> rd.Dataset:
 
 class QualityScorer:
     """Actor: per-row quality features (stopword ratio, punct ratio, mean
-    token length). Stopword set + regexes compiled once per actor."""
+    token length) — all columns computed with RE2/numpy kernels, zero
+    per-row Python."""
 
     STOP = frozenset(
         "the a an and or of to in is are was were be been it this that".split()
     )
 
-    def __init__(self) -> None:
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.punct = re.compile(r"[^\w\s]")
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        stop_r, punct_r, mean_len, n_tok = [], [], [], []
-        for t in texts:
-            t = t or ""
-            words = self.word.findall(t.lower())
-            n = len(words)
-            n_tok.append(n)
-            # raw IEEE doubles (no rounding): int/int division is
-            # bit-identical to the DuckDB oracle's, so values hash-match
-            stop_r.append(sum(w in self.STOP for w in words) / n if n else 0.0)
-            punct_r.append(len(self.punct.findall(t)) / len(t) if t else 0.0)
-            mean_len.append(sum(map(len, words)) / n if n else 0.0)
+        # Fully vectorized (ASCII corpus: RE2 classes == Python re classes):
+        # words = maximal [a-z]+ runs of the lowercased text, obtained by
+        # splitting on [^a-z]+ (empty boundary slots have length 0 and are
+        # excluded by the nonempty mask); per-row reductions via cumsum
+        # differences over the list offsets. All divisions are the same
+        # int/int -> float64 IEEE ops as the scalar code, so values stay
+        # bit-identical to the DuckDB oracle.
+        texts = pc.fill_null(batch["text"], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        off = parts.offsets.to_numpy().astype(np.int64)
+        vals = parts.values  # absolute offsets index into values directly
+        wlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = wlen > 0
+        is_stop = pc.is_in(
+            vals, value_set=pa.array(sorted(self.STOP))
+        ).to_numpy(zero_copy_only=False)
+        cs_n = np.concatenate([[0], np.cumsum(nonempty)])
+        cs_len = np.concatenate([[0], np.cumsum(wlen)])
+        cs_stop = np.concatenate([[0], np.cumsum(is_stop & nonempty)])
+        n = cs_n[off[1:]] - cs_n[off[:-1]]
+        sum_len = cs_len[off[1:]] - cs_len[off[:-1]]
+        n_stop = cs_stop[off[1:]] - cs_stop[off[:-1]]
+        safe_n = np.maximum(n, 1)
+        tlen = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_punct = pc.count_substring_regex(texts, r"[^\w\s]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tok, type=pa.int64()),
-                "stopword_ratio": pa.array(stop_r, type=pa.float64()),
-                "punct_ratio": pa.array(punct_r, type=pa.float64()),
-                "mean_token_len": pa.array(mean_len, type=pa.float64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "stopword_ratio": pa.array(
+                    np.where(n > 0, n_stop / safe_n, 0.0), type=pa.float64()
+                ),
+                "punct_ratio": pa.array(
+                    np.where(tlen > 0, n_punct / np.maximum(tlen, 1), 0.0),
+                    type=pa.float64(),
+                ),
+                "mean_token_len": pa.array(
+                    np.where(n > 0, sum_len / safe_n, 0.0), type=pa.float64()
+                ),
             }
         )
 
