@@ -92,9 +92,10 @@ def quality_summary(sf_dir: str) -> rd.Dataset:
 
 
 class QualityScorer:
-    """Actor: per-row quality features (stopword ratio, punct ratio, mean
-    token length) — all columns computed with RE2/numpy kernels, zero
-    per-row Python."""
+    """Per-row quality features (stopword ratio, punct ratio, mean token
+    length) — all columns computed with RE2/numpy kernels, zero per-row
+    Python. Stateless, so it runs as elastic tasks (instance passed to
+    map_batches), not an actor pool."""
 
     STOP = frozenset(
         "the a an and or of to in is are was were be been it this that".split()
@@ -152,7 +153,7 @@ class QualityScorer:
 
 def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=(1, 4)
+        QualityScorer(), batch_format="pyarrow"
     )
 
 
