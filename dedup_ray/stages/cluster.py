@@ -16,8 +16,13 @@ evidence edges (SURVEY.md D2). Two paths:
   No driver materialization; O(log n) rounds; the final deterministic edge
   merge is Ray's RANGE-PARTITIONED sort on (cluster_id, image_id) — the
   north-rule sort-merge step. Used above ``cfg.driver_unionfind_max_edges``.
-  Measured at 1M random edges / 32 CPUs: within 2.1x of driver union-find
-  wall time with byte-identical output.
+  Measured at 1M random edges / 32 CPUs (dense giant-component graph):
+  24.7 s = 6 fixpoint rounds x 2 coarse shuffles, vs 1.9-2.7 s driver
+  union-find — byte-identical output. The gap is the single-node shuffle
+  barrier floor (~1.3-2 s per exchange), NOT kernel time; on a multi-node
+  cluster those exchanges parallelize across nodes while the driver path
+  stays single-machine and memory-bound, which is why the bound is an edge
+  COUNT (driver RAM), not a wall-time crossover.
 
 Both produce clusters keyed by min member id (the deterministic keeper rule,
 /root/reference/src/actions.rs:21-26) and are property-tested equal.
@@ -180,9 +185,16 @@ def _dedup_sorted_pairs(g: pa.Table) -> pa.Table:
 def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
     from dedup_ray.stages.grouped import grouped_runs
 
-    # undirected edge list as (u, v) string pairs, self-loops dropped
-    cur = edges.select_columns(["src_id", "dst_id"]).rename_columns(
-        {"src_id": "u", "dst_id": "v"}
+    # undirected edge list as (u, v) string pairs, self-loops dropped.
+    # Normalize the block count ONCE; every grouped_runs in the loop then
+    # skips its own repartition (min_parallel_blocks=0), halving the
+    # all-to-all exchanges per round (map_batches and groupby reduce both
+    # preserve ~the input block count).
+    cur = (
+        edges.select_columns(["src_id", "dst_id"])
+        .rename_columns({"src_id": "u", "dst_id": "v"})
+        .repartition(32)
+        .materialize()
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -198,7 +210,8 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
-        ls = grouped_runs(both, "u", _large_star_runs, sort_cols=["u", "v"])
+        ls = grouped_runs(both, "u", _large_star_runs, sort_cols=["u", "v"],
+                          min_parallel_blocks=0)
         # small star: orient (max -> min), group, link all to min
         oriented = ls.map_batches(
             lambda b: pa.table(
@@ -210,7 +223,8 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
             batch_format="pyarrow",
         )
         cur = grouped_runs(
-            oriented, "u", _small_star_runs, sort_cols=["u", "v"]
+            oriented, "u", _small_star_runs, sort_cols=["u", "v"],
+            min_parallel_blocks=0,
         ).materialize()
         s = _checksum(cur)
         if s == prev_sum:

@@ -79,8 +79,12 @@ def grouped_runs(
 
     keyed = ds.map_batches(add_coarse, batch_format="pyarrow")
     # low block counts serialize Ray's sort-based shuffle (profiled: 1 block
-    # = 35 s vs 32 blocks = 4 s on the same 360k rows)
-    keyed = keyed.repartition(min_parallel_blocks)
+    # = 35 s vs 32 blocks = 4 s on the same 360k rows). Callers that KNOW
+    # their input already has enough blocks (e.g. the distributed-CC loop,
+    # which normalizes once before iterating) pass 0 to skip this extra
+    # all-to-all per call.
+    if min_parallel_blocks:
+        keyed = keyed.repartition(min_parallel_blocks)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__coarse__"]).sort_by([(c, "ascending") for c in sort_cols])
