@@ -5,7 +5,6 @@ training-data-pipeline staples layered on the same engine."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

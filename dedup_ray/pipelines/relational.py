@@ -8,7 +8,6 @@ between engines; raw double sums differ in ulps)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
