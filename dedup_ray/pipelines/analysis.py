@@ -99,6 +99,7 @@ class QualityScorer:
     STOP = frozenset(
         "the a an and or of to in is are was were be been it this that".split()
     )
+    _STOP_ARR = pa.array(sorted(STOP))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # Fully vectorized (ASCII corpus: RE2 classes == Python re classes):
@@ -119,7 +120,7 @@ class QualityScorer:
         wlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
         nonempty = wlen > 0
         is_stop = pc.is_in(
-            vals, value_set=pa.array(sorted(self.STOP))
+            vals, value_set=self._STOP_ARR
         ).to_numpy(zero_copy_only=False)
         cs_n = np.concatenate([[0], np.cumsum(nonempty)])
         cs_len = np.concatenate([[0], np.cumsum(wlen)])
@@ -172,6 +173,7 @@ class LangId:
         self.profiles = {
             lang: self._trigrams(seed) for lang, seed in self.SEEDS.items()
         }
+        self._prof_sorted = sorted(self.profiles.items())
 
     @staticmethod
     def _trigrams(t: str) -> set[str]:
@@ -183,7 +185,7 @@ class LangId:
         for t in batch["text"].to_pylist():
             tg = self._trigrams(t or "")
             best, best_s = "und", -1.0
-            for lang, prof in sorted(self.profiles.items()):
+            for lang, prof in self._prof_sorted:
                 s = len(tg & prof) / max(1, len(tg | prof))
                 if s > best_s:
                     best, best_s = lang, s
