@@ -81,3 +81,58 @@ def test_sliding_window_peer_semantics(tmp_path, ray_session):
     got = dict(zip(out["event_id"], out["n_win"]))
     # ev2 at +29 min: inclusive boundary keeps ev1. ev3/ev4 at +31: ev1 out.
     assert got == {1: 1, 2: 2, 3: 3, 4: 3, 5: 1}
+
+
+def _random_events(seed: int, n: int = 300, users: int = 5, slots: int = 60):
+    """Events with heavy ts collisions (small slot grid) to stress peer and
+    equal-ts semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ts = [_ts(0) + datetime.timedelta(minutes=int(m)) for m in rng.integers(0, slots, n)]
+    kinds = rng.choice(["click", "purchase", "view"], n).tolist()
+    uid = rng.integers(1, users + 1, n).tolist()
+    return pa.table(
+        {
+            "event_id": pa.array(list(range(1, n + 1)), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "event_type": pa.array(kinds, type=pa.string()),
+            "value": pa.array([0.0] * n, type=pa.float64()),
+            "props": pa.array(["{}"] * n, type=pa.string()),
+        }
+    )
+
+
+def test_sliding_window_matches_bruteforce(tmp_path, ray_session):
+    from dedup_ray.pipelines.relational import sliding_window_counts
+
+    t = _random_events(seed=123)
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = sliding_window_counts(str(tmp_path)).to_pandas()
+    got = dict(zip(out["event_id"], out["n_win"]))
+    rows = list(zip(t["event_id"].to_pylist(), t["user_id"].to_pylist(),
+                    t["ts"].to_pylist()))
+    w = datetime.timedelta(minutes=30)
+    for eid, u, ts in rows:
+        expect = sum(1 for _, u2, ts2 in rows if u2 == u and ts - w <= ts2 <= ts)
+        assert got[eid] == expect, (eid, got[eid], expect)
+
+
+def test_asof_matches_bruteforce(tmp_path, ray_session):
+    from dedup_ray.pipelines.relational import asof_join_clicks
+
+    t = _random_events(seed=321)
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = asof_join_clicks(str(tmp_path)).to_pandas()
+    got = {int(r.event_id): r.click_ts.to_pydatetime() for r in out.itertuples()}
+    rows = list(zip(t["event_id"].to_pylist(), t["user_id"].to_pylist(),
+                    t["ts"].to_pylist(), t["event_type"].to_pylist()))
+    expect = {}
+    for eid, u, ts, kind in rows:
+        if kind != "purchase":
+            continue
+        clicks = [ts2 for _, u2, ts2, k2 in rows if u2 == u and k2 == "click" and ts2 <= ts]
+        if clicks:
+            expect[eid] = max(clicks)
+    assert got == expect
