@@ -37,6 +37,15 @@ def read_table(
         return rd.read_parquet(path, columns=columns, **kwargs)
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "data"))):
         return rd.read_lance(path, columns=columns, **kwargs)  # pragma: no cover
+    # text-table ingestion formats (documents-style corpora arrive as JSONL
+    # or CSV at least as often as parquet): projection applied right after
+    # the read — these readers have no columns= pushdown, so prune eagerly
+    if path.endswith((".jsonl", ".json")):
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

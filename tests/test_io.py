@@ -31,3 +31,32 @@ def test_read_view_projection(tmp_path):
     got = ds.to_pandas()
     assert list(got.columns) == ["a"]
     assert got["a"].tolist() == [1, 2, 3]
+
+
+def test_read_view_jsonl_and_csv(tmp_path, ray_session):
+    """Documents-style corpora arrive as JSONL/CSV too: read_view must
+    dispatch on extension and still apply projection."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.sources.io import read_view
+
+    rows = [
+        {"doc_id": i, "text": f"doc number {i}", "lang": "en", "n_chars": 12 + i}
+        for i in range(50)
+    ]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    cs = tmp_path / "docs.csv"
+    pd.DataFrame(rows).to_csv(cs, index=False)
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), p)
+
+    want = read_view(str(p), columns=["doc_id", "text"]).to_pandas().sort_values("doc_id")
+    for path in (jl, cs):
+        got = read_view(str(path), columns=["doc_id", "text"]).to_pandas().sort_values("doc_id")
+        assert list(got.columns) == ["doc_id", "text"]
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), path
