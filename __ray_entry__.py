@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_clicks": relational.asof_join_clicks,
         "sliding_window_counts": relational.sliding_window_counts,
         "range_join_price_bands": relational.range_join_price_bands,
+        "order_revenue_join": relational.order_revenue_join,
+        "bulk_order_priorities": relational.bulk_order_priorities,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -472,6 +474,17 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(p_retailprice) / count(*), 2) AS avg_price "
             "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi "
             "GROUP BY band"
+        ),
+        "order_revenue_join": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "bulk_order_priorities": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
+            "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) "
+            "GROUP BY o_orderpriority"
         ),
         "sliding_window_counts": (
             "SELECT event_id, user_id, ts, count(*) OVER (PARTITION BY user_id "

@@ -429,6 +429,97 @@ def sliding_window_counts(sf_dir: str, window_minutes: int = 30) -> rd.Dataset:
     )
 
 
+def order_revenue_join(sf_dir: str) -> rd.Dataset:
+    """Big-big shuffle hash join (TPC-H Q12 shape): orders ⋈ lineitem on
+    orderkey — neither side is broadcastable at scale, so both are
+    co-partitioned in ONE shuffle (stages/join.shuffle_join) and the revenue
+    aggregate is pre-reduced per bucket before the tiny final groupby:
+    (o_orderpriority, n_items, revenue)."""
+    from dedup_ray.stages.join import shuffle_join
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ("rev", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "pn": g["rev_count"],
+                "pr": g["rev_sum"],
+            }
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).sum(["pn", "pr"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["sum(pn)"].cast(pa.int64()),
+                "revenue": pc.round(b["sum(pr)"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def bulk_order_priorities(sf_dir: str, min_qty: float = 49.0) -> rd.Dataset:
+    """Left-semi shuffle join (TPC-H Q4 shape): orders having at least one
+    lineitem with quantity > min_qty, counted per priority. The probe side is
+    pre-shrunk per batch (filter + local distinct on the key) BEFORE the
+    shuffle, so only qualifying keys move: (o_orderpriority, n_orders)."""
+    from dedup_ray.stages.join import shuffle_join
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def bulk_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(pc.greater(b["l_quantity"], min_qty))["l_orderkey"]
+        return pa.table({"l_orderkey": pc.unique(keys)})
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(bulk_keys, batch_format="pyarrow")
+    hits = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey",
+                        how="semi")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"o_orderpriority": g["o_orderpriority"], "pn": g["o_orderkey_count"]}
+        )
+
+    agg = hits.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).sum("pn")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_orders": b["sum(pn)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # Price bands for the range join: [lo, hi) — a small static dimension side.
 PRICE_BANDS = [
     ("budget", 0.0, 950.0),

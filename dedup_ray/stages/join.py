@@ -22,6 +22,101 @@ import ray
 import ray.data as rd
 
 
+def shuffle_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_buckets: int = 256,
+) -> rd.Dataset:
+    """Big-big hash join: ONE co-partitioning shuffle, vectorized per bucket.
+
+    Both sides are tagged, widened to a shared schema and unioned, so the
+    coarse hash-partition shuffle (``grouped_runs``) moves each side exactly
+    once and co-locates equal keys; per bucket the join is two
+    ``np.searchsorted`` calls + ``take`` — no per-key Python, no driver
+    materialization. This is the 100 TB path when NEITHER side fits a
+    worker's heap (otherwise use the broadcast probes in
+    ``pipelines/relational.py``); ``num_buckets`` bounds per-task memory,
+    raise it at scale so a bucket of both sides fits a worker.
+
+    ``how``: ``"inner"`` (many-to-many, emits key + left cols + right cols)
+    or ``"semi"`` (left rows with >=1 right match; right cols dropped,
+    duplicate right keys collapse). Non-key column names must be disjoint.
+    Generalizes the reference's in-process HashMap lookups
+    (/root/reference/src/grouping.rs:13-24) to two distributed inputs.
+    """
+    from dedup_ray.stages.grouped import grouped_runs
+
+    right_on = right_on or on
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    if ltypes[on] != rtypes[right_on]:
+        raise ValueError(f"join key dtype mismatch: {ltypes[on]} vs {rtypes[right_on]}")
+    lval = [c for c in ls.names if c != on]
+    rval = [c for c in rs.names if c != right_on]
+    clash = set(lval) & set(rval)
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+
+    def widen(b: pa.Table, side: int) -> pa.Table:
+        n = b.num_rows
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            on: b[on if side == 0 else right_on]
+        }
+        for c in lval:
+            cols[c] = b[c] if side == 0 else pa.nulls(n, type=ltypes[c])
+        for c in rval:
+            cols[c] = pa.nulls(n, type=rtypes[c]) if side == 0 else b[c]
+        cols["__side__"] = pa.array(np.full(n, side, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(
+        lambda b: widen(b, 0), batch_format="pyarrow"
+    ).union(right.map_batches(lambda b: widen(b, 1), batch_format="pyarrow"))
+
+    out_cols = [on] + lval + ([] if how == "semi" else rval)
+    empty = pa.schema(
+        [(c, ltypes.get(c) or rtypes[c]) for c in out_cols]
+    ).empty_table()
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        side = g["__side__"].to_numpy(zero_copy_only=False)
+        keys = g[on].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lk, rk = keys[lmask], keys[~lmask]
+        ltab = g.filter(pa.array(lmask)).select([on] + lval)
+        if how == "semi":
+            if len(rk) == 0 or len(lk) == 0:
+                return empty
+            pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
+            return ltab.filter(pa.array(rk[pos] == lk))
+        rtab = g.filter(pa.array(~lmask)).select(rval)
+        lo = np.searchsorted(lk, rk, side="left")
+        hi = np.searchsorted(lk, rk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ridx = np.repeat(np.arange(len(rk), dtype=np.int64), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        lidx = np.arange(total, dtype=np.int64) + np.repeat(lo - offs, cnt)
+        out = ltab.take(pa.array(lidx, type=pa.int64()))
+        rtaken = rtab.take(pa.array(ridx, type=pa.int64()))
+        for c in rval:
+            out = out.append_column(c, rtaken[c])
+        return out
+
+    return grouped_runs(
+        both, on, join_bucket, num_buckets=num_buckets,
+        sort_cols=[on, "__side__"],
+    )
+
+
 ATTACH_BROADCAST_MAX_ROWS = 2_000_000
 
 

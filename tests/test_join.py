@@ -53,3 +53,106 @@ def test_shuffle_join_attach_matches_broadcast(pairs_and_attrs):
     )
     cols = ["src_id", "dst_id", "src_phash", "dst_phash", "src_caption", "dst_caption"]
     assert got[cols].equals(want[cols])
+
+
+# --- big-big co-partitioned shuffle_join ------------------------------------
+
+
+def _join_sides():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lkeys = rng.integers(0, 40, size=200)  # duplicate keys on BOTH sides
+    rkeys = rng.integers(0, 50, size=300)  # some right keys match nothing
+    left = pa.table(
+        {
+            "k": pa.array(lkeys, type=pa.int64()),
+            "lval": pa.array(np.arange(200), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rkeys, type=pa.int64()),
+            "rval": pa.array(np.arange(300) * 10, type=pa.int64()),
+        }
+    )
+    return left, right
+
+
+def test_shuffle_join_inner_matches_duckdb():
+    import duckdb
+
+    from dedup_ray.stages.join import shuffle_join
+
+    left, right = _join_sides()
+    got = (
+        shuffle_join(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(7),
+            on="k",
+            right_on="rk",
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = con.execute(
+        "SELECT k, lval, rval FROM l JOIN r ON k = rk ORDER BY k, lval, rval"
+    ).df()
+    assert got[["k", "lval", "rval"]].astype("int64").equals(want.astype("int64"))
+
+
+def test_shuffle_join_semi_matches_duckdb():
+    import duckdb
+
+    from dedup_ray.stages.join import shuffle_join
+
+    left, right = _join_sides()
+    got = (
+        shuffle_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            on="k",
+            right_on="rk",
+            how="semi",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lval"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = con.execute(
+        "SELECT k, lval FROM l WHERE k IN (SELECT rk FROM r) ORDER BY k, lval"
+    ).df()
+    assert got[["k", "lval"]].astype("int64").equals(want.astype("int64"))
+
+
+def test_shuffle_join_empty_right_side():
+    from dedup_ray.stages.join import shuffle_join
+
+    left, right = _join_sides()
+    empty_right = rd.from_arrow(right.slice(0, 0))
+    out = shuffle_join(
+        rd.from_arrow(left), empty_right, on="k", right_on="rk", num_buckets=4
+    ).to_pandas()
+    assert len(out) == 0
+    semi = shuffle_join(
+        rd.from_arrow(left), empty_right, on="k", right_on="rk", how="semi",
+        num_buckets=4,
+    ).to_pandas()
+    assert len(semi) == 0
+
+
+def test_shuffle_join_rejects_column_collision():
+    from dedup_ray.stages.join import shuffle_join
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()), "v": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError, match="collision"):
+        shuffle_join(rd.from_arrow(t), rd.from_arrow(t), on="k")

@@ -27,6 +27,8 @@ CHECKED = [
     "events_hourly",
     "sessionize",
     "ann_topk",
+    "order_revenue_join",
+    "bulk_order_priorities",
 ]
 
 
