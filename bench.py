@@ -116,7 +116,8 @@ def run_bench(scope: str) -> dict:
             "q1_pricing_summary", "filter_count", "top_orders",
             "revenue_by_segment", "events_hourly", "sessionize",
             "asof_join_clicks", "sliding_window_counts",
-            "range_join_price_bands",
+            "range_join_price_bands", "order_revenue_join",
+            "bulk_order_priorities",
             "token_stats", "quality_summary", "exact_dedup_groups",
             "minhash_neardup_docs", "simhash_near_pairs",
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",

@@ -70,10 +70,16 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 def filter_count(sf_dir: str) -> rd.Dataset:
     """Predicate pushdown + vectorized filter (~ scanner size/glob
     predicates): lineitem with qty>45 & discount<0.05 counted per returnflag:
-    (l_returnflag, n)."""
+    (l_returnflag, n). The predicate is ALSO pushed into the scan (row groups
+    whose stats exclude it never leave storage); the in-batch filter stays as
+    the authoritative row-level gate."""
+    import pyarrow.dataset as pads
+
     ds = read_view(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount"],
+        predicate=(pads.field("l_quantity") > 45.0)
+        & (pads.field("l_discount") < 0.05),
     )
 
     def part(b: pa.Table) -> pa.Table:

@@ -24,28 +24,45 @@ except ImportError:
 
 
 def read_table(
-    path: str | list[str], columns: list[str] | None = None, **kwargs
+    path: str | list[str],
+    columns: list[str] | None = None,
+    predicate=None,
+    **kwargs,
 ) -> rd.Dataset:
     """Read a corpus table (``.lance`` dataset dir or ``.parquet`` file/dir,
     or an explicit list of part files — the per-partition checkpoint path).
 
     ~ the reference's scan stage (/root/reference/src/scanner.rs:44-111):
     fragments/row-groups give read parallelism; ``columns`` is projection
-    pushdown (the analog of never stat-ing files you won't hash).
+    pushdown (the analog of never stat-ing files you won't hash), and
+    ``predicate`` (a ``pyarrow.dataset`` expression) is predicate pushdown —
+    row groups whose statistics exclude the predicate are never read, the
+    analog of the reference's exclude-during-walk subtree pruning
+    (/root/reference/src/scanner.rs:59-84). Formats without scan-level
+    filtering (JSONL/CSV) fall back to a vectorized post-read filter with
+    identical semantics.
     """
     if isinstance(path, list):
+        if predicate is not None:
+            kwargs["filter"] = predicate
         return rd.read_parquet(path, columns=columns, **kwargs)
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "data"))):
-        return rd.read_lance(path, columns=columns, **kwargs)  # pragma: no cover
+        ds = rd.read_lance(path, columns=columns, **kwargs)  # pragma: no cover
+        if predicate is not None:  # pragma: no cover
+            ds = ds.map_batches(
+                lambda b: b.filter(predicate), batch_format="pyarrow"
+            )
+        return ds  # pragma: no cover
     # text-table ingestion formats (documents-style corpora arrive as JSONL
     # or CSV at least as often as parquet): projection applied right after
     # the read — these readers have no columns= pushdown, so prune eagerly
-    if path.endswith((".jsonl", ".json")):
-        ds = rd.read_json(path, **kwargs)
+    if path.endswith((".jsonl", ".json", ".csv")):
+        ds = rd.read_json(path, **kwargs) if not path.endswith(".csv") else rd.read_csv(path, **kwargs)
+        if predicate is not None:
+            ds = ds.map_batches(lambda b: b.filter(predicate), batch_format="pyarrow")
         return ds.select_columns(columns) if columns else ds
-    if path.endswith(".csv"):
-        ds = rd.read_csv(path, **kwargs)
-        return ds.select_columns(columns) if columns else ds
+    if predicate is not None:
+        kwargs["filter"] = predicate
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

@@ -60,3 +60,25 @@ def test_read_view_jsonl_and_csv(tmp_path, ray_session):
         got = read_view(str(path), columns=["doc_id", "text"]).to_pandas().sort_values("doc_id")
         assert list(got.columns) == ["doc_id", "text"]
         assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), path
+
+
+def test_read_view_predicate_pushdown(tmp_path, ray_session):
+    """predicate= filters at the scan for parquet and post-read for JSONL;
+    both must return the same rows as an in-memory filter."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    path = os.path.join(str(tmp_path), "p.parquet")
+    df = pd.DataFrame({"a": list(range(100)), "b": [f"s{i}" for i in range(100)]})
+    df.to_parquet(path, row_group_size=10)
+    pred = pads.field("a") >= 73
+    got = read_view(path, predicate=pred).to_pandas().sort_values("a")
+    assert got["a"].tolist() == list(range(73, 100))
+
+    jpath = os.path.join(str(tmp_path), "p.jsonl")
+    with open(jpath, "w") as f:
+        for _, row in df.iterrows():
+            f.write(json.dumps({"a": int(row.a), "b": row.b}) + "\n")
+    gotj = read_view(jpath, columns=["a"], predicate=pred).to_pandas().sort_values("a")
+    assert gotj["a"].tolist() == list(range(73, 100))
