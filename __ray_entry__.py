@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": analysis.quality_scores,  # SQL-checked
         "langid_docs": analysis.langid,
         "fingerprints_docs": analysis.fingerprints,
+        "top_docs_per_lang": analysis.top_docs_per_lang,
+        "numeric_profile": analysis.numeric_profile,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -429,6 +431,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM tg CROSS JOIN profiles) "
             "SELECT doc_id, lang AS pred_lang FROM scored "
             "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1"
+        ),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "numeric_profile": (
+            "SELECT count(*)::BIGINT AS n_rows, min(n_chars)::BIGINT AS min_v, "
+            "max(n_chars)::BIGINT AS max_v, round(avg(n_chars), 4) AS mean_v, "
+            "quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
+            "quantile_disc(n_chars, 0.50)::BIGINT AS p50, "
+            "quantile_disc(n_chars, 0.75)::BIGINT AS p75 FROM documents"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

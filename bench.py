@@ -118,7 +118,8 @@ def run_bench(scope: str) -> dict:
             "asof_join_clicks", "sliding_window_counts",
             "range_join_price_bands", "order_revenue_join",
             "bulk_order_priorities",
-            "token_stats", "quality_summary", "exact_dedup_groups",
+            "token_stats", "quality_summary", "top_docs_per_lang",
+            "numeric_profile", "exact_dedup_groups",
             "minhash_neardup_docs", "simhash_near_pairs",
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",
             "embedding_neardup_lsh",

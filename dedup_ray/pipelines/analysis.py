@@ -215,3 +215,99 @@ def fingerprints(sf_dir: str, cfg: DedupConfig | None = None) -> rd.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Grouped top-k: the k longest documents per language, ties broken by
+    doc_id: (lang, doc_id, n_chars). Two-level top-k so the shuffle moves at
+    most k rows per (lang, batch): a vectorized per-batch local top-k prunes
+    first, then one grouped_runs pass ranks complete lang groups — no
+    per-group Python, no global sort."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[("lang", "ascending"), ("n_chars", "descending"),
+                       ("doc_id", "ascending")],
+        )
+        b = b.take(idx)
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        starts = run_starts(lang)
+        rank = np.arange(len(lang)) - np.repeat(
+            starts, np.diff(np.append(starts, len(lang)))
+        )
+        return b.filter(pa.array(rank < k))
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        # g arrives sorted by lang only; order within each run here
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("lang", "ascending"), ("n_chars", "descending"),
+                       ("doc_id", "ascending")],
+        )
+        g = g.take(idx)
+        return local_topk(g)
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    out = grouped_runs(ds, "lang", final_topk)
+    return out.select_columns(["lang", "doc_id", "n_chars"])
+
+
+def numeric_profile(sf_dir: str) -> rd.Dataset:
+    """Distribution profile of a numeric column (n_chars): exact min / max /
+    mean and exact p25/p50/p75 quantiles, computed scale-correctly for
+    bounded-cardinality domains: each batch emits a partial (value, count)
+    histogram, one tiny groupby merges them, and the quantile walk runs over
+    the merged histogram (thousands of rows), never the data. Unbounded
+    domains would swap the exact histogram for a mergeable sketch behind the
+    same output schema. Output: one row
+    (n_rows, min_v, max_v, mean_v, p25, p50, p75)."""
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        vc = b["n_chars"].value_counts()
+        return pa.table(
+            {
+                "v": vc.field("values").cast(pa.int64()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, columns=["n_chars"])
+        .map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("v")
+        .sum("n")
+    )
+
+    def profile(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        # quantile_disc semantics: value at ceil(q * total) in 1-based rank
+        qs = {}
+        for tag, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            rank = max(1, int(np.ceil(q * total)))
+            qs[tag] = int(v[np.searchsorted(cum, rank)])
+        mean = float((v * n).sum()) / total
+        return pa.table(
+            {
+                "n_rows": pa.array([total], type=pa.int64()),
+                "min_v": pa.array([int(v[0])], type=pa.int64()),
+                "max_v": pa.array([int(v[-1])], type=pa.int64()),
+                "mean_v": pa.array([round(mean, 4)], type=pa.float64()),
+                "p25": pa.array([qs["p25"]], type=pa.int64()),
+                "p50": pa.array([qs["p50"]], type=pa.int64()),
+                "p75": pa.array([qs["p75"]], type=pa.int64()),
+            }
+        )
+
+    # the merged histogram is small by construction — single-block finish
+    return hist.repartition(1).map_batches(
+        profile, batch_format="pyarrow", batch_size=None
+    )

@@ -29,6 +29,8 @@ CHECKED = [
     "ann_topk",
     "order_revenue_join",
     "bulk_order_priorities",
+    "top_docs_per_lang",
+    "numeric_profile",
 ]
 
 
