@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": relational.range_join_price_bands,
         "order_revenue_join": relational.order_revenue_join,
         "bulk_order_priorities": relational.bulk_order_priorities,
+        "quiet_order_priorities": relational.quiet_order_priorities,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -498,6 +499,11 @@ def oracle_sql() -> dict[str, str]:
         "bulk_order_priorities": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
             "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) "
+            "GROUP BY o_orderpriority"
+        ),
+        "quiet_order_priorities": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
+            "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) "
             "GROUP BY o_orderpriority"
         ),
         "sliding_window_counts": (

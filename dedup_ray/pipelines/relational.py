@@ -488,6 +488,17 @@ def bulk_order_priorities(sf_dir: str, min_qty: float = 49.0) -> rd.Dataset:
     lineitem with quantity > min_qty, counted per priority. The probe side is
     pre-shrunk per batch (filter + local distinct on the key) BEFORE the
     shuffle, so only qualifying keys move: (o_orderpriority, n_orders)."""
+    return _order_priorities_vs_bulk(sf_dir, "semi", min_qty)
+
+
+def quiet_order_priorities(sf_dir: str, min_qty: float = 49.0) -> rd.Dataset:
+    """Left-anti shuffle join: orders with NO lineitem above min_qty, counted
+    per priority — the complement of bulk_order_priorities, same single
+    co-partitioning shuffle: (o_orderpriority, n_orders)."""
+    return _order_priorities_vs_bulk(sf_dir, "anti", min_qty)
+
+
+def _order_priorities_vs_bulk(sf_dir: str, how: str, min_qty: float) -> rd.Dataset:
     from dedup_ray.stages.join import shuffle_join
 
     orders = read_view(
@@ -502,7 +513,7 @@ def bulk_order_priorities(sf_dir: str, min_qty: float = 49.0) -> rd.Dataset:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     ).map_batches(bulk_keys, batch_format="pyarrow")
     hits = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey",
-                        how="semi")
+                        how=how)
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("o_orderpriority").aggregate(

@@ -41,9 +41,10 @@ def shuffle_join(
     ``pipelines/relational.py``); ``num_buckets`` bounds per-task memory,
     raise it at scale so a bucket of both sides fits a worker.
 
-    ``how``: ``"inner"`` (many-to-many, emits key + left cols + right cols)
-    or ``"semi"`` (left rows with >=1 right match; right cols dropped,
-    duplicate right keys collapse). Non-key column names must be disjoint.
+    ``how``: ``"inner"`` (many-to-many, emits key + left cols + right cols),
+    ``"semi"`` (left rows with >=1 right match; right cols dropped,
+    duplicate right keys collapse) or ``"anti"`` (left rows with NO right
+    match). Non-key column names must be disjoint.
     Generalizes the reference's in-process HashMap lookups
     (/root/reference/src/grouping.rs:13-24) to two distributed inputs.
     """
@@ -77,7 +78,7 @@ def shuffle_join(
         lambda b: widen(b, 0), batch_format="pyarrow"
     ).union(right.map_batches(lambda b: widen(b, 1), batch_format="pyarrow"))
 
-    out_cols = [on] + lval + ([] if how == "semi" else rval)
+    out_cols = [on] + lval + ([] if how in ("semi", "anti") else rval)
     empty = pa.schema(
         [(c, ltypes.get(c) or rtypes[c]) for c in out_cols]
     ).empty_table()
@@ -90,11 +91,14 @@ def shuffle_join(
         lmask = side == 0
         lk, rk = keys[lmask], keys[~lmask]
         ltab = g.filter(pa.array(lmask)).select([on] + lval)
-        if how == "semi":
-            if len(rk) == 0 or len(lk) == 0:
+        if how in ("semi", "anti"):
+            if len(lk) == 0:
                 return empty
+            if len(rk) == 0:
+                return ltab if how == "anti" else empty
             pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
-            return ltab.filter(pa.array(rk[pos] == lk))
+            hit = rk[pos] == lk
+            return ltab.filter(pa.array(hit if how == "semi" else ~hit))
         rtab = g.filter(pa.array(~lmask)).select(rval)
         lo = np.searchsorted(lk, rk, side="left")
         hi = np.searchsorted(lk, rk, side="right")

@@ -156,3 +156,51 @@ def test_shuffle_join_rejects_column_collision():
     t = pa.table({"k": pa.array([1], type=pa.int64()), "v": pa.array([1], type=pa.int64())})
     with pytest.raises(ValueError, match="collision"):
         shuffle_join(rd.from_arrow(t), rd.from_arrow(t), on="k")
+
+
+def test_shuffle_join_anti_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    left, _ = _join_sides()
+    # even keys only, so every odd left key is a guaranteed anti-join hit
+    rng = np.random.default_rng(11)
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(0, 25, size=300) * 2, type=pa.int64()),
+            "rval": pa.array(np.arange(300), type=pa.int64()),
+        }
+    )
+    got = (
+        shuffle_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            on="k",
+            right_on="rk",
+            how="anti",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lval"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = con.execute(
+        "SELECT k, lval FROM l WHERE k NOT IN (SELECT rk FROM r) ORDER BY k, lval"
+    ).df()
+    assert got[["k", "lval"]].astype("int64").equals(want.astype("int64"))
+
+
+def test_shuffle_join_anti_empty_right_keeps_all_left():
+    from dedup_ray.stages.join import shuffle_join
+
+    left, right = _join_sides()
+    out = shuffle_join(
+        rd.from_arrow(left), rd.from_arrow(right.slice(0, 0)),
+        on="k", right_on="rk", how="anti", num_buckets=4,
+    ).to_pandas()
+    assert len(out) == len(left)
