@@ -204,3 +204,42 @@ def test_shuffle_join_anti_empty_right_keeps_all_left():
         on="k", right_on="rk", how="anti", num_buckets=4,
     ).to_pandas()
     assert len(out) == len(left)
+
+
+def test_shuffle_join_string_keys():
+    """String join keys take the object-array searchsorted path; order and
+    matches must still agree with a reference join."""
+    import duckdb
+
+    left = pa.table(
+        {
+            "k": pa.array(["apple", "pear", "apple", "kiwi", "fig"]),
+            "lval": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(["apple", "fig", "fig", "mango"]),
+            "rval": pa.array([10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    from dedup_ray.stages.join import shuffle_join
+
+    got = (
+        shuffle_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = con.execute(
+        "SELECT k, lval, rval FROM l JOIN r ON k = rk ORDER BY k, lval, rval"
+    ).df()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["lval"].tolist() == want["lval"].tolist()
+    assert got["rval"].tolist() == want["rval"].tolist()
