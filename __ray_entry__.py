@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_docs": analysis.fingerprints,
         "top_docs_per_lang": analysis.top_docs_per_lang,
         "numeric_profile": analysis.numeric_profile,
+        "top_terms": analysis.top_terms,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -432,6 +433,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM tg CROSS JOIN profiles) "
             "SELECT doc_id, lang AS pred_lang FROM scored "
             "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1"
+        ),
+        "top_terms": (
+            "SELECT t AS token, count(*)::BIGINT AS n FROM "
+            "(SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t "
+            "FROM documents WHERE trim(text) <> '') "
+            "GROUP BY t ORDER BY n DESC, token LIMIT 20"
         ),
         "top_docs_per_lang": (
             "SELECT lang, doc_id, n_chars FROM documents "

@@ -311,3 +311,47 @@ def numeric_profile(sf_dir: str) -> rd.Dataset:
     return hist.repartition(1).map_batches(
         profile, batch_format="pyarrow", batch_size=None
     )
+
+
+def top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Vocabulary top-k (wordcount): the k most frequent whitespace tokens
+    across all documents, ties broken lexically: (token, n). Classic
+    map-reduce, fully vectorized: per-batch Arrow split+flatten+value_counts
+    partials (the combiner), one groupby over distinct tokens, then per-batch
+    local top-k + a k-row global sort-limit — the full token stream is never
+    shuffled, only (token, partial_count) rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        # Arrow's split emits '' at string edges where DuckDB's trim+split
+        # does not — drop them so both sides tokenize identically
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "pn": vc.field("counts").cast(pa.int64())}
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("pn")
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("sum(pn)", "descending"), ("token", "ascending")]
+        )
+        return b.take(idx[: k])
+
+    return (
+        agg.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["sum(pn)", "token"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda b: pa.table(
+                {"token": b["token"], "n": b["sum(pn)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -31,6 +31,7 @@ CHECKED = [
     "bulk_order_priorities",
     "top_docs_per_lang",
     "numeric_profile",
+    "top_terms",
 ]
 
 
