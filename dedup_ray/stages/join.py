@@ -29,6 +29,7 @@ def shuffle_join(
     right_on: str | None = None,
     how: str = "inner",
     num_buckets: int = 256,
+    salt: int = 1,
 ) -> rd.Dataset:
     """Big-big hash join: ONE co-partitioning shuffle, vectorized per bucket.
 
@@ -45,10 +46,17 @@ def shuffle_join(
     ``"semi"`` (left rows with >=1 right match; right cols dropped,
     duplicate right keys collapse) or ``"anti"`` (left rows with NO right
     match). Non-key column names must be disjoint.
-    Generalizes the reference's in-process HashMap lookups
+
+    ``salt`` > 1 is the hot-key mitigation (north-rule skew pattern): left
+    rows of every key are round-robined across ``salt`` sub-keys and right
+    rows are replicated to all of them, so one hot key's work spreads over
+    ``salt`` tasks instead of one. Output is EXACT for all three modes (each
+    left row meets each matching right row exactly once — in its own salt);
+    the cost is shipping the right side ``salt`` times, so salt the smaller
+    side right. Generalizes the reference's in-process HashMap lookups
     (/root/reference/src/grouping.rs:13-24) to two distributed inputs.
     """
-    from dedup_ray.stages.grouped import grouped_runs
+    from dedup_ray.stages.grouped import coarse_hash, grouped_runs
 
     right_on = right_on or on
     ls, rs = left.schema(), right.schema()
@@ -63,6 +71,11 @@ def shuffle_join(
         raise ValueError(f"non-key column collision: {sorted(clash)}")
 
     def widen(b: pa.Table, side: int) -> pa.Table:
+        if salt > 1 and side == 1:
+            # replicate the right side once per salt (contiguous repeat keeps
+            # per-key row order stable for determinism)
+            idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), salt)
+            b = b.take(pa.array(idx))
         n = b.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
             on: b[on if side == 0 else right_on]
@@ -72,6 +85,15 @@ def shuffle_join(
         for c in rval:
             cols[c] = pa.nulls(n, type=rtypes[c]) if side == 0 else b[c]
         cols["__side__"] = pa.array(np.full(n, side, dtype=np.int8))
+        if salt > 1:
+            if side == 0:
+                sv = np.arange(n, dtype=np.int64) % salt  # round-robin split
+            else:
+                sv = np.tile(np.arange(salt, dtype=np.int64), n // salt)
+            cols["__salt__"] = pa.array(sv)
+            cols["__jkey__"] = pa.array(
+                coarse_hash(cols[on], 1 << 31) * salt + sv
+            )
         return pa.table(cols)
 
     both = left.map_batches(
@@ -83,9 +105,9 @@ def shuffle_join(
         [(c, ltypes.get(c) or rtypes[c]) for c in out_cols]
     ).empty_table()
 
-    def join_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return empty
+    def join_sorted(g: pa.Table) -> pa.Table:
+        """Join one table sorted by (key, side) — all rows of a (key [, salt])
+        group."""
         side = g["__side__"].to_numpy(zero_copy_only=False)
         keys = g[on].to_numpy(zero_copy_only=False)
         lmask = side == 0
@@ -115,6 +137,27 @@ def shuffle_join(
             out = out.append_column(c, rtaken[c])
         return out
 
+    def join_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        if salt <= 1:
+            return join_sorted(g)
+        # a bucket may hold several (key-hash, salt) groups, including the
+        # SAME key under different salts (each with its own right replica) —
+        # join per salt so a left row meets each right match exactly once
+        sv = g["__salt__"].to_numpy(zero_copy_only=False)
+        parts = [
+            join_sorted(g.filter(pa.array(sv == s)))
+            for s in np.unique(sv)
+        ]
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts) if parts else empty
+
+    if salt > 1:
+        return grouped_runs(
+            both, "__jkey__", join_bucket, num_buckets=num_buckets,
+            sort_cols=[on, "__salt__", "__side__"],
+        )
     return grouped_runs(
         both, on, join_bucket, num_buckets=num_buckets,
         sort_cols=[on, "__side__"],

@@ -243,3 +243,34 @@ def test_shuffle_join_string_keys():
     assert got["k"].tolist() == want["k"].tolist()
     assert got["lval"].tolist() == want["lval"].tolist()
     assert got["rval"].tolist() == want["rval"].tolist()
+
+
+def test_shuffle_join_salted_matches_unsalted():
+    """salt=4 spreads hot keys over sub-buckets; output must be EXACTLY the
+    unsalted join in all three modes — including a planted hot key carrying
+    half of each side."""
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    rng = np.random.default_rng(3)
+    lk = np.concatenate([np.full(100, 7), rng.integers(0, 30, size=100)])
+    rk = np.concatenate([np.full(80, 7), rng.integers(0, 35, size=80)])
+    left = pa.table({"k": pa.array(lk, type=pa.int64()),
+                     "lval": pa.array(np.arange(200), type=pa.int64())})
+    right = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                      "rval": pa.array(np.arange(160), type=pa.int64())})
+    for how, cols in (("inner", ["k", "lval", "rval"]),
+                      ("semi", ["k", "lval"]), ("anti", ["k", "lval"])):
+        base = (
+            shuffle_join(rd.from_arrow(left), rd.from_arrow(right),
+                         on="k", right_on="rk", how=how, num_buckets=8)
+            .to_pandas().sort_values(cols).reset_index(drop=True)
+        )
+        salted = (
+            shuffle_join(rd.from_arrow(left).repartition(3),
+                         rd.from_arrow(right).repartition(2),
+                         on="k", right_on="rk", how=how, num_buckets=8, salt=4)
+            .to_pandas().sort_values(cols).reset_index(drop=True)
+        )
+        assert salted[cols].equals(base[cols]), how
