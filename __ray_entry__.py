@@ -434,10 +434,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS pred_lang FROM scored "
             "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1"
         ),
+        # token = maximal run of non-ASCII-whitespace, the exact complement
+        # of Arrow ascii_split_whitespace's split set (trim()+\s+ would
+        # diverge on tab-edged text and count '' tokens)
         "top_terms": (
             "SELECT t AS token, count(*)::BIGINT AS n FROM "
-            "(SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t "
-            "FROM documents WHERE trim(text) <> '') "
+            "(SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents) "
             "GROUP BY t ORDER BY n DESC, token LIMIT 20"
         ),
         "top_docs_per_lang": (

@@ -239,20 +239,12 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
         )
         return b.filter(pa.array(rank < k))
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        # g arrives sorted by lang only; order within each run here
-        idx = pc.sort_indices(
-            g,
-            sort_keys=[("lang", "ascending"), ("n_chars", "descending"),
-                       ("doc_id", "ascending")],
-        )
-        g = g.take(idx)
-        return local_topk(g)
-
     ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
         local_topk, batch_format="pyarrow"
     )
-    out = grouped_runs(ds, "lang", final_topk)
+    # local_topk is also the merge kernel: it re-sorts its (pruned) input
+    # fully, so the bucket pass needs no extra pre-sort wrapper
+    out = grouped_runs(ds, "lang", local_topk)
     return out.select_columns(["lang", "doc_id", "n_chars"])
 
 
@@ -281,8 +273,36 @@ def numeric_profile(sf_dir: str) -> rd.Dataset:
         .groupby("v")
         .sum("n")
     )
+    # an empty input yields ZERO blocks and the finish step would never run;
+    # a null-keyed seed row (dropped inside profile) guarantees one batch so
+    # the empty case still emits the SQL-parity aggregate row
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([None], type=pa.int64()),
+                "sum(n)": pa.array([0], type=pa.int64()),
+            }
+        )
+    )
+    hist = hist.union(seed)
+
+    null_row = pa.table(
+        {
+            "n_rows": pa.array([0], type=pa.int64()),
+            "min_v": pa.array([None], type=pa.int64()),
+            "max_v": pa.array([None], type=pa.int64()),
+            "mean_v": pa.array([None], type=pa.float64()),
+            "p25": pa.array([None], type=pa.int64()),
+            "p50": pa.array([None], type=pa.int64()),
+            "p75": pa.array([None], type=pa.int64()),
+        }
+    )
 
     def profile(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["v"]))  # drop the seed row
+        if b.num_rows == 0:
+            # empty table: one aggregate row with NULL stats, like SQL
+            return null_row
         v = b["v"].to_numpy(zero_copy_only=False)
         n = b["sum(n)"].to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
@@ -322,9 +342,11 @@ def top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
     shuffled, only (token, partial_count) rows."""
 
     def partial(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
-        # Arrow's split emits '' at string edges where DuckDB's trim+split
-        # does not — drop them so both sides tokenize identically
+        # ascii_split_whitespace splits on exactly { \t\n\v\f\r}, the same
+        # ASCII class the oracle's [^ \t\n\v\f\r]+ extraction uses (utf8_
+        # split would also break on NBSP etc. and diverge); Arrow emits ''
+        # at string edges where extract_all does not — drop them
+        flat = pc.list_flatten(pc.ascii_split_whitespace(b["text"]))
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = flat.value_counts()
         return pa.table(

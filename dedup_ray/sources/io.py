@@ -92,7 +92,12 @@ def read_view(path: str, columns: list[str] | None = None, **kwargs) -> rd.Datas
 
     Use for externally-written tables (the driver's testdata is written by
     pandas)."""
-    if not HAVE_LANCE and "schema" not in kwargs:
+    # an explicit schema narrowed to `columns` would reject predicates that
+    # reference unprojected columns (the scanner needs them in its schema);
+    # with a predicate, fall back to the post-read metadata strip so parquet
+    # matches the JSONL/CSV behavior: filter sees all columns, output only
+    # the projected ones
+    if not HAVE_LANCE and "schema" not in kwargs and kwargs.get("predicate") is None:
         import pyarrow.parquet as pq
 
         f = list_shards(path)[0]

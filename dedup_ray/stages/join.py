@@ -58,6 +58,8 @@ def shuffle_join(
     """
     from dedup_ray.stages.grouped import coarse_hash, grouped_runs
 
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
     right_on = right_on or on
     ls, rs = left.schema(), right.schema()
     ltypes = dict(zip(ls.names, ls.types))
@@ -69,13 +71,27 @@ def shuffle_join(
     clash = set(lval) & set(rval)
     if clash:
         raise ValueError(f"non-key column collision: {sorted(clash)}")
+    if on in rval:
+        raise ValueError(
+            f"right side has a non-key column named like the left key {on!r}"
+        )
+    reserved = {"__side__", "__salt__", "__jkey__", "__coarse__"}
+    bad = reserved & (set(ls.names) | set(rs.names))
+    if bad:
+        raise ValueError(f"reserved column names in join inputs: {sorted(bad)}")
 
     def widen(b: pa.Table, side: int) -> pa.Table:
+        khash = None
+        if salt > 1:
+            # hash original keys ONCE (string crc32 is the expensive part),
+            # before any replication
+            khash = coarse_hash(b[on if side == 0 else right_on], 1 << 31)
         if salt > 1 and side == 1:
             # replicate the right side once per salt (contiguous repeat keeps
             # per-key row order stable for determinism)
             idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), salt)
             b = b.take(pa.array(idx))
+            khash = np.repeat(khash, salt)
         n = b.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
             on: b[on if side == 0 else right_on]
@@ -91,9 +107,7 @@ def shuffle_join(
             else:
                 sv = np.tile(np.arange(salt, dtype=np.int64), n // salt)
             cols["__salt__"] = pa.array(sv)
-            cols["__jkey__"] = pa.array(
-                coarse_hash(cols[on], 1 << 31) * salt + sv
-            )
+            cols["__jkey__"] = pa.array(khash * salt + sv)
         return pa.table(cols)
 
     both = left.map_batches(

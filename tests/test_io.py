@@ -82,3 +82,27 @@ def test_read_view_predicate_pushdown(tmp_path, ray_session):
             f.write(json.dumps({"a": int(row.a), "b": row.b}) + "\n")
     gotj = read_view(jpath, columns=["a"], predicate=pred).to_pandas().sort_values("a")
     assert gotj["a"].tolist() == list(range(73, 100))
+
+
+def test_read_view_predicate_on_unprojected_column(tmp_path, ray_session):
+    """A predicate may reference columns outside the projection — parquet
+    and JSONL must both filter on them and emit only the projected columns."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    df = pd.DataFrame({"a": list(range(50)), "b": [i * 2 for i in range(50)]})
+    ppath = os.path.join(str(tmp_path), "u.parquet")
+    df.to_parquet(ppath, row_group_size=10)
+    pred = pads.field("b") >= 80
+    got = read_view(ppath, columns=["a"], predicate=pred).to_pandas()
+    assert sorted(got.columns) == ["a"]
+    assert sorted(got["a"].tolist()) == list(range(40, 50))
+
+    jpath = os.path.join(str(tmp_path), "u.jsonl")
+    with open(jpath, "w") as f:
+        for _, row in df.iterrows():
+            f.write(json.dumps({"a": int(row.a), "b": int(row.b)}) + "\n")
+    gotj = read_view(jpath, columns=["a"], predicate=pred).to_pandas()
+    assert sorted(gotj.columns) == ["a"]
+    assert sorted(gotj["a"].tolist()) == list(range(40, 50))

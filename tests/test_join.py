@@ -274,3 +274,21 @@ def test_shuffle_join_salted_matches_unsalted():
             .to_pandas().sort_values(cols).reset_index(drop=True)
         )
         assert salted[cols].equals(base[cols]), how
+
+
+def test_shuffle_join_rejects_reserved_and_key_shadow():
+    from dedup_ray.stages.join import shuffle_join
+
+    left = pa.table({"k": pa.array([1], type=pa.int64()),
+                     "lval": pa.array([1], type=pa.int64())})
+    shadow = pa.table({"rk": pa.array([1], type=pa.int64()),
+                       "k": pa.array([9], type=pa.int64())})
+    with pytest.raises(ValueError, match="named like the left key"):
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(shadow), on="k", right_on="rk")
+    reserved = pa.table({"rk": pa.array([1], type=pa.int64()),
+                         "__side__": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError, match="reserved"):
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(reserved), on="k", right_on="rk")
+    with pytest.raises(ValueError, match="how must be"):
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(left.rename_columns(["rk", "rv"])),
+                     on="k", right_on="rk", how="outer")

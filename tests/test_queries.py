@@ -116,3 +116,34 @@ def test_multimodal_features(tiny_corpus):
         {"video_id": pa.array(["a"]), "bytes": pa.array([b"junk"], type=pa.binary())}
     )
     assert VideoFrameSampler()(bad_video).num_rows == 0
+
+
+def test_numeric_profile_empty_table(tmp_path, ray_session):
+    """An empty documents table must still emit the one SQL-parity aggregate
+    row (n_rows=0, NULL stats), not an empty dataset."""
+    import os
+
+    import duckdb
+
+    import __ray_entry__ as e
+    from dedup_ray.pipelines.analysis import numeric_profile
+
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="object"),
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = numeric_profile(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(e.oracle_sql()["numeric_profile"]).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
