@@ -292,3 +292,38 @@ def test_shuffle_join_rejects_reserved_and_key_shadow():
     with pytest.raises(ValueError, match="how must be"):
         shuffle_join(rd.from_arrow(left), rd.from_arrow(left.rename_columns(["rk", "rv"])),
                      on="k", right_on="rk", how="outer")
+
+
+def test_shuffle_join_degenerate_shapes():
+    """Single-row sides, all-equal keys (full cross product in one key) and
+    an empty LEFT side must all join exactly."""
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    one_l = pa.table({"k": pa.array([5], type=pa.int64()),
+                      "lval": pa.array([1], type=pa.int64())})
+    one_r = pa.table({"rk": pa.array([5], type=pa.int64()),
+                      "rval": pa.array([2], type=pa.int64())})
+    got = shuffle_join(rd.from_arrow(one_l), rd.from_arrow(one_r),
+                       on="k", right_on="rk").to_pandas()
+    assert got.values.tolist() == [[5, 1, 2]]
+
+    # all-equal keys: 6x4 cross product
+    all_l = pa.table({"k": pa.array([9] * 6, type=pa.int64()),
+                      "lval": pa.array(np.arange(6), type=pa.int64())})
+    all_r = pa.table({"rk": pa.array([9] * 4, type=pa.int64()),
+                      "rval": pa.array(np.arange(4), type=pa.int64())})
+    cross = shuffle_join(rd.from_arrow(all_l), rd.from_arrow(all_r),
+                         on="k", right_on="rk", salt=3).to_pandas()
+    assert len(cross) == 24
+    assert sorted(map(tuple, cross[["lval", "rval"]].values.tolist())) == sorted(
+        (i, j) for i in range(6) for j in range(4)
+    )
+
+    # empty left side
+    empty_l = rd.from_arrow(one_l.slice(0, 0))
+    for how in ("inner", "semi", "anti"):
+        out = shuffle_join(empty_l, rd.from_arrow(one_r), on="k",
+                           right_on="rk", how=how).to_pandas()
+        assert len(out) == 0, how
