@@ -251,24 +251,20 @@ def attach_pair_attrs(
         return pairs.map_batches(
             attacher, batch_format="pyarrow", batch_size=4096
         )
-    # shuffle path: two hash joins
+    # shuffle path: two co-partitioned hash joins through the same
+    # grouped_runs machinery as every other wide stage (Dataset.join carries
+    # ~10-20 s fixed aggregator cost per call; shuffle_join does not)
     side = attrs.select_columns(["image_id"] + columns)
-    out = pairs.join(
-        side,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("src_id",),
-        right_on=("image_id",),
-    )
-    for col in columns:
-        out = out.rename_columns({col: f"src_{col}"})
-    out = out.join(
-        side,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst_id",),
-        right_on=("image_id",),
-    )
-    for col in columns:
-        out = out.rename_columns({col: f"dst_{col}"})
+    out = pairs
+    for endpoint in ("src", "dst"):
+        renamed = side.map_batches(
+            lambda b, ep=endpoint: b.rename_columns(
+                ["image_id"] + [f"{ep}_{c}" for c in columns]
+            ),
+            batch_format="pyarrow",
+        )
+        out = shuffle_join(
+            out, renamed, on=f"{endpoint}_id", right_on="image_id",
+            num_buckets=num_partitions,
+        )
     return out
