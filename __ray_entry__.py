@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_neardup_pairs": ann.cosine_neardup_pairs,
         "embedding_lsh_buckets": ann.lsh_buckets,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
+        "lang_embedding_norms": ann.lang_embedding_norms,
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,
@@ -527,6 +528,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, "
             "(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us "
             "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "lang_embedding_norms": (
+            "SELECT lang, count(*)::BIGINT AS n_vecs, "
+            "round(sum(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * x)))) / count(*), 4) AS mean_norm "
+            "FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "

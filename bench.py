@@ -122,7 +122,7 @@ def run_bench(scope: str) -> dict:
             "numeric_profile", "top_terms", "exact_dedup_groups",
             "minhash_neardup_docs", "simhash_near_pairs",
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",
-            "embedding_neardup_lsh",
+            "embedding_neardup_lsh", "lang_embedding_norms",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

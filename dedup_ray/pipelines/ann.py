@@ -335,3 +335,68 @@ def embedding_neardup_lsh(
     if "a" not in out.columns:  # no collisions anywhere -> schema dropped
         return pd.DataFrame(columns=["a", "b"]).astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+
+
+def lang_embedding_norms(sf_dir: str) -> rd.Dataset:
+    """Cross-table enrichment: join documents to their embedding vectors
+    (big-big, ONE co-partitioning shuffle via stages/join.shuffle_join —
+    exercises nested list<float> columns through the join) and aggregate the
+    L2 norm per language: (lang, n_vecs, mean_norm).
+
+    Norms accumulate dimension-by-dimension in float64 — the same strict
+    left-fold order as the DuckDB oracle's list_sum, so per-row norms are
+    bit-identical; only the cross-row mean needs rounding (sum order differs
+    between engines)."""
+    import pyarrow.compute as pc
+
+    from dedup_ray.sources.io import read_view
+    from dedup_ray.stages.join import shuffle_join
+
+    docs = read_view(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    joined = shuffle_join(docs, _emb(sf_dir), on="doc_id", right_on="vec_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "pn": pa.array([], type=pa.int64()),
+                    "ps": pa.array([], type=pa.float64()),
+                }
+            )
+        dim = len(col[0])
+        m = np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
+        acc = np.zeros(n)
+        for j in range(dim):  # sequential fold across dims == SQL list_sum
+            x = m[:, j]
+            acc = acc + x * x
+        t = pa.table({"lang": b["lang"], "norm": np.sqrt(acc)})
+        g = t.group_by("lang").aggregate(
+            [("norm", "sum"), ("norm", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"lang": g["lang"], "pn": g["norm_count"], "ps": g["norm_sum"]}
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby("lang").sum(
+        ["pn", "ps"]
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_vecs": b["sum(pn)"].cast(pa.int64()),
+                "mean_norm": pc2.round(
+                    pc2.divide(b["sum(ps)"], b["sum(pn)"].cast(pa.float64())), 4
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -32,6 +32,7 @@ CHECKED = [
     "top_docs_per_lang",
     "numeric_profile",
     "top_terms",
+    "lang_embedding_norms",
 ]
 
 
