@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": analysis.top_docs_per_lang,
         "numeric_profile": analysis.numeric_profile,
         "top_terms": analysis.top_terms,
+        "lang_length_quantiles": analysis.lang_length_quantiles,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -448,6 +449,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, n_chars FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "lang_length_quantiles": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
+            "quantile_disc(n_chars, 0.50)::BIGINT AS p50, "
+            "quantile_disc(n_chars, 0.75)::BIGINT AS p75 "
+            "FROM documents GROUP BY lang"
         ),
         "numeric_profile": (
             "SELECT count(*)::BIGINT AS n_rows, min(n_chars)::BIGINT AS min_v, "

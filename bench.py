@@ -119,7 +119,8 @@ def run_bench(scope: str) -> dict:
             "range_join_price_bands", "order_revenue_join",
             "bulk_order_priorities",
             "token_stats", "quality_summary", "top_docs_per_lang",
-            "numeric_profile", "top_terms", "exact_dedup_groups",
+            "numeric_profile", "top_terms", "lang_length_quantiles",
+            "exact_dedup_groups",
             "minhash_neardup_docs", "simhash_near_pairs",
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",
             "embedding_neardup_lsh", "lang_embedding_norms",

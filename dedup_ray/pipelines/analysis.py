@@ -377,3 +377,72 @@ def top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
+    """Grouped distribution profile: exact per-language p25/p50/p75 of
+    n_chars: (lang, n_docs, p25, p50, p75). Same mergeable-histogram design
+    as numeric_profile, per group: batches emit (lang, value, count)
+    partials, ONE grouped_runs pass merges each language's histogram and
+    walks its quantiles — the documents themselves never shuffle, only
+    histogram rows (bounded by distinct (lang, n_chars) pairs)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "v": g["n_chars"].cast(pa.int64()),
+                "pn": g["n_chars_count"].cast(pa.int64()),
+            }
+        )
+
+    schema = pa.schema(
+        [("lang", pa.string()), ("n_docs", pa.int64()), ("p25", pa.int64()),
+         ("p50", pa.int64()), ("p75", pa.int64())]
+    )
+
+    def quantiles_per_lang(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        lang = g["lang"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        n = g["pn"].to_numpy(zero_copy_only=False)
+        starts = run_starts(lang)
+        bounds = np.append(starts, len(lang))
+        out = {"lang": [], "n_docs": [], "p25": [], "p50": [], "p75": []}
+        for i in range(len(starts)):  # one iteration per LANGUAGE, not row
+            lo, hi = bounds[i], bounds[i + 1]
+            vv, nn = v[lo:hi], n[lo:hi]
+            # merge duplicate values (same (lang, v) from different batches);
+            # vv is sorted (bucket sort_cols), duplicates are consecutive
+            vs = run_starts(vv)
+            vb = np.append(vs, len(vv))
+            uv = vv[vs]
+            tot = np.add.reduceat(nn, vs)
+            cum = np.cumsum(tot)
+            total = int(cum[-1])
+            row = [int(uv[np.searchsorted(cum, max(1, int(np.ceil(q * total))))])
+                   for q in (0.25, 0.5, 0.75)]
+            out["lang"].append(lang[lo])
+            out["n_docs"].append(total)
+            out["p25"].append(row[0])
+            out["p50"].append(row[1])
+            out["p75"].append(row[2])
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "p25": pa.array(out["p25"], type=pa.int64()),
+                "p50": pa.array(out["p50"], type=pa.int64()),
+                "p75": pa.array(out["p75"], type=pa.int64()),
+            }
+        )
+
+    hist = _docs(sf_dir, columns=["lang", "n_chars"]).map_batches(
+        partial_hist, batch_format="pyarrow"
+    )
+    return grouped_runs(hist, "lang", quantiles_per_lang, sort_cols=["lang", "v"])

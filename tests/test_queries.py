@@ -33,6 +33,7 @@ CHECKED = [
     "numeric_profile",
     "top_terms",
     "lang_embedding_norms",
+    "lang_length_quantiles",
 ]
 
 
