@@ -451,14 +451,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id) <= 3"
         ),
         "lang_length_quantiles": (
-            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "SELECT lang, count(n_chars)::BIGINT AS n_docs, "
             "quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
             "quantile_disc(n_chars, 0.50)::BIGINT AS p50, "
             "quantile_disc(n_chars, 0.75)::BIGINT AS p75 "
             "FROM documents GROUP BY lang"
         ),
         "numeric_profile": (
-            "SELECT count(*)::BIGINT AS n_rows, min(n_chars)::BIGINT AS min_v, "
+            "SELECT count(n_chars)::BIGINT AS n_rows, min(n_chars)::BIGINT AS min_v, "
             "max(n_chars)::BIGINT AS max_v, round(avg(n_chars), 4) AS mean_v, "
             "quantile_disc(n_chars, 0.25)::BIGINT AS p25, "
             "quantile_disc(n_chars, 0.50)::BIGINT AS p50, "

@@ -259,7 +259,9 @@ def numeric_profile(sf_dir: str) -> rd.Dataset:
     (n_rows, min_v, max_v, mean_v, p25, p50, p75)."""
 
     def partial_hist(b: pa.Table) -> pa.Table:
-        vc = b["n_chars"].value_counts()
+        # null values are excluded from every stat, like SQL aggregates
+        # (the oracle counts with count(n_chars), not count(*))
+        vc = b["n_chars"].drop_null().value_counts()
         return pa.table(
             {
                 "v": vc.field("values").cast(pa.int64()),
@@ -303,17 +305,14 @@ def numeric_profile(sf_dir: str) -> rd.Dataset:
         if b.num_rows == 0:
             # empty table: one aggregate row with NULL stats, like SQL
             return null_row
+        from dedup_ray.stages.grouped import quantiles_from_hist
+
         v = b["v"].to_numpy(zero_copy_only=False)
         n = b["sum(n)"].to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
         v, n = v[order], n[order]
         total = int(n.sum())
-        cum = np.cumsum(n)
-        # quantile_disc semantics: value at ceil(q * total) in 1-based rank
-        qs = {}
-        for tag, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
-            rank = max(1, int(np.ceil(q * total)))
-            qs[tag] = int(v[np.searchsorted(cum, rank)])
+        p25, p50, p75 = quantiles_from_hist(v, n, (0.25, 0.5, 0.75))
         mean = float((v * n).sum()) / total
         return pa.table(
             {
@@ -321,9 +320,9 @@ def numeric_profile(sf_dir: str) -> rd.Dataset:
                 "min_v": pa.array([int(v[0])], type=pa.int64()),
                 "max_v": pa.array([int(v[-1])], type=pa.int64()),
                 "mean_v": pa.array([round(mean, 4)], type=pa.float64()),
-                "p25": pa.array([qs["p25"]], type=pa.int64()),
-                "p50": pa.array([qs["p50"]], type=pa.int64()),
-                "p75": pa.array([qs["p75"]], type=pa.int64()),
+                "p25": pa.array([p25], type=pa.int64()),
+                "p50": pa.array([p50], type=pa.int64()),
+                "p75": pa.array([p75], type=pa.int64()),
             }
         )
 
@@ -389,6 +388,9 @@ def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
     from dedup_ray.stages.grouped import grouped_runs, run_starts
 
     def partial_hist(b: pa.Table) -> pa.Table:
+        # null n_chars rows are excluded, like SQL aggregates (the oracle
+        # counts with count(n_chars), and quantile_disc ignores nulls)
+        b = b.filter(pc.is_valid(b["n_chars"]))
         g = b.group_by(["lang", "n_chars"]).aggregate(
             [("n_chars", "count", pc.CountOptions(mode="all"))]
         )
@@ -406,6 +408,8 @@ def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
     )
 
     def quantiles_per_lang(g: pa.Table) -> pa.Table:
+        from dedup_ray.stages.grouped import quantiles_from_hist
+
         if g.num_rows == 0:
             return schema.empty_table()
         lang = g["lang"].to_numpy(zero_copy_only=False)
@@ -416,19 +420,11 @@ def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
         out = {"lang": [], "n_docs": [], "p25": [], "p50": [], "p75": []}
         for i in range(len(starts)):  # one iteration per LANGUAGE, not row
             lo, hi = bounds[i], bounds[i + 1]
-            vv, nn = v[lo:hi], n[lo:hi]
-            # merge duplicate values (same (lang, v) from different batches);
-            # vv is sorted (bucket sort_cols), duplicates are consecutive
-            vs = run_starts(vv)
-            vb = np.append(vs, len(vv))
-            uv = vv[vs]
-            tot = np.add.reduceat(nn, vs)
-            cum = np.cumsum(tot)
-            total = int(cum[-1])
-            row = [int(uv[np.searchsorted(cum, max(1, int(np.ceil(q * total))))])
-                   for q in (0.25, 0.5, 0.75)]
+            # v is sorted within the run (bucket sort_cols), duplicate
+            # values from different batches merge inside the helper
+            row = quantiles_from_hist(v[lo:hi], n[lo:hi], (0.25, 0.5, 0.75))
             out["lang"].append(lang[lo])
-            out["n_docs"].append(total)
+            out["n_docs"].append(int(n[lo:hi].sum()))
             out["p25"].append(row[0])
             out["p50"].append(row[1])
             out["p75"].append(row[2])

@@ -337,45 +337,46 @@ def embedding_neardup_lsh(
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
 
 
-def lang_embedding_norms(sf_dir: str) -> rd.Dataset:
-    """Cross-table enrichment: join documents to their embedding vectors
-    (big-big, ONE co-partitioning shuffle via stages/join.shuffle_join —
-    exercises nested list<float> columns through the join) and aggregate the
-    L2 norm per language: (lang, n_vecs, mean_norm).
+def _seqfold_norms(m: np.ndarray) -> np.ndarray:
+    """L2 norms with a strict sequential fold across dimensions — the same
+    addition order as DuckDB's list_sum, so per-row values are bit-identical
+    to the SQL oracle (numpy's pairwise sum would differ in ulps)."""
+    acc = np.zeros(len(m))
+    for j in range(m.shape[1]):
+        x = m[:, j]
+        acc = acc + x * x
+    return np.sqrt(acc)
 
-    Norms accumulate dimension-by-dimension in float64 — the same strict
-    left-fold order as the DuckDB oracle's list_sum, so per-row norms are
-    bit-identical; only the cross-row mean needs rounding (sum order differs
-    between engines)."""
+
+def lang_embedding_norms(sf_dir: str) -> rd.Dataset:
+    """Cross-table enrichment: per-language mean embedding L2 norm:
+    (lang, n_vecs, mean_norm). The norm is pre-reduced ON THE EMBEDDINGS
+    SCAN (each list<float> vector collapses to one float64 before any data
+    moves — minimize-shuffle rule), then documents join the (vec_id, norm)
+    table in one co-partitioning shuffle_join and a per-lang partial
+    aggregate finishes. Only the cross-row mean needs rounding (sum order
+    differs between engines); per-row norms are bit-identical to the oracle
+    (see _seqfold_norms)."""
     import pyarrow.compute as pc
 
     from dedup_ray.sources.io import read_view
     from dedup_ray.stages.join import shuffle_join
 
+    def to_norms(b: pa.Table) -> pa.Table:
+        ids, m = _mat(b)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "norm": pa.array(_seqfold_norms(m), type=pa.float64()),
+            }
+        )
+
+    norms = _emb(sf_dir).map_batches(to_norms, batch_format="pyarrow")
     docs = read_view(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    joined = shuffle_join(docs, _emb(sf_dir), on="doc_id", right_on="vec_id")
+    joined = shuffle_join(docs, norms, on="doc_id", right_on="vec_id")
 
     def partial(b: pa.Table) -> pa.Table:
-        col = b["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = b.num_rows
-        if n == 0:
-            return pa.table(
-                {
-                    "lang": pa.array([], type=pa.string()),
-                    "pn": pa.array([], type=pa.int64()),
-                    "ps": pa.array([], type=pa.float64()),
-                }
-            )
-        dim = len(col[0])
-        m = np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
-        acc = np.zeros(n)
-        for j in range(dim):  # sequential fold across dims == SQL list_sum
-            x = m[:, j]
-            acc = acc + x * x
-        t = pa.table({"lang": b["lang"], "norm": np.sqrt(acc)})
-        g = t.group_by("lang").aggregate(
+        g = b.group_by("lang").aggregate(
             [("norm", "sum"), ("norm", "count", pc.CountOptions(mode="all"))]
         )
         return pa.table(
@@ -387,14 +388,12 @@ def lang_embedding_norms(sf_dir: str) -> rd.Dataset:
     )
 
     def final(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
         return pa.table(
             {
                 "lang": b["lang"],
                 "n_vecs": b["sum(pn)"].cast(pa.int64()),
-                "mean_norm": pc2.round(
-                    pc2.divide(b["sum(ps)"], b["sum(pn)"].cast(pa.float64())), 4
+                "mean_norm": pc.round(
+                    pc.divide(b["sum(ps)"], b["sum(pn)"].cast(pa.float64())), 4
                 ),
             }
         )

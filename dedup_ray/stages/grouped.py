@@ -127,3 +127,22 @@ def drop_sorted_dup_pairs(g: pa.Table, a_col: str, b_col: str) -> pa.Table:
     keep = np.ones(len(a), dtype=bool)
     keep[1:] = ~((a[1:] == a[:-1]) & (b[1:] == b[:-1]))
     return g.filter(pa.array(keep))
+
+
+def quantiles_from_hist(
+    values: np.ndarray, counts: np.ndarray, qs: tuple[float, ...]
+) -> list[int]:
+    """Discrete quantiles (SQL ``quantile_disc`` semantics: value at rank
+    ceil(q*n), 1-based) from a VALUE-SORTED histogram with possibly
+    duplicated values (concatenated per-block partials): duplicates are
+    merged, then each quantile is one searchsorted over the cumulative
+    counts. Shared by the global and per-group profile operators."""
+    vs = run_starts(values)
+    uv = values[vs]
+    tot = np.add.reduceat(counts, vs)
+    cum = np.cumsum(tot)
+    total = int(cum[-1])
+    return [
+        int(uv[np.searchsorted(cum, max(1, int(np.ceil(q * total))))])
+        for q in qs
+    ]

@@ -30,6 +30,8 @@ def shuffle_join(
     how: str = "inner",
     num_buckets: int = 256,
     salt: int = 1,
+    left_schema=None,
+    right_schema=None,
 ) -> rd.Dataset:
     """Big-big hash join: ONE co-partitioning shuffle, vectorized per bucket.
 
@@ -61,7 +63,12 @@ def shuffle_join(
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"how must be inner|semi|anti, got {how!r}")
     right_on = right_on or on
-    ls, rs = left.schema(), right.schema()
+    # Dataset.schema() on a shuffle lineage (groupby/map_groups output)
+    # cannot be answered from metadata and EXECUTES the upstream plan —
+    # callers chaining joins pass explicit schemas (pyarrow.Schema or
+    # ray.data Schema, both expose .names/.types) to stay lazy
+    ls = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = dict(zip(rs.names, rs.types))
     if ltypes[on] != rtypes[right_on]:
@@ -253,8 +260,13 @@ def attach_pair_attrs(
         )
     # shuffle path: two co-partitioned hash joins through the same
     # grouped_runs machinery as every other wide stage (Dataset.join carries
-    # ~10-20 s fixed aggregator cost per call; shuffle_join does not)
+    # ~10-20 s fixed aggregator cost per call; shuffle_join does not).
+    # Schemas are threaded explicitly so the second join does NOT call
+    # .schema() on the first join's shuffle lineage (which would execute it
+    # eagerly at stage-construction time).
     side = attrs.select_columns(["image_id"] + columns)
+    atypes = dict(zip(attrs.schema().names, attrs.schema().types))
+    left_schema = pairs.schema()
     out = pairs
     for endpoint in ("src", "dst"):
         renamed = side.map_batches(
@@ -263,8 +275,23 @@ def attach_pair_attrs(
             ),
             batch_format="pyarrow",
         )
+        right_schema = pa.schema(
+            [("image_id", atypes["image_id"])]
+            + [(f"{endpoint}_{c}", atypes[c]) for c in columns]
+        )
         out = shuffle_join(
             out, renamed, on=f"{endpoint}_id", right_on="image_id",
             num_buckets=num_partitions,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+        # the next join's left side = this join's output: key first, then
+        # the remaining left columns, then the attached right columns —
+        # derived statically, mirroring shuffle_join's out_cols order
+        key = f"{endpoint}_id"
+        ltypes = dict(zip(left_schema.names, left_schema.types))
+        left_schema = pa.schema(
+            [(key, ltypes[key])]
+            + [(n, t) for n, t in zip(left_schema.names, left_schema.types) if n != key]
+            + [(f.name, f.type) for f in right_schema if f.name != "image_id"]
         )
     return out

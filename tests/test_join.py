@@ -327,3 +327,26 @@ def test_shuffle_join_degenerate_shapes():
         out = shuffle_join(empty_l, rd.from_arrow(one_r), on="k",
                            right_on="rk", how=how).to_pandas()
         assert len(out) == 0, how
+
+
+def test_shuffle_join_nested_list_column():
+    """list<float> columns must survive the widen/union/searchsorted path
+    (null-padding of nested types on the other side included)."""
+    left = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                     "lval": pa.array([10, 20, 30], type=pa.int64())})
+    right = pa.table(
+        {
+            "rk": pa.array([2, 3, 4], type=pa.int64()),
+            "vec": pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                            type=pa.list_(pa.float32())),
+        }
+    )
+    from dedup_ray.stages.join import shuffle_join
+
+    got = (
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                     right_on="rk", num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [2, 3]
+    assert [list(v) for v in got["vec"]] == [[1.0, 2.0], [3.0, 4.0]]
