@@ -385,7 +385,12 @@ def generate_corpus(
             compression="none",
         )
         part += 1
-    shutil.rmtree(corpus_path, ignore_errors=True)
+    # a stale corpus may be a single FILE (pre-directory layout): rmtree
+    # silently no-ops on files under ignore_errors and the rename would fail
+    if os.path.isfile(corpus_path):
+        os.remove(corpus_path)
+    else:
+        shutil.rmtree(corpus_path, ignore_errors=True)
     os.rename(tmp_path, corpus_path)
 
     # ground-truth cluster = min image_id among same cluster_seed for dup rows

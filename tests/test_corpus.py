@@ -61,3 +61,23 @@ def test_hot_empty_caption_rows_are_singletons(tiny_corpus):
     if len(empties):
         # each maps to its own cluster
         assert (empties.gt_cluster_id == empties.image_id).all()
+
+
+def test_stale_single_file_corpus_regenerates(tmp_path):
+    """A stale cache from the pre-directory layout (images.parquet as a
+    FILE) plus an old config hash must regenerate cleanly, not crash on the
+    directory rename."""
+    import json
+    import os
+
+    from dedup_ray.sources.corpus import generate_corpus
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    with open(os.path.join(out, "images.parquet"), "wb") as f:
+        f.write(b"old single-file corpus")
+    with open(os.path.join(out, "metadata.json"), "w") as f:
+        json.dump({"config_hash": "old-v1"}, f)
+    meta = generate_corpus(out, scale="tiny", use_ray=False)
+    assert os.path.isdir(os.path.join(out, "images.parquet"))
+    assert meta["total_rows"] == 200
