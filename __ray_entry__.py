@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_join": relational.order_revenue_join,
         "bulk_order_priorities": relational.bulk_order_priorities,
         "quiet_order_priorities": relational.quiet_order_priorities,
+        "event_gaps": relational.event_gaps,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -529,6 +530,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts, count(*) OVER (PARTITION BY user_id "
             "ORDER BY ts RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
             "::BIGINT AS n_win FROM events"
+        ),
+        "event_gaps": (
+            "SELECT event_id, user_id, ts, (epoch_us(ts) - epoch_us(lag(ts) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_us "
+            "FROM events QUALIFY lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL"
         ),
         "asof_join_clicks": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "

@@ -115,7 +115,7 @@ def run_bench(scope: str) -> dict:
         for name in (
             "q1_pricing_summary", "filter_count", "top_orders",
             "revenue_by_segment", "events_hourly", "sessionize",
-            "asof_join_clicks", "sliding_window_counts",
+            "asof_join_clicks", "sliding_window_counts", "event_gaps",
             "range_join_price_bands", "order_revenue_join",
             "bulk_order_priorities",
             "token_stats", "quality_summary", "top_docs_per_lang",

@@ -597,3 +597,46 @@ def range_join_price_bands(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def event_gaps(sf_dir: str) -> rd.Dataset:
+    """Lag window: time since the same user's PREVIOUS event:
+    (event_id, user_id, ts, gap_us). First event per user drops (inner lag —
+    avoids NULL semantics differences). One hash-partitioned shuffle on
+    user_id, then a vectorized shifted-difference per bucket — the lag/lead
+    primitive rounding out the window family (sessionize / sliding / as-of).
+    Oracle: DuckDB lag() OVER (PARTITION BY user_id ORDER BY ts, event_id).
+    """
+    from dedup_ray.stages.grouped import grouped_runs
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("gap_us", pa.int64())]
+    )
+
+    def gap_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.zeros(n, dtype=bool)
+        keep[1:] = uid[1:] == uid[:-1]  # has a previous row of the same user
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = tsv[1:] - tsv[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    g["event_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "ts": pa.array(tsv[keep], type=pa.timestamp("us")),
+                "gap_us": pa.array(gap[keep], type=pa.int64()),
+            }
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return grouped_runs(ds, "user_id", gap_runs, sort_cols=["user_id", "ts", "event_id"])

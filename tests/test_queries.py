@@ -34,6 +34,7 @@ CHECKED = [
     "top_terms",
     "lang_embedding_norms",
     "lang_length_quantiles",
+    "event_gaps",
 ]
 
 
