@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_order_priorities": relational.bulk_order_priorities,
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
+        "events_rollup": relational.events_rollup,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -530,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts, count(*) OVER (PARTITION BY user_id "
             "ORDER BY ts RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
             "::BIGINT AS n_win FROM events"
+        ),
+        "events_rollup": (
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(hour_bucket, -1)::BIGINT AS hour_bucket, "
+            "count(*)::BIGINT AS n_events FROM "
+            "(SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket "
+            "FROM events) GROUP BY ROLLUP(event_type, hour_bucket)"
         ),
         "event_gaps": (
             "SELECT event_id, user_id, ts, (epoch_us(ts) - epoch_us(lag(ts) "

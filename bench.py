@@ -114,7 +114,7 @@ def run_bench(scope: str) -> dict:
         qs = e.queries()
         for name in (
             "q1_pricing_summary", "filter_count", "top_orders",
-            "revenue_by_segment", "events_hourly", "sessionize",
+            "revenue_by_segment", "events_hourly", "events_rollup", "sessionize",
             "asof_join_clicks", "sliding_window_counts", "event_gaps",
             "range_join_price_bands", "order_revenue_join",
             "bulk_order_priorities",

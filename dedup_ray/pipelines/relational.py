@@ -640,3 +640,67 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return grouped_runs(ds, "user_id", gap_runs, sort_cols=["user_id", "ts", "event_id"])
+
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP aggregate: event counts at three levels — (event_type, hour),
+    per-type totals, grand total — in ONE pass: (event_type, hour_bucket,
+    n_events), with 'ALL'/-1 as the rollup sentinels. The finest level is
+    the only distributed aggregation; the coarser levels re-aggregate its
+    (small, bounded by distinct groups) output, so rollup costs one extra
+    map over the agg table, not another scan. Oracle: DuckDB GROUP BY
+    ROLLUP with coalesced sentinels."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(pc.divide(ts_us, 10**6), 3600)
+        t = pa.table({"event_type": b["event_type"], "hour_bucket": hour})
+        g = t.group_by(["event_type", "hour_bucket"]).aggregate(
+            [("hour_bucket", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour_bucket": g["hour_bucket"],
+                "pn": g["hour_bucket_count"],
+            }
+        )
+
+    fine = (
+        read_view(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .sum("pn")
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        # b = the complete fine-level table (single block; it is bounded by
+        # distinct (type, hour) pairs, not by the event count)
+        et = b["event_type"]
+        hour = b["hour_bucket"].cast(pa.int64())
+        n = b["sum(pn)"].cast(pa.int64())
+        fine_t = pa.table({"event_type": et, "hour_bucket": hour, "n_events": n})
+        by_type = pa.table({"event_type": et, "n": n}).group_by(
+            "event_type"
+        ).aggregate([("n", "sum")])
+        mid = pa.table(
+            {
+                "event_type": by_type["event_type"],
+                "hour_bucket": pa.array(
+                    np.full(by_type.num_rows, -1), type=pa.int64()
+                ),
+                "n_events": by_type["n_sum"].cast(pa.int64()),
+            }
+        )
+        grand = pa.table(
+            {
+                "event_type": pa.array(["ALL"]),
+                "hour_bucket": pa.array([-1], type=pa.int64()),
+                "n_events": pa.array([int(pc.sum(n).as_py() or 0)], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([fine_t, mid, grand])
+
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )

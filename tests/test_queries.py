@@ -35,6 +35,7 @@ CHECKED = [
     "lang_embedding_norms",
     "lang_length_quantiles",
     "event_gaps",
+    "events_rollup",
 ]
 
 
