@@ -40,7 +40,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from dedup_ray.pipelines import analysis, ann, relational, text
+    from dedup_ray.pipelines import analysis, ann, curation, relational, text
 
     def flagship_clusters(sf_dir: str):
         from dedup_ray.pipelines.neardup import run_neardup
@@ -184,6 +184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- audio/video (inputs synthesised; rows-only) ---
         "audio_features": audio_features,
         "video_frame_sample": video_frame_sample,
+        # --- corpus curation (SQL-checked unless noted) ---
+        "decontaminate_docs": curation.decontaminate_docs,
+        "cap_per_source": curation.cap_per_source,
+        "normalize_text": curation.normalize_text,
+        "pii_redact": curation.pii_redact,
+        "dup_bigram_fraction": curation.dup_bigram_fraction,
+        "pack_sequences": curation.pack_sequences,  # rows-only (sequential greedy is non-SQL)
     }
 
 
@@ -571,5 +578,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
+        ),
+        # k=5 token shingles; token class matches top_terms' split set
+        "decontaminate_docs": (
+            "WITH tok AS (SELECT doc_id, source, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, source, "
+            "[array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks)-4, 0) + 1)] "
+            "AS shingles FROM tok), "
+            "ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source = 'src0'), "
+            "tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE source <> 'src0') "
+            "SELECT tr.doc_id, count(DISTINCT tr.s)::BIGINT AS n_matched "
+            "FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id"
+        ),
+        "cap_per_source": (
+            "SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS rnk "
+            "FROM documents QUALIFY rnk <= 5"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            "AS norm_text FROM documents"
+        ),
+        # emails first, then phones on the email-redacted text — both RE2
+        "pii_redact": (
+            "WITH e AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne, "
+            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text, "
+            "(ne + len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')))::BIGINT "
+            "AS n_redactions FROM e"
+        ),
+        "dup_bigram_fraction": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents), "
+            "bg AS (SELECT doc_id, greatest(len(toks) - 1, 0) AS nb, "
+            "[array_to_string(toks[i:i+1], ' ') FOR i IN range(1, greatest(len(toks)-1, 0) + 1)] "
+            "AS bgs FROM tok) "
+            "SELECT doc_id, nb::BIGINT AS n_bigrams, "
+            "CASE WHEN nb = 0 THEN 0.0 ELSE 1 - len(list_distinct(bgs)) / nb END "
+            "AS dup_frac FROM bg"
         ),
     }

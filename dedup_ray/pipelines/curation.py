@@ -1,0 +1,287 @@
+"""Training-data curation operators over the ``documents`` table:
+benchmark decontamination, per-source frequency capping, text
+normalization, PII redaction, repetition scoring, sequence packing —
+the corpus-preparation staples a pretraining pipeline runs after dedup.
+
+Reference parity: these extend the reference's dedup surface
+(/root/reference/src/dedup.rs pipeline stages) with the adjacent curation
+steps a user of that tool runs next; each docstring states its scale shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    from dedup_ray.sources.io import read_view
+
+    return read_view(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _token_lists(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(tokens, per_doc_counts) for a batch of texts, fully vectorized.
+
+    Token = maximal run of non-ASCII-whitespace (same split set as
+    ``top_terms`` / the oracles' ``[^ \\t\\n\\x0b\\f\\r]+``).
+    ``tokens`` is a flat numpy unicode array; ``per_doc_counts[i]`` tokens
+    belong to doc i, in order. Arrow's ascii_split_whitespace emits ''
+    at string edges; those are masked out with offsets recomputed via a
+    cumsum (reduceat misbehaves on empty docs).
+    """
+    texts = pc.fill_null(texts, "")
+    parts = pc.ascii_split_whitespace(texts)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    off = parts.offsets.to_numpy().astype(np.int64)
+    vals = parts.values.to_numpy(zero_copy_only=False)
+    nonempty = vals != ""
+    cm = np.concatenate([[0], np.cumsum(nonempty)])
+    counts = cm[off[1:]] - cm[off[:-1]]
+    return vals[nonempty].astype("U"), counts
+
+
+def _shingles(
+    tokens: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-token shingle strings (space-joined) that do not cross doc
+    boundaries, plus the doc index of each. np.char.add chains are C
+    kernels over fixed-width unicode — no per-row Python."""
+    noff = np.concatenate([[0], np.cumsum(counts)])
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    ti = np.arange(len(tokens))
+    if len(tokens) == 0:
+        return np.empty(0, dtype="U1"), np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(ti + k <= noff[doc_of + 1])
+    if starts.size == 0:
+        return np.empty(0, dtype="U1"), np.empty(0, dtype=np.int64)
+    sh = tokens[starts]
+    for j in range(1, k):
+        sh = np.char.add(np.char.add(sh, " "), tokens[starts + j])
+    return sh, doc_of[starts]
+
+
+def decontaminate_docs(
+    sf_dir: str, eval_source: str = "src0", k: int = 5
+) -> rd.Dataset:
+    """Benchmark decontamination: flag training docs sharing any k-token
+    shingle with the held-out eval set (here: docs with source ==
+    ``eval_source``). Returns (doc_id, n_matched) for contaminated docs,
+    n_matched = number of DISTINCT eval shingles the doc contains.
+
+    Scale shape: the eval set is small by nature (a benchmark), so its
+    distinct shingle set is built once and broadcast via ray.put; the
+    training corpus then streams through ONE map_batches with a vectorized
+    np.isin membership probe — no shuffle, no driver materialization of
+    the big side. At 100 TB the broadcast set is the only standing state
+    (a few GB of eval shingles at worst; swap the raw-string set for a
+    64-bit-hash set if the eval corpus ever outgrows worker heaps).
+    """
+    is_eval = pc.equal  # alias to keep lambdas short
+
+    def eval_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(is_eval(b["source"], eval_source))
+        toks, cnt = _token_lists(t["text"])
+        sh, _ = _shingles(toks, cnt, k)
+        return pa.table({"s": pa.array(np.unique(sh))})
+
+    ev_parts = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(eval_partial, batch_format="pyarrow")
+        .take_all()
+    )  # eval shingles only — small by construction
+    ev = np.unique(np.asarray([r["s"] for r in ev_parts], dtype="U"))
+    ev_ref = ray.put(ev)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ev_set = ray.get(ev_ref)
+        t = b.filter(pc.invert(is_eval(b["source"], eval_source)))
+        toks, cnt = _token_lists(t["text"])
+        sh, doc_of = _shingles(toks, cnt, k)
+        hit = np.isin(sh, ev_set)
+        if not hit.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_matched": pa.array([], pa.int64())}
+            )
+        d, s = doc_of[hit], sh[hit]
+        # distinct matched shingles per doc (a doc is one row => one batch,
+        # so within-batch distinct is global distinct)
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        uniq_d = d[new]
+        starts = run_starts(uniq_d)
+        bounds = np.concatenate([starts, [len(uniq_d)]])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[uniq_d[starts]], type=pa.int64()),
+                "n_matched": pa.array(np.diff(bounds), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+def cap_per_source(sf_dir: str, cap: int = 5) -> rd.Dataset:
+    """Per-source frequency capping (hot-domain downsampling): keep the
+    first ``cap`` docs of each source by doc_id, with their rank.
+    ONE coarse hash shuffle on source via grouped_runs; ranks computed
+    with a vectorized arange-minus-run-start. Returns (source, doc_id, rnk).
+    """
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        src = g["source"].to_numpy(zero_copy_only=False)
+        starts = run_starts(src)
+        lens = np.diff(np.concatenate([starts, [len(src)]]))
+        rnk = np.arange(len(src)) - np.repeat(starts, lens) + 1
+        keep = rnk <= cap
+        g = g.append_column("rnk", pa.array(rnk, type=pa.int64()))
+        return g.filter(pa.array(keep))
+
+    return grouped_runs(
+        _docs(sf_dir, ["source", "doc_id"]),
+        "source",
+        keep_first,
+        sort_cols=["source", "doc_id"],
+    )
+
+
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """Text normalization: lowercase, collapse whitespace runs to one
+    space, trim. Three RE2/Arrow kernels per batch, zero per-row Python,
+    no shuffle. Returns (doc_id, norm_text)."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(b["text"], ""))
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim(t, " ")
+        return pa.table({"doc_id": b["doc_id"], "norm_text": t})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(norm, batch_format="pyarrow")
+
+
+# RE2 on both sides (Arrow and DuckDB link the same regex engine), so the
+# redaction is bit-identical to the oracle. Emails first: a digit-heavy
+# local part must not be half-eaten by the phone pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII scrubbing: emails -> <EMAIL>, then phone-shaped digit runs ->
+    <PHONE>. Returns (doc_id, clean_text, n_redactions). Pure map stage —
+    at 100 TB this is the canonical embarrassingly-parallel transform."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"], "")
+        n_email = pc.count_substring_regex(t, EMAIL_RE)
+        t = pc.replace_substring_regex(t, EMAIL_RE, "<EMAIL>")
+        n_phone = pc.count_substring_regex(t, PHONE_RE)
+        t = pc.replace_substring_regex(t, PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": t,
+                "n_redactions": pc.add(n_email, n_phone).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scrub, batch_format="pyarrow")
+
+
+def dup_bigram_fraction(sf_dir: str) -> rd.Dataset:
+    """Repetition quality signal (Gopher-style): per doc, the fraction of
+    token bigrams that are repeats = 1 - distinct/total (0.0 when a doc
+    has < 2 tokens). Vectorized per batch: shingle strings via np.char,
+    per-doc distinct via one lexsort; no shuffle.
+    Returns (doc_id, n_bigrams, dup_frac)."""
+
+    def score(b: pa.Table) -> pa.Table:
+        toks, cnt = _token_lists(b["text"])
+        sh, doc_of = _shingles(toks, cnt, 2)
+        ndocs = len(cnt)
+        total = np.maximum(cnt - 1, 0)
+        distinct = np.zeros(ndocs, dtype=np.int64)
+        if sh.size:
+            order = np.lexsort((sh, doc_of))
+            d, s = doc_of[order], sh[order]
+            new = np.ones(len(d), dtype=bool)
+            new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+            np.add.at(distinct, d[new], 1)
+        frac = np.zeros(ndocs, dtype=np.float64)
+        nz = total > 0
+        # same int/int -> float64 IEEE ops as the DuckDB oracle
+        frac[nz] = 1.0 - distinct[nz] / total[nz]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": pa.array(total, type=pa.int64()),
+                "dup_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 256, num_parts: int = 8
+) -> rd.Dataset:
+    """Sequence packing for pretraining: greedily pack docs into bins of at
+    most ``budget`` tokens (a doc alone larger than the budget gets its own
+    bin). Packing is inherently sequential, so it is PARTITION-LOCAL:
+    docs are routed to ``doc_id % num_parts`` partitions, packed in doc_id
+    order within each, and bins are namespaced ``part * 1_000_000 + local``
+    — deterministic for a given num_parts, and each partition packs
+    independently at cluster scale. Only (doc_id, n_tokens) rows shuffle;
+    text never moves. The per-partition loop is O(#bins) searchsorted
+    steps over a cumsum, not O(#docs) Python.
+    Returns (doc_id, part, bin_id, n_tokens)."""
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.fill_null(pc.count_substring_regex(b["text"], r"\S+"), 0)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "part": pa.array(ids % num_parts, type=pa.int64()),
+                "n_tokens": toks.cast(pa.int64()),
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        part = g["part"].to_numpy(zero_copy_only=False)
+        ntok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        bin_id = np.empty(len(part), dtype=np.int64)
+        bounds = np.concatenate([run_starts(part), [len(part)]])
+        for r in range(len(bounds) - 1):
+            lo, hi = bounds[r], bounds[r + 1]
+            cum = np.cumsum(ntok[lo:hi])
+            base = np.int64(part[lo]) * 1_000_000
+            start, local = 0, 0
+            offset = 0.0
+            while start < hi - lo:
+                # largest j with cum[j-1] - offset <= budget; at least one doc
+                j = int(np.searchsorted(cum, offset + budget, side="right"))
+                j = max(j, start + 1)
+                bin_id[lo + start : lo + j] = base + local
+                offset = cum[j - 1]
+                start, local = j, local + 1
+        return g.append_column("bin_id", pa.array(bin_id, type=pa.int64()))
+
+    sized = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    return grouped_runs(
+        sized, "part", pack, sort_cols=["part", "doc_id"]
+    ).select_columns(["doc_id", "part", "bin_id", "n_tokens"])
