@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
         "events_rollup": relational.events_rollup,
+        "distinct_users_by_type": relational.distinct_users_by_type,
+        "approx_distinct_users": relational.approx_distinct_users,  # rows-only (sketch)
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -578,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         # k=5 token shingles; token class matches top_terms' split set
         "decontaminate_docs": (

@@ -704,3 +704,137 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
     return fine.repartition(1).map_batches(
         rollup, batch_format="pyarrow", batch_size=None
     )
+
+
+def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Exact distributed COUNT(DISTINCT user_id) GROUP BY event_type.
+
+    Classic two-level distinct: each batch first collapses to its DISTINCT
+    (event_type, user_id) pairs (the combiner — the full event stream never
+    shuffles), then ONE coarse hash shuffle on event_type and a vectorized
+    run count of distinct pairs per type. Returns (event_type, n_users)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "user_id": b["user_id"]}
+        ).group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(pair_partial, batch_format="pyarrow")
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        # pairs may repeat across source batches; count (et, uid) runs per et run
+        new_pair = np.ones(len(et), dtype=bool)
+        new_pair[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+        starts = run_starts(et)
+        bounds = np.concatenate([starts, [len(et)]])
+        cm = np.concatenate([[0], np.cumsum(new_pair)])
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts]),
+                "n_users": pa.array(cm[bounds[1:]] - cm[bounds[:-1]], type=pa.int64()),
+            }
+        )
+
+    return grouped_runs(
+        pairs, "event_type", count_distinct, sort_cols=["event_type", "user_id"]
+    )
+
+
+# leading-zero count per byte value — module-level so every batch reuses it
+_LZ8 = np.array([8] + [8 - b.bit_length() for b in range(1, 256)], dtype=np.int64)
+
+
+def _hll_registers(uids: np.ndarray, p: int) -> np.ndarray:
+    """HyperLogLog register array (2**p uint8) for a batch of int64 ids.
+    Fully vectorized: splitmix64 hash, top-p bits pick the register, the
+    leading-zero rank of the remaining bits comes from a byte LUT."""
+    h = uids.astype(np.int64, copy=False).view(np.uint64).copy()
+    h += np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # suffix occupies the top 64-p bits; bottom p are 0
+    by = w.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian byte order
+    nz = by != 0
+    first = nz.argmax(axis=1)
+    lz = first * 8 + _LZ8[by[np.arange(len(w)), first]]
+    rho = np.where(nz.any(axis=1), lz + 1, (64 - p) + 1).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:  # small-range (linear counting) correction
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct_users(sf_dir: str, p: int = 10) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT user_id) GROUP BY event_type via
+    HyperLogLog — the sketch path for when the distinct (type, user) pair
+    set itself no longer fits a shuffle (billions of users). Each batch
+    emits ONE (event_type, 2**p-byte register blob) row per type present;
+    registers merge with an element-wise max in one coarse shuffle. Data
+    moved is O(#batches * #types * 2**p bytes), independent of row count.
+    ~3% relative error at p=10 (tests assert <5% vs the exact operator).
+    Returns (event_type, n_users_approx)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def sketch(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        et, uid = et[order], uid[order]
+        starts = run_starts(et)
+        bounds = np.concatenate([starts, [len(et)]])
+        types, blobs = [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            types.append(et[lo])
+            blobs.append(_hll_registers(uid[lo:hi], p).tobytes())
+        return pa.table(
+            {"event_type": pa.array(types, pa.string()),
+             "regs": pa.array(blobs, pa.binary())}
+        )
+
+    partials = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(sketch, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "n_users_approx": pa.array([], pa.int64())}
+            )
+        blobs = g["regs"].to_pylist()
+        mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), -1)
+        starts = run_starts(et)
+        bounds = np.concatenate([starts, [len(et)]])
+        ests = [
+            round(_hll_estimate(mat[bounds[i]:bounds[i + 1]].max(axis=0)))
+            for i in range(len(starts))
+        ]
+        return pa.table(
+            {"event_type": pa.array(et[starts]),
+             "n_users_approx": pa.array(ests, type=pa.int64())}
+        )
+
+    return grouped_runs(partials, "event_type", merge)

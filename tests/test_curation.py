@@ -136,3 +136,31 @@ def test_cap_per_source_ranks(tmp_path):
         ("s1", 1, 1), ("s1", 4, 2),
         ("s2", 2, 1), ("s2", 5, 2),
     ]
+
+
+def test_distinct_users_exact_vs_hll():
+    from dedup_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["event_type"]: r["n_users"]
+             for r in relational.distinct_users_by_type(sf).take_all()}
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in relational.approx_distinct_users(sf).take_all()}
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.06, (et, n, approx[et])
+
+
+def test_hll_registers_merge_associative():
+    import numpy as np
+
+    from dedup_ray.pipelines.relational import _hll_estimate, _hll_registers
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 10**9, 5000, dtype=np.int64)
+    b = rng.integers(0, 10**9, 5000, dtype=np.int64)
+    merged = np.maximum(_hll_registers(a, 10), _hll_registers(b, 10))
+    whole = _hll_registers(np.concatenate([a, b]), 10)
+    assert (merged == whole).all()
+    true_n = len(np.unique(np.concatenate([a, b])))
+    assert abs(_hll_estimate(whole) - true_n) / true_n < 0.10
