@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_buckets": ann.lsh_buckets,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         "lang_embedding_norms": ann.lang_embedding_norms,
+        "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (k-means cells are non-SQL)
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,

@@ -129,6 +129,102 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
 
 
+def _train_centroids(
+    emb: rd.Dataset, n_cells: int, seed: int, max_train: int = 4096
+) -> np.ndarray:
+    """Spherical k-means codebook trained on a BOUNDED deterministic sample
+    (stride on vec_id): the driver never materializes the full table, only
+    <= ~max_train rows. Shared by the IVF probe and SemDeDup cells."""
+    n_total = emb.count()  # parquet metadata count, no scan
+    stride = max(1, n_total // max_train)
+    samp = emb.map_batches(
+        lambda b: b.filter(
+            pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % stride == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    tabs = [t for t in ray.get(samp.to_arrow_refs())
+            if t.num_rows and "vec_id" in t.column_names]
+    # block arrival order is NOT deterministic across runs; sort the (small)
+    # sample by vec_id so the seeded init — and thus every downstream cell
+    # assignment — is bit-reproducible
+    _, train = _mat(pa.concat_tables(tabs).sort_by("vec_id"))
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+
+    rng = np.random.default_rng(seed)
+    cent = train[rng.choice(len(train), size=min(n_cells, len(train)), replace=False)]
+    for _ in range(15):
+        assign = (train @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def semdedup_embeddings(
+    sf_dir: str, tau: float = 0.4, n_cells: int = 16, seed: int = 42
+) -> rd.Dataset:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition vectors into k-means cells, then within each cell drop any
+    vector that has a cosine-similar (>= tau) neighbor with a smaller
+    vec_id — the keeper of a near-dup set is its min id, matching the
+    exact-dedup keeper rule. Approximate by design: only within-cell pairs
+    are compared (cross-cell near-dups survive), which is what makes it
+    O(sum cell^2) instead of O(n^2).
+
+    Scale shape: centroids train on a bounded sample and broadcast via
+    ray.put; assignment is one streamed map_batches; the in-cell pass is
+    ONE coarse shuffle on cell id via grouped_runs with a per-cell matmul.
+    At 100 TB, grow n_cells with n so cells stay worker-heap-sized (the
+    paper uses ~sqrt(n) cells for the same reason).
+    Returns every vector as (vec_id, cell, kept)."""
+    emb = _emb(sf_dir)
+    cent_ref = ray.put(_train_centroids(emb, n_cells, seed))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids, m = _mat(b)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = (m @ ray.get(cent_ref).T).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(cells, type=pa.int64()),
+                "embedding": b["embedding"],
+            }
+        )
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_cell(g: pa.Table) -> pa.Table:
+        from dedup_ray.stages.grouped import run_starts
+
+        ids, m = _mat(g)  # sorted by (cell, vec_id) by grouped_runs
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = g["cell"].to_numpy(zero_copy_only=False)
+        kept = np.ones(len(ids), dtype=bool)
+        bounds = np.concatenate([run_starts(cells), [len(cells)]])
+        for r in range(len(bounds) - 1):
+            lo, hi = bounds[r], bounds[r + 1]
+            sims = m[lo:hi] @ m[lo:hi].T
+            # drop i if any j < i (smaller vec_id; rows are id-sorted)
+            # has sims >= tau: strict upper triangle, any over columns
+            hit = np.triu(sims >= tau, k=1).any(axis=0)
+            kept[lo:hi] = ~hit
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(cells, type=pa.int64()),
+                "kept": pa.array(kept),
+            }
+        )
+
+    from dedup_ray.stages.grouped import grouped_runs
+
+    return grouped_runs(assigned, "cell", dedup_cell, sort_cols=["cell", "vec_id"])
+
+
 def ann_ivf_topk(
     sf_dir: str,
     k: int = 5,
@@ -146,32 +242,7 @@ def ann_ivf_topk(
     recall measured vs the exact baseline in tests).
     """
     emb = _emb(sf_dir)
-
-    # k-means on a BOUNDED deterministic sample (stride on vec_id): the
-    # driver never materializes the full table, only <= max_train rows
-    max_train = 4096
-    n_total = emb.count()  # parquet metadata count, no scan
-    stride = max(1, n_total // max_train)
-    samp = emb.map_batches(
-        lambda b: b.filter(
-            pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % stride == 0)
-        ),
-        batch_format="pyarrow",
-    )
-    tabs = [t for t in ray.get(samp.to_arrow_refs())
-            if t.num_rows and "vec_id" in t.column_names]
-    _, train = _mat(pa.concat_tables(tabs))
-    train = train / np.linalg.norm(train, axis=1, keepdims=True)
-
-    rng = np.random.default_rng(seed)
-    cent = train[rng.choice(len(train), size=min(n_cells, len(train)), replace=False)]
-    for _ in range(15):
-        assign = (train @ cent.T).argmax(axis=1)
-        for c in range(cent.shape[0]):
-            members = train[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+    cent = _train_centroids(emb, n_cells, seed)
     qids, q = _collect_queries(emb, n_queries)
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)

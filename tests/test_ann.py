@@ -59,3 +59,33 @@ def test_embedding_neardup_lsh_vs_brute():
     assert recall >= 0.4, recall
     again = embedding_neardup_lsh(SF, threshold=0.3)
     assert lsh.equals(again)
+
+
+def test_semdedup_matches_bruteforce_within_cells():
+    """semdedup_embeddings' drop decisions == the in-process rule (drop iff
+    a smaller-id within-cell neighbor has cosine >= tau), using the
+    operator's own cell assignments."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.ann import semdedup_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    out = semdedup_embeddings(sf, tau=0.4).take_all()
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].combine_chunks().flatten()).reshape(
+        len(ids), -1
+    ).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assert len(out) == len(ids)  # every vector classified exactly once
+    cell = {r["vec_id"]: r["cell"] for r in out}
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    idx = {v: i for i, v in enumerate(ids)}
+    for c in set(cell.values()):
+        mem = sorted(i for i in ids if cell[i] == c)
+        sub = m[[idx[v] for v in mem]]
+        s = sub @ sub.T
+        for i, v in enumerate(mem):
+            expect = not any(s[j, i] >= 0.4 for j in range(i))
+            assert kept[v] == expect, (v, c)
