@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": curation.pii_redact,
         "dup_bigram_fraction": curation.dup_bigram_fraction,
         "pack_sequences": curation.pack_sequences,  # rows-only (sequential greedy is non-SQL)
+        "hash_split_docs": curation.hash_split_docs,
+        "sample_per_source": curation.sample_per_source,
+        "dup_ngrams": curation.dup_ngrams,
     }
 
 
@@ -203,6 +206,28 @@ _P61 = "2305843009213693952"    # 2^61
 
 def _hug_list(vals) -> str:
     return "[" + ",".join(str(int(v)) for v in vals) + "]::HUGEINT[]"
+
+
+def _mulmod64(h_expr: str, c: int) -> str:
+    """SQL for (h_expr * c) % 2^64 in HUGEINT without INT128 overflow: the
+    constant is split into 32-bit halves so every partial stays < 2^97."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (f"(({h_expr})*{lo} + ((({h_expr})*{hi}) % 4294967296) "
+            f"* 4294967296) % {_N64}")
+
+
+def _smix_ctes(id_col: str, src: str) -> str:
+    """CTE chain computing hx(doc_id, h) = splitmix64(id_col) over ``src``
+    — bit-exact vs functions.hashing.splitmix64 (tested in test_curation)."""
+    return (
+        f"s0 AS (SELECT {id_col} AS doc_id, (CAST({id_col} AS HUGEINT) "
+        f"+ 11400714819323198485) % {_N64} AS h0 FROM {src}), "
+        f"s1 AS (SELECT doc_id, "
+        f"{_mulmod64('xor(h0, h0 >> 30)', 0xBF58476D1CE4E5B9)} AS h1 FROM s0), "
+        f"s2 AS (SELECT doc_id, "
+        f"{_mulmod64('xor(h1, h1 >> 27)', 0x94D049BB133111EB)} AS h2 FROM s1), "
+        f"hx AS (SELECT doc_id, xor(h2, h2 >> 31) AS h FROM s2)"
+    )
 
 
 def _sketch_oracles() -> dict[str, str]:
@@ -627,5 +652,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nb::BIGINT AS n_bigrams, "
             "CASE WHEN nb = 0 THEN 0.0 ELSE 1 - len(list_distinct(bgs)) / nb END "
             "AS dup_frac FROM bg"
+        ),
+        # 90/5/5 thresholds are the EXACT integers (2^64*9//10, 2^64*19//20)
+        # both sides compare against; h is splitmix64(doc_id) in HUGEINT
+        "hash_split_docs": (
+            f"WITH {_smix_ctes('doc_id', 'documents')} "
+            f"SELECT doc_id, CASE WHEN h < {(1 << 64) * 9 // 10} THEN 'train' "
+            f"WHEN h < {(1 << 64) * 19 // 20} THEN 'val' ELSE 'test' END "
+            "AS split FROM hx"
+        ),
+        "sample_per_source": (
+            f"WITH {_smix_ctes('doc_id', 'documents')}, "
+            "j AS (SELECT d.source, d.doc_id, hx.h FROM documents d "
+            "JOIN hx USING (doc_id)) "
+            "SELECT source, doc_id FROM j QUALIFY "
+            "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 10"
+        ),
+        # k=8 token shingles; token class matches top_terms' split set
+        "dup_ngrams": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, len(t)-7)) AS i FROM tok), "
+            "d AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS shingle, "
+            "doc_id FROM pos) "
+            "SELECT shingle, count(*)::BIGINT AS n_docs FROM d "
+            "GROUP BY shingle HAVING count(*) >= 2"
         ),
     }

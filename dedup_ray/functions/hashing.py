@@ -300,3 +300,21 @@ def token_hashes(text: str) -> np.ndarray:
             active = j < lens
             h[active] = (h[active] ^ mat[active, j]) * _FNV_PRIME
     return h
+
+
+def splitmix64(ids: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over int64/uint64 ids -> uint64 hashes.
+
+    The shared deterministic-id-hash kernel: hash-split assignment,
+    per-group deterministic sampling, and the HyperLogLog sketch all draw
+    uniform 64-bit values from it. SQL-expressible bit-exactly (the DuckDB
+    oracles reproduce it with HUGEINT mod-2^64 arithmetic, multiplies split
+    into 32-bit halves to stay under INT128), so splits/samples are
+    value-checkable end to end."""
+    h = np.asarray(ids).astype(np.int64, copy=False).view(np.uint64).copy()
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        h += np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h

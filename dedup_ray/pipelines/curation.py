@@ -285,3 +285,129 @@ def pack_sequences(
     return grouped_runs(
         sized, "part", pack, sort_cols=["part", "doc_id"]
     ).select_columns(["doc_id", "part", "bin_id", "n_tokens"])
+
+
+# exact integer thresholds for the 90/5/5 split: float(0.9 * 2**64) is not
+# representable, so both sides (numpy and the DuckDB oracle) compare against
+# the SAME integer constants
+_SPLIT_T1 = (1 << 64) * 9 // 10
+_SPLIT_T2 = (1 << 64) * 19 // 20
+
+
+def hash_split_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split (90/5/5) by splitmix64(doc_id):
+    (doc_id, split). The pretraining staple for leakage-free held-out sets —
+    membership is a pure function of the id, so it is stable across runs,
+    machines and re-shards, and any later pipeline can recompute it instead
+    of joining against a stored assignment.
+
+    Scale shape: a pure projection-pruned map over one int64 column — no
+    shuffle, no state, no driver materialization; at 10^12 rows it is one
+    streamed pass. The DuckDB oracle reproduces splitmix64 bit-exactly in
+    HUGEINT arithmetic, so the assignment itself is value-checked."""
+    from dedup_ray.functions.hashing import splitmix64
+
+    t1, t2 = np.uint64(_SPLIT_T1), np.uint64(_SPLIT_T2)
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        split = np.where(h < t1, "train", np.where(h < t2, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"], "split": pa.array(split)})
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def sample_per_source(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Deterministic uniform sample of ``k`` docs per source, ranked by
+    splitmix64(doc_id): (source, doc_id). Reproducible subsampling for
+    inspection / eval-set carving without a stored seed or a global sort.
+
+    Scale shape: same two-level top-k as ``analysis.top_docs_per_lang`` —
+    a vectorized per-batch local top-k prunes to <= k rows per (source,
+    batch) BEFORE the one grouped_runs ranking shuffle, so data moved is
+    O(k * sources * batches), independent of corpus size."""
+    from dedup_ray.functions.hashing import splitmix64
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[("source", "ascending"), ("h", "ascending"),
+                       ("doc_id", "ascending")],
+        )
+        b = b.take(idx)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        starts = run_starts(src)
+        rank = np.arange(len(src)) - np.repeat(
+            starts, np.diff(np.append(starts, len(src)))
+        )
+        return b.filter(pa.array(rank < k))
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        return b.append_column("h", pa.array(h, type=pa.uint64()))
+
+    ds = (
+        _docs(sf_dir, columns=["doc_id", "source"])
+        .map_batches(add_h, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+    )
+    # local_topk re-sorts its (pruned) input fully, so it is also the merge
+    # kernel for the bucket pass
+    out = grouped_runs(ds, "source", local_topk)
+    return out.select_columns(["source", "doc_id"])
+
+
+def dup_ngrams(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Corpus-level duplicated-passage detection (the signal behind
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): every k-token shingle that occurs
+    in >= 2 DISTINCT documents, with its document frequency:
+    (shingle, n_docs). Downstream curation drops or trims the spans.
+
+    Scale shape: each batch emits distinct (shingle, doc) pairs reduced to
+    per-shingle partial counts (a doc's shingles never cross batches, so
+    in-batch dedup is exact), then ONE grouped_runs merge sums partials and
+    applies HAVING >= 2 inside the bucket kernel — only (shingle, count)
+    rows shuffle, never documents. At 10^12 docs the string shuffle key
+    would swap for the 64-bit shingle hash (collision-checked), with
+    strings fetched only for the tiny surviving dup set; strings are kept
+    here so the DuckDB oracle can value-check the full output."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, counts = _token_lists(b["text"])
+        sh, doc_of = _shingles(toks, counts, k)
+        if sh.size:
+            order = np.lexsort((doc_of, sh))
+            sh, doc_of = sh[order], doc_of[order]
+            keep = np.concatenate(
+                [[True], (sh[1:] != sh[:-1]) | (doc_of[1:] != doc_of[:-1])]
+            )
+            sh = sh[keep]
+        u, c = np.unique(sh, return_counts=True)
+        return pa.table(
+            {"shingle": pa.array(u.astype(object)),
+             "n": pa.array(c, type=pa.int64())}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        starts = run_starts(sh)
+        if starts.size == 0:
+            return pa.table(
+                {"shingle": pa.array([], type=pa.string()),
+                 "n_docs": pa.array([], type=pa.int64())}
+            )
+        tot = np.add.reduceat(n, starts)
+        keep = tot >= 2
+        return pa.table(
+            {"shingle": pa.array(sh[starts][keep]),
+             "n_docs": pa.array(tot[keep], type=pa.int64())}
+        )
+
+    parts = _docs(sf_dir, columns=["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_runs(parts, "shingle", merge)

@@ -758,11 +758,9 @@ def _hll_registers(uids: np.ndarray, p: int) -> np.ndarray:
     """HyperLogLog register array (2**p uint8) for a batch of int64 ids.
     Fully vectorized: splitmix64 hash, top-p bits pick the register, the
     leading-zero rank of the remaining bits comes from a byte LUT."""
-    h = uids.astype(np.int64, copy=False).view(np.uint64).copy()
-    h += np.uint64(0x9E3779B97F4A7C15)
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
+    from dedup_ray.functions.hashing import splitmix64
+
+    h = splitmix64(uids)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h << np.uint64(p)  # suffix occupies the top 64-p bits; bottom p are 0
     by = w.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian byte order

@@ -164,3 +164,75 @@ def test_hll_registers_merge_associative():
     assert (merged == whole).all()
     true_n = len(np.unique(np.concatenate([a, b])))
     assert abs(_hll_estimate(whole) - true_n) / true_n < 0.10
+
+
+def test_splitmix64_reference_values():
+    """Known-answer vectors (cross-checked against the DuckDB HUGEINT
+    oracle in __ray_entry__._smix_ctes during development)."""
+    from dedup_ray.functions.hashing import splitmix64
+
+    got = splitmix64(np.array([0, 1, 12345, 2**63 - 1], dtype=np.int64))
+    assert got.tolist() == [
+        16294208416658607535, 10451216379200822465,
+        2454886589211414944, 3055647633038352039,
+    ]
+
+
+def test_hash_split_deterministic_and_complete(tmp_path):
+    rows = [(i, f"doc {i} text", f"s{i % 3}") for i in range(400)]
+    sf = _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r["split"] for r in curation.hash_split_docs(sf).take_all()}
+    assert len(out) == 400  # every doc assigned exactly once
+    again = {r["doc_id"]: r["split"] for r in curation.hash_split_docs(sf).take_all()}
+    assert out == again  # pure function of the id
+    frac = sum(1 for s in out.values() if s == "train") / len(out)
+    assert 0.8 < frac < 0.97  # ~90% train at n=400
+    assert set(out.values()) <= {"train", "val", "test"}
+
+
+def test_sample_per_source_deterministic_subset(tmp_path):
+    rows = [(i, f"text {i}", f"s{i % 4}") for i in range(200)]
+    sf = _write_docs(tmp_path, rows)
+    got = [(r["source"], r["doc_id"])
+           for r in curation.sample_per_source(sf, k=7).take_all()]
+    # exactly k per source (every source has 50 >= 7 docs), all real members
+    from collections import Counter
+
+    by_src = Counter(s for s, _ in got)
+    assert by_src == {f"s{j}": 7 for j in range(4)}
+    assert all(d % 4 == int(s[1]) for s, d in got)
+    # matches the brute-force rank by (splitmix64(id), id)
+    from dedup_ray.functions.hashing import splitmix64
+
+    ids = np.arange(200, dtype=np.int64)
+    h = splitmix64(ids)
+    expect = set()
+    for j in range(4):
+        members = ids[ids % 4 == j]
+        order = np.lexsort((members, h[ids % 4 == j]))
+        expect |= {(f"s{j}", int(d)) for d in members[order][:7]}
+    assert set(got) == expect
+    # k larger than the group emits the whole group, no padding
+    (tmp_path / "b").mkdir()
+    small = _write_docs(tmp_path / "b", [(0, "a", "x"), (1, "b", "x")])
+    assert len(curation.sample_per_source(small, k=10).take_all()) == 2
+
+
+def test_dup_ngrams_planted_passage(tmp_path):
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    rows = [
+        (0, "intro words here " + passage, "a"),
+        (1, passage + " trailing tail words", "b"),
+        (2, "completely different text with no shared passage at all okay", "c"),
+        (3, "repeat repeat repeat repeat repeat repeat repeat repeat repeat", "d"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["shingle"]: r["n_docs"] for r in curation.dup_ngrams(sf, k=8).take_all()}
+    # the 10-token passage yields 3 shared 8-gram shingles, each in docs 0+1
+    shared = [" ".join(passage.split()[i:i + 8]) for i in range(3)]
+    for s in shared:
+        assert got.get(s) == 2, (s, got)
+    # doc 3's internal repetition is ONE doc — never reported
+    assert all(n >= 2 for n in got.values())
+    assert not any("repeat" in s for s in got)
+    assert set(got) == set(shared)
