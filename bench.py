@@ -124,6 +124,7 @@ def run_bench(scope: str) -> dict:
             "minhash_neardup_docs", "simhash_near_pairs",
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",
             "embedding_neardup_lsh", "lang_embedding_norms",
+            "hash_split_docs", "sample_per_source", "dup_ngrams",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)
