@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_profile": analysis.numeric_profile,
         "top_terms": analysis.top_terms,
         "lang_length_quantiles": analysis.lang_length_quantiles,
+        "rarest_term_per_doc": analysis.rarest_term_per_doc,
+        "length_quartiles": analysis.length_quartiles,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -164,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": relational.sliding_window_counts,
         "range_join_price_bands": relational.range_join_price_bands,
         "order_revenue_join": relational.order_revenue_join,
+        "customer_order_counts": relational.customer_order_counts,
         "bulk_order_priorities": relational.bulk_order_priorities,
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
@@ -494,6 +497,22 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(n_chars, 0.75)::BIGINT AS p75 "
             "FROM documents GROUP BY lang"
         ),
+        # token class matches top_terms' split set; docs with no tokens
+        # are absent on both sides (inner-join semantics)
+        "rarest_term_per_doc": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents), "
+            "d AS (SELECT DISTINCT doc_id, t FROM tok), "
+            "df AS (SELECT t, count(*)::BIGINT AS df FROM d GROUP BY t) "
+            "SELECT d.doc_id, d.t AS term, df.df FROM d JOIN df USING (t) "
+            "QUALIFY row_number() OVER (PARTITION BY d.doc_id "
+            "ORDER BY df.df, d.t) = 1"
+        ),
+        "length_quartiles": (
+            "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id)::BIGINT "
+            "AS quartile FROM documents"
+        ),
         "numeric_profile": (
             "SELECT count(n_chars)::BIGINT AS n_rows, min(n_chars)::BIGINT AS min_v, "
             "max(n_chars)::BIGINT AS max_v, round(avg(n_chars), 4) AS mean_v, "
@@ -556,6 +575,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
             "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) "
             "GROUP BY o_orderpriority"
+        ),
+        "customer_order_counts": (
+            "SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_big_orders "
+            "FROM customer c LEFT JOIN "
+            "(SELECT * FROM orders WHERE o_totalprice > 450000) o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"
         ),
         "quiet_order_priorities": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "

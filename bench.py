@@ -125,6 +125,7 @@ def run_bench(scope: str) -> dict:
             "ann_topk", "cosine_neardup_pairs", "embedding_lsh_buckets",
             "embedding_neardup_lsh", "lang_embedding_norms",
             "hash_split_docs", "sample_per_source", "dup_ngrams",
+            "rarest_term_per_doc", "length_quartiles", "customer_order_counts",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

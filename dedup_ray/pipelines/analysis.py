@@ -442,3 +442,143 @@ def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
         partial_hist, batch_format="pyarrow"
     )
     return grouped_runs(hist, "lang", quantiles_per_lang, sort_cols=["lang", "v"])
+
+
+def rarest_term_per_doc(sf_dir: str) -> rd.Dataset:
+    """Keyword extraction: each document's globally-rarest token, with its
+    corpus document frequency: (doc_id, term, df); ties broken by the term
+    string, min df = the most distinctive word. The integer-only variant of
+    TF-IDF keywording (no float idf), so the output is bit-deterministic
+    and fully value-checkable.
+
+    Scale shape: two bounded shuffles of the distinct (term, doc) pair set
+    and nothing else. Pass 1 groups pairs BY TERM (grouped_runs), where df
+    is just the run length — and the same kernel immediately pre-reduces to
+    at most ONE row per doc per bucket (the bucket-local min), so pass 2's
+    BY-DOC shuffle moves <= num_buckets rows per doc, independent of doc
+    length. Docs whose text has no tokens are absent (SQL-join parity)."""
+    from dedup_ray.pipelines.curation import _token_lists
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks, counts = _token_lists(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, counts)
+        if toks.size:
+            order = np.lexsort((doc, toks))
+            toks, doc = toks[order], doc[order]
+            keep = np.concatenate(
+                [[True], (toks[1:] != toks[:-1]) | (doc[1:] != doc[:-1])]
+            )
+            toks, doc = toks[keep], doc[keep]
+        return pa.table(
+            {"term": pa.array(toks.astype(object)),
+             "doc_id": pa.array(doc, type=pa.int64())}
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("df", pa.int64())]
+    )
+
+    def df_and_local_min(g: pa.Table) -> pa.Table:
+        """g: complete term-groups, sorted by (term, doc_id). df = run
+        length (pairs are globally distinct: a doc lives in one batch).
+        Emit each doc's min-(df, term) row WITHIN this bucket."""
+        t = g["term"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return out_schema.empty_table()
+        starts = run_starts(t)
+        lens = np.diff(np.append(starts, len(t)))
+        df = np.repeat(lens, lens)
+        order = np.lexsort((t, df, d))  # by doc, then df, then term
+        d, t, df = d[order], t[order], df[order]
+        first = run_starts(d)
+        return pa.table(
+            {"doc_id": pa.array(d[first], type=pa.int64()),
+             "term": pa.array(t[first].astype(object)),
+             "df": pa.array(df[first], type=pa.int64())}
+        )
+
+    def global_min(g: pa.Table) -> pa.Table:
+        """g: complete doc-groups sorted by (doc_id, df, term) — the first
+        row of each run is the answer."""
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        first = run_starts(g["doc_id"].to_numpy(zero_copy_only=False))
+        return g.take(pa.array(first, type=pa.int64()))
+
+    p = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    annotated = grouped_runs(p, "term", df_and_local_min,
+                             sort_cols=["term", "doc_id"])
+    return grouped_runs(annotated, "doc_id", global_min,
+                        sort_cols=["doc_id", "df", "term"])
+
+
+def length_quartiles(sf_dir: str, n_buckets: int = 4) -> rd.Dataset:
+    """Exact global ntile bucketing by (n_chars, doc_id): (doc_id, quartile
+    in 1..n_buckets) — SQL's ``ntile(4) OVER (ORDER BY n_chars, doc_id)``
+    with the tie order pinned so both sides are deterministic. The building
+    block for length-stratified sampling / curriculum sharding.
+
+    Scale shape: no global sort. A (value, count) histogram (bounded
+    cardinality, like numeric_profile) is merged in a tiny groupby and
+    pulled to the driver; its prefix-sum gives every value's global rank
+    offset, broadcast via ray.put. ONE grouped_runs pass by value then
+    ranks doc_ids within each value-run and applies the ntile formula —
+    documents shuffle once, by value."""
+    import ray
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        vc = b["n_chars"].drop_null().value_counts()
+        return pa.table(
+            {"v": vc.field("values").cast(pa.int64()),
+             "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    hist = (
+        _docs(sf_dir, columns=["n_chars"])
+        .map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("v")
+        .sum("n")
+    )
+    rows = hist.take_all()  # bounded: one row per DISTINCT length value
+    vals = np.array(sorted(r["v"] for r in rows), dtype=np.int64)
+    cnt = {r["v"]: r["sum(n)"] for r in rows}
+    counts = np.array([cnt[v] for v in vals], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    base, rem = divmod(n_total, n_buckets)
+    lut = ray.put((vals, offsets))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("quartile", pa.int64())])
+
+    def bucketize(g: pa.Table) -> pa.Table:
+        """g: complete n_chars-groups sorted by (n_chars, doc_id)."""
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        vals_b, offs_b = ray.get(lut)
+        v = g["n_chars"].to_numpy(zero_copy_only=False)
+        starts = run_starts(v)
+        within = np.arange(len(v)) - np.repeat(
+            starts, np.diff(np.append(starts, len(v)))
+        )
+        r0 = offs_b[np.searchsorted(vals_b, v)] + within  # 0-based global rank
+        pivot = rem * (base + 1)
+        if base == 0:  # fewer rows than buckets: ntile gives rank+1
+            q = r0 + 1
+        else:
+            q = np.where(r0 < pivot, r0 // (base + 1),
+                         rem + (r0 - pivot) // base) + 1
+        return pa.table(
+            {"doc_id": g["doc_id"],
+             "quartile": pa.array(q, type=pa.int64())}
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return grouped_runs(docs, "n_chars", bucketize,
+                        sort_cols=["n_chars", "doc_id"])

@@ -836,3 +836,58 @@ def approx_distinct_users(sf_dir: str, p: int = 10) -> rd.Dataset:
         )
 
     return grouped_runs(partials, "event_type", merge)
+
+
+def customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER big-big join: every customer with its count of high-value
+    orders (o_totalprice > 450000), INCLUDING customers with none:
+    (c_custkey, n_big_orders). The left-join mode of
+    ``stages/join.shuffle_join`` — unmatched left rows survive with null
+    right columns, so the aggregate sees zero-count customers without a
+    second pass over the customer table.
+
+    Scale shape: ONE co-partitioning shuffle (neither side broadcastable at
+    scale), the order-side predicate pushed into the scan, and the count
+    pre-reduced per output block before a tiny (one row per customer)
+    groupby merge."""
+    import pyarrow.dataset as pads
+
+    from dedup_ray.stages.join import shuffle_join
+
+    cust = read_view(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    big = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        predicate=pads.field("o_totalprice") > 450000.0,
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 450000.0)).select(
+            ["o_custkey", "o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_join(
+        cust, big, on="c_custkey", right_on="o_custkey", how="left",
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderkey", pa.int64())]
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_custkey").aggregate(
+            [("o_orderkey", "count", pc.CountOptions(mode="only_valid"))]
+        )
+        return pa.table(
+            {"c_custkey": g["c_custkey"],
+             "pn": g["o_orderkey_count"].cast(pa.int64())}
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_custkey"
+    ).sum("pn")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"],
+             "n_big_orders": b["sum(pn)"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

@@ -45,6 +45,7 @@ def shuffle_join(
     raise it at scale so a bucket of both sides fits a worker.
 
     ``how``: ``"inner"`` (many-to-many, emits key + left cols + right cols),
+    ``"left"`` (inner plus unmatched left rows with null right cols),
     ``"semi"`` (left rows with >=1 right match; right cols dropped,
     duplicate right keys collapse) or ``"anti"`` (left rows with NO right
     match). Non-key column names must be disjoint.
@@ -60,8 +61,8 @@ def shuffle_join(
     """
     from dedup_ray.stages.grouped import coarse_hash, grouped_runs
 
-    if how not in ("inner", "semi", "anti"):
-        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     right_on = right_on or on
     # Dataset.schema() on a shuffle lineage (groupby/map_groups output)
     # cannot be answered from metadata and EXECUTES the upstream plan —
@@ -147,16 +148,32 @@ def shuffle_join(
         hi = np.searchsorted(lk, rk, side="right")
         cnt = hi - lo
         total = int(cnt.sum())
-        if total == 0:
-            return empty
-        ridx = np.repeat(np.arange(len(rk), dtype=np.int64), cnt)
-        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-        lidx = np.arange(total, dtype=np.int64) + np.repeat(lo - offs, cnt)
-        out = ltab.take(pa.array(lidx, type=pa.int64()))
-        rtaken = rtab.take(pa.array(ridx, type=pa.int64()))
-        for c in rval:
-            out = out.append_column(c, rtaken[c])
-        return out
+        inner = None
+        if total:
+            ridx = np.repeat(np.arange(len(rk), dtype=np.int64), cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            lidx = np.arange(total, dtype=np.int64) + np.repeat(lo - offs, cnt)
+            inner = ltab.take(pa.array(lidx, type=pa.int64()))
+            rtaken = rtab.take(pa.array(ridx, type=pa.int64()))
+            for c in rval:
+                inner = inner.append_column(c, rtaken[c])
+        if how == "left" and len(lk):
+            # unmatched left rows survive with null right columns; exact
+            # under salting too (a left row lives in exactly ONE salt, with
+            # a full right replica there)
+            if len(rk):
+                pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
+                miss = ltab.filter(pa.array(rk[pos] != lk))
+            else:
+                miss = ltab
+            if miss.num_rows:
+                for c in rval:
+                    miss = miss.append_column(c, pa.nulls(miss.num_rows, type=rtypes[c]))
+                inner = (
+                    miss if inner is None
+                    else pa.concat_tables([inner, miss])
+                )
+        return empty if inner is None else inner
 
     def join_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

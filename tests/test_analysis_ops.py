@@ -1,0 +1,80 @@
+"""Planted-input behavior for the analysis keyword/ntile operators
+(oracle parity at sf0.001 is covered by test_queries; these exercise
+shapes the synthetic corpus cannot: forced ties, empty docs, remainders)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dedup_ray.pipelines import analysis
+
+
+def _write_docs(tmp_path, rows) -> str:
+    """rows: list of (doc_id, text). Shapes a documents.parquet."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_rarest_term_planted(tmp_path):
+    rows = [
+        (0, "common common unique0 shared"),   # unique0 has df=1
+        (1, "common shared zzz"),              # zzz df=1 (tie broken vs nothing)
+        (2, "common aaa zzz"),                 # aaa and zzz... aaa df=1, zzz df=2
+        (3, ""),                               # tokenless doc: absent
+        (4, "common common common"),           # only common (df=4)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: (r["term"], r["df"])
+           for r in analysis.rarest_term_per_doc(sf).take_all()}
+    assert got[0] == ("unique0", 1)
+    assert got[2] == ("aaa", 1)
+    assert 3 not in got
+    assert got[4] == ("common", 4)
+    # doc 1: candidates common(4), shared(2), zzz(2) -> min df=2, tie 'shared'<'zzz'
+    assert got[1] == ("shared", 2)
+
+
+def test_rarest_term_tie_breaks_lexically(tmp_path):
+    sf = _write_docs(tmp_path, [(0, "beta alpha"), (1, "beta alpha")])
+    got = {r["doc_id"]: (r["term"], r["df"])
+           for r in analysis.rarest_term_per_doc(sf).take_all()}
+    assert got == {0: ("alpha", 2), 1: ("alpha", 2)}
+
+
+def test_length_quartiles_matches_ntile(tmp_path):
+    # 10 docs, lengths with heavy ties; n=10, 4 buckets -> sizes 3,3,2,2
+    rows = [(i, "x" * ln) for i, ln in
+            enumerate([5, 5, 5, 5, 2, 2, 9, 9, 9, 1])]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r["quartile"]
+           for r in analysis.length_quartiles(sf).take_all()}
+    # ntile(4) ORDER BY (n_chars, doc_id):
+    # rank order: doc9(1), doc4(2), doc5(2), doc0(5), doc1(5), doc2(5),
+    #             doc3(5), doc6(9), doc7(9), doc8(9)
+    want_order = [9, 4, 5, 0, 1, 2, 3, 6, 7, 8]
+    sizes = [3, 3, 2, 2]
+    want = {}
+    i = 0
+    for q, s in enumerate(sizes, start=1):
+        for _ in range(s):
+            want[want_order[i]] = q
+            i += 1
+    assert got == want
+
+
+def test_length_quartiles_fewer_rows_than_buckets(tmp_path):
+    sf = _write_docs(tmp_path, [(0, "ab"), (1, "a")])
+    got = {r["doc_id"]: r["quartile"]
+           for r in analysis.length_quartiles(sf).take_all()}
+    assert got == {1: 1, 0: 2}  # ntile gives each row its own bucket

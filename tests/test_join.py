@@ -350,3 +350,108 @@ def test_shuffle_join_nested_list_column():
     )
     assert got["k"].tolist() == [2, 3]
     assert [list(v) for v in got["vec"]] == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_shuffle_join_left_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, size=150), type=pa.int64()),
+            "lval": pa.array(np.arange(150), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            # right keys only >= 20: left keys 0..19 are unmatched
+            "rk": pa.array(rng.integers(20, 45, size=200), type=pa.int64()),
+            "rval": pa.array(np.arange(200) * 10, type=pa.int64()),
+        }
+    )
+
+    def canon(df):
+        df = df[["k", "lval", "rval"]].copy()
+        df["rval"] = df["rval"].fillna(-1).astype("int64")
+        return df.sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+
+    got = canon(
+        shuffle_join(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(7),
+            on="k", right_on="rk", how="left", num_buckets=16,
+        ).to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = canon(
+        con.execute("SELECT k, lval, rval FROM l LEFT JOIN r ON k = rk").df()
+    )
+    assert got.equals(want)
+    assert (got["rval"] == -1).any()  # outer part actually exercised
+
+
+def test_shuffle_join_left_empty_right_keeps_all_left_with_nulls():
+    from dedup_ray.stages.join import shuffle_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], type=pa.int64()),
+         "lval": pa.array([10, 20, 30], type=pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([], type=pa.int64()),
+         "rval": pa.array([], type=pa.int64())}
+    )
+    out = shuffle_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="left", num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(out) == 3
+    assert out["rval"].isna().all()
+    assert out["lval"].tolist() == [10, 20, 30]
+
+
+def test_shuffle_join_left_salted_matches_unsalted():
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    rng = np.random.default_rng(13)
+    left = pa.table(
+        {
+            # one hot key (7) plus unmatched tail keys
+            "k": pa.array(
+                np.concatenate([np.full(60, 7), rng.integers(100, 120, 40)]),
+                type=pa.int64(),
+            ),
+            "lval": pa.array(np.arange(100), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(
+                np.concatenate([np.full(30, 7), rng.integers(0, 10, 50)]),
+                type=pa.int64(),
+            ),
+            "rval": pa.array(np.arange(80), type=pa.int64()),
+        }
+    )
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df["rval"] = df["rval"].fillna(-1).astype("int64")
+        return df.sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+
+    plain = canon(
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="k", right_on="rk", how="left", num_buckets=8)
+    )
+    salted = canon(
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="k", right_on="rk", how="left", num_buckets=8, salt=4)
+    )
+    assert plain.equals(salted)

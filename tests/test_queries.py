@@ -36,6 +36,12 @@ CHECKED = [
     "lang_length_quantiles",
     "event_gaps",
     "events_rollup",
+    "hash_split_docs",
+    "sample_per_source",
+    "dup_ngrams",
+    "rarest_term_per_doc",
+    "length_quartiles",
+    "customer_order_counts",
 ]
 
 
