@@ -232,11 +232,9 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
                        ("doc_id", "ascending")],
         )
         b = b.take(idx)
-        lang = b["lang"].to_numpy(zero_copy_only=False)
-        starts = run_starts(lang)
-        rank = np.arange(len(lang)) - np.repeat(
-            starts, np.diff(np.append(starts, len(lang)))
-        )
+        from dedup_ray.stages.grouped import run_ranks
+
+        rank = run_ranks(b["lang"].to_numpy(zero_copy_only=False))
         return b.filter(pa.array(rank < k))
 
     ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
@@ -461,18 +459,13 @@ def rarest_term_per_doc(sf_dir: str) -> rd.Dataset:
     from dedup_ray.stages.grouped import grouped_runs, run_starts
 
     def pairs(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.grouped import distinct_pairs
+
         toks, counts = _token_lists(b["text"])
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        doc = np.repeat(ids, counts)
-        if toks.size:
-            order = np.lexsort((doc, toks))
-            toks, doc = toks[order], doc[order]
-            keep = np.concatenate(
-                [[True], (toks[1:] != toks[:-1]) | (doc[1:] != doc[:-1])]
-            )
-            toks, doc = toks[keep], doc[keep]
+        toks, doc = distinct_pairs(toks, np.repeat(ids, counts))
         return pa.table(
-            {"term": pa.array(toks.astype(object)),
+            {"term": pa.array(toks.astype(object), type=pa.string()),
              "doc_id": pa.array(doc, type=pa.int64())}
         )
 
@@ -496,7 +489,7 @@ def rarest_term_per_doc(sf_dir: str) -> rd.Dataset:
         first = run_starts(d)
         return pa.table(
             {"doc_id": pa.array(d[first], type=pa.int64()),
-             "term": pa.array(t[first].astype(object)),
+             "term": pa.array(t[first].astype(object), type=pa.string()),
              "df": pa.array(df[first], type=pa.int64())}
         )
 
@@ -559,14 +552,17 @@ def length_quartiles(sf_dir: str, n_buckets: int = 4) -> rd.Dataset:
 
     def bucketize(g: pa.Table) -> pa.Table:
         """g: complete n_chars-groups sorted by (n_chars, doc_id)."""
+        # null lengths are outside the rank domain (the histogram pass
+        # drops them with drop_null, SQL count(n_chars) semantics) — filter
+        # them here too or searchsorted(NaN) would index past the LUT
+        g = g.filter(pc.is_valid(g["n_chars"]))
         if g.num_rows == 0:
             return out_schema.empty_table()
         vals_b, offs_b = ray.get(lut)
         v = g["n_chars"].to_numpy(zero_copy_only=False)
-        starts = run_starts(v)
-        within = np.arange(len(v)) - np.repeat(
-            starts, np.diff(np.append(starts, len(v)))
-        )
+        from dedup_ray.stages.grouped import run_ranks
+
+        within = run_ranks(v)
         r0 = offs_b[np.searchsorted(vals_b, v)] + within  # 0-based global rank
         pivot = rem * (base + 1)
         if base == 0:  # fewer rows than buckets: ntile gives rank+1

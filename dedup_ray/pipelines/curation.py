@@ -141,10 +141,9 @@ def cap_per_source(sf_dir: str, cap: int = 5) -> rd.Dataset:
     """
 
     def keep_first(g: pa.Table) -> pa.Table:
-        src = g["source"].to_numpy(zero_copy_only=False)
-        starts = run_starts(src)
-        lens = np.diff(np.concatenate([starts, [len(src)]]))
-        rnk = np.arange(len(src)) - np.repeat(starts, lens) + 1
+        from dedup_ray.stages.grouped import run_ranks
+
+        rnk = run_ranks(g["source"].to_numpy(zero_copy_only=False)) + 1
         keep = rnk <= cap
         g = g.append_column("rnk", pa.array(rnk, type=pa.int64()))
         return g.filter(pa.array(keep))
@@ -337,11 +336,9 @@ def sample_per_source(sf_dir: str, k: int = 10) -> rd.Dataset:
                        ("doc_id", "ascending")],
         )
         b = b.take(idx)
-        src = b["source"].to_numpy(zero_copy_only=False)
-        starts = run_starts(src)
-        rank = np.arange(len(src)) - np.repeat(
-            starts, np.diff(np.append(starts, len(src)))
-        )
+        from dedup_ray.stages.grouped import run_ranks
+
+        rank = run_ranks(b["source"].to_numpy(zero_copy_only=False))
         return b.filter(pa.array(rank < k))
 
     def add_h(b: pa.Table) -> pa.Table:
@@ -376,18 +373,17 @@ def dup_ngrams(sf_dir: str, k: int = 8) -> rd.Dataset:
     here so the DuckDB oracle can value-check the full output."""
 
     def partial(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.grouped import distinct_pairs
+
         toks, counts = _token_lists(b["text"])
         sh, doc_of = _shingles(toks, counts, k)
-        if sh.size:
-            order = np.lexsort((doc_of, sh))
-            sh, doc_of = sh[order], doc_of[order]
-            keep = np.concatenate(
-                [[True], (sh[1:] != sh[:-1]) | (doc_of[1:] != doc_of[:-1])]
-            )
-            sh = sh[keep]
-        u, c = np.unique(sh, return_counts=True)
+        sh, _ = distinct_pairs(sh, doc_of)
+        # sh is already sorted (distinct_pairs sorts by key first):
+        # run-length counting beats np.unique's redundant string re-sort
+        starts = run_starts(sh)
+        c = np.diff(np.append(starts, len(sh)))
         return pa.table(
-            {"shingle": pa.array(u.astype(object)),
+            {"shingle": pa.array(sh[starts].astype(object), type=pa.string()),
              "n": pa.array(c, type=pa.int64())}
         )
 
@@ -403,7 +399,7 @@ def dup_ngrams(sf_dir: str, k: int = 8) -> rd.Dataset:
         tot = np.add.reduceat(n, starts)
         keep = tot >= 2
         return pa.table(
-            {"shingle": pa.array(sh[starts][keep]),
+            {"shingle": pa.array(sh[starts][keep], type=pa.string()),
              "n_docs": pa.array(tot[keep], type=pa.int64())}
         )
 

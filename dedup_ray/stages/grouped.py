@@ -103,6 +103,31 @@ def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], np.flatnonzero(neq) + 1])
 
 
+def run_ranks(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its equal-value run — the
+    vectorized ROW_NUMBER()-per-group kernel shared by the grouped top-k /
+    cap / ntile operators."""
+    starts = run_starts(sorted_keys)
+    n = len(sorted_keys)
+    return np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+
+
+def distinct_pairs(
+    keys: np.ndarray, docs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (key, doc) pairs, returned sorted by (key, doc) — the
+    per-batch dedup kernel behind document-frequency operators (dup_ngrams,
+    rarest_term_per_doc). One lexsort + neighbor-inequality mask."""
+    if keys.size == 0:
+        return keys, docs
+    order = np.lexsort((docs, keys))
+    keys, docs = keys[order], docs[order]
+    keep = np.concatenate(
+        [[True], (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])]
+    )
+    return keys[keep], docs[keep]
+
+
 def merge_partial_counts(
     keys: np.ndarray, counts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

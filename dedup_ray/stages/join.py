@@ -135,13 +135,19 @@ def shuffle_join(
         lmask = side == 0
         lk, rk = keys[lmask], keys[~lmask]
         ltab = g.filter(pa.array(lmask)).select([on] + lval)
+
+        def matched() -> np.ndarray:
+            """Sorted-membership mask: which left keys have >=1 right match
+            (shared by semi/anti/left so the modes can't disagree)."""
+            if len(rk) == 0:
+                return np.zeros(len(lk), dtype=bool)
+            pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
+            return rk[pos] == lk
+
         if how in ("semi", "anti"):
             if len(lk) == 0:
                 return empty
-            if len(rk) == 0:
-                return ltab if how == "anti" else empty
-            pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
-            hit = rk[pos] == lk
+            hit = matched()
             return ltab.filter(pa.array(hit if how == "semi" else ~hit))
         rtab = g.filter(pa.array(~lmask)).select(rval)
         lo = np.searchsorted(lk, rk, side="left")
@@ -161,11 +167,7 @@ def shuffle_join(
             # unmatched left rows survive with null right columns; exact
             # under salting too (a left row lives in exactly ONE salt, with
             # a full right replica there)
-            if len(rk):
-                pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
-                miss = ltab.filter(pa.array(rk[pos] != lk))
-            else:
-                miss = ltab
+            miss = ltab.filter(pa.array(~matched()))
             if miss.num_rows:
                 for c in rval:
                     miss = miss.append_column(c, pa.nulls(miss.num_rows, type=rtypes[c]))

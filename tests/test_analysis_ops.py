@@ -78,3 +78,54 @@ def test_length_quartiles_fewer_rows_than_buckets(tmp_path):
     got = {r["doc_id"]: r["quartile"]
            for r in analysis.length_quartiles(sf).take_all()}
     assert got == {1: 1, 0: 2}  # ntile gives each row its own bucket
+
+
+def test_length_quartiles_null_lengths_excluded(tmp_path):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["aa", "b", "cccc", "dd"], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([2, 1, None, 2], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {r["doc_id"]: r["quartile"]
+           for r in analysis.length_quartiles(str(tmp_path)).take_all()}
+    # null-length doc 2 is outside the rank domain (count(n_chars) semantics)
+    assert got == {1: 1, 0: 2, 3: 3}
+
+
+def test_dup_ngrams_all_singleton_buckets_schema(tmp_path):
+    """Every shingle unique -> every merge bucket emits an empty table.
+    The kernel's own empties carry the (string, int64) schema (never
+    null-typed); Ray's map_groups additionally emits schema-LESS empties
+    for empty sort partitions (engine-wide, tolerated), so the end-to-end
+    assertion here is: no crash, zero rows, and any typed block is
+    correctly typed."""
+    import ray
+
+    from dedup_ray.pipelines import curation
+
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}i", "s")
+            for i in range(6)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = curation.dup_ngrams(str(tmp_path), k=8)
+    blocks = ray.get(ds.to_arrow_refs())
+    assert sum(b.num_rows for b in blocks) == 0
+    typed = [b for b in blocks if b.num_columns]
+    assert all(
+        [f.name for f in b.schema] == ["shingle", "n_docs"]
+        and b.schema.field("shingle").type == "string"
+        for b in typed
+    )
