@@ -95,6 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         run_neardup(prior_p, checkpoint_dir=ck)  # cached: resumes instantly
         return run_neardup_incremental(prior_p, ck, delta_p).clusters
 
+    def phash_search(sf_dir: str):
+        from dedup_ray.pipelines.neardup import phash_hamming_search
+
+        return phash_hamming_search(_corpus(sf_dir))
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -185,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
+        "phash_hamming_search": phash_search,
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---
@@ -581,6 +587,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN "
             "(SELECT * FROM orders WHERE o_totalprice > 450000) o "
             "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"
+        ),
+        # image-side Hamming search over the synthesised corpus cache (the
+        # Ray query generates/caches it BEFORE the oracle runs; both sf0.001
+        # and sf0.01 resolve to the _1000 cache — see _corpus)
+        "phash_hamming_search": (
+            f"WITH c AS (SELECT image_id, phash FROM "
+            f"read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')), "
+            "q AS (SELECT image_id AS query_id, phash AS qh FROM c "
+            "ORDER BY image_id LIMIT 5) "
+            "SELECT q.query_id, c.image_id, "
+            "bit_count(xor(q.qh, c.phash))::BIGINT AS dist "
+            "FROM q CROSS JOIN c "
+            "WHERE bit_count(xor(q.qh, c.phash)) <= 6 "
+            "AND c.image_id <> q.query_id"
         ),
         "quiet_order_priorities": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "

@@ -181,3 +181,64 @@ def run_neardup(
             clusters_sample=sample,
         )
     return NearDupResult(clusters=clusters, stats=stats, counters=counters, report=report)
+
+
+def phash_hamming_search(
+    input_path: str, n_queries: int = 5, radius: int = 6
+) -> rd.Dataset:
+    """Image similarity search by perceptual hash: for each of the
+    ``n_queries`` query images (lexicographically-smallest image_ids, a
+    deterministic stand-in for user-supplied queries), every corpus image
+    within Hamming distance ``radius`` of its phash:
+    (query_id, image_id, dist), self-matches excluded.
+
+    Scale shape: the query side is tiny BY DEFINITION (a search request),
+    so it is resolved with one projection-pruned local-top-k pass and
+    broadcast into a single streamed map over (image_id, phash) — per batch
+    one vectorized XOR+popcount per query, no shuffle, no driver
+    materialization of the corpus. A large STANDING query set would swap
+    in the banded multi-index path (the flagship's phash band keys /
+    ``embedding_neardup_lsh`` shape) behind the same output schema."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedup_ray.functions.hashing import hamming64
+
+    cols = read_table(input_path, columns=["image_id", "phash"])
+
+    def local_min_k(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("image_id", "ascending")])
+        return b.take(idx[:n_queries])
+
+    q = (
+        cols.map_batches(local_min_k, batch_format="pyarrow")
+        .sort("image_id")
+        .limit(n_queries)
+        .take_all()
+    )
+    q_ids = [r["image_id"] for r in q]
+    q_hashes = np.array([r["phash"] for r in q], dtype=np.int64)
+
+    out_schema = pa.schema(
+        [("query_id", pa.string()), ("image_id", pa.string()),
+         ("dist", pa.int64())]
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        ph = b["image_id"].to_numpy(zero_copy_only=False)
+        h = b["phash"].to_numpy(zero_copy_only=False)
+        outs = []
+        for qi, qh in zip(q_ids, q_hashes):
+            d = hamming64(h, np.full(len(h), qh, dtype=np.int64))
+            keep = (d <= radius) & (ph != qi)
+            if keep.any():
+                outs.append(pa.table(
+                    {"query_id": pa.array(np.full(int(keep.sum()), qi),
+                                          type=pa.string()),
+                     "image_id": pa.array(ph[keep], type=pa.string()),
+                     "dist": pa.array(d[keep], type=pa.int64())}
+                ))
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    return cols.map_batches(probe, batch_format="pyarrow")

@@ -129,3 +129,30 @@ def test_dup_ngrams_all_singleton_buckets_schema(tmp_path):
         and b.schema.field("shingle").type == "string"
         for b in typed
     )
+
+
+def test_phash_hamming_search_planted(tmp_path):
+    from dedup_ray.pipelines.neardup import phash_hamming_search
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a_query", base),
+        ("b_dist1", base ^ 0b1),            # dist 1 -> hit
+        ("c_dist6", base ^ 0x3F),           # dist 6 -> hit (boundary)
+        ("d_dist7", base ^ 0x7F),           # dist 7 -> miss
+        ("e_exact", base),                  # dist 0 -> hit (self excluded by id)
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "phash": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "imgs.parquet")
+    out = phash_hamming_search(str(tmp_path / "imgs.parquet"), n_queries=1)
+    got = {(r["query_id"], r["image_id"]): r["dist"] for r in out.take_all()}
+    assert got == {
+        ("a_query", "b_dist1"): 1,
+        ("a_query", "c_dist6"): 6,
+        ("a_query", "e_exact"): 0,
+    }

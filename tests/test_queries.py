@@ -42,6 +42,7 @@ CHECKED = [
     "rarest_term_per_doc",
     "length_quartiles",
     "customer_order_counts",
+    "phash_hamming_search",
 ]
 
 
