@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_docs": text.minhash_neardup_clusters,  # rows-only
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
+        "doc_jaccard_search": text.doc_jaccard_search,
         "token_count_regex": text.token_count_regex,            # SQL-checked
         # --- text analysis ---
         "token_stats": analysis.token_stats,
@@ -427,6 +428,22 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(a.toks, b.toks)) > 0 AND "
             "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"
+        ),
+        # token class matches top_terms' split set; tokenless docs excluded
+        # on both sides (Jaccard undefined); jacc = one int/int division,
+        # IEEE-identical across engines
+        "doc_jaccard_search": (
+            "WITH tok AS (SELECT doc_id, "
+            "list_distinct(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents), "
+            "nz AS (SELECT * FROM tok WHERE len(t) > 0), "
+            "q AS (SELECT doc_id AS query_id, t AS qt FROM nz WHERE doc_id < 5) "
+            "SELECT q.query_id, d.doc_id, "
+            "CAST(len(list_intersect(q.qt, d.t)) AS DOUBLE) / "
+            "(len(q.qt) + len(d.t) - len(list_intersect(q.qt, d.t))) AS jacc "
+            "FROM q CROSS JOIN nz d WHERE d.doc_id <> q.query_id AND "
+            "CAST(len(list_intersect(q.qt, d.t)) AS DOUBLE) / "
+            "(len(q.qt) + len(d.t) - len(list_intersect(q.qt, d.t))) >= 0.5"
         ),
         "token_count_regex": (
             "SELECT doc_id, "

@@ -608,3 +608,86 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+def doc_jaccard_search(
+    sf_dir: str, n_queries: int = 5, threshold: float = 0.5
+) -> rd.Dataset:
+    """Document similarity search: for each query doc (doc_id < n_queries,
+    a deterministic stand-in for user-supplied queries), every corpus doc
+    whose distinct-token Jaccard similarity is >= ``threshold``:
+    (query_id, doc_id, jacc). The text twin of
+    ``neardup.phash_hamming_search``; tokenless docs are excluded on both
+    sides (Jaccard undefined).
+
+    Scale shape: the query side is tiny by definition — its token sets are
+    resolved with ONE predicate-pushed read (doc_id < n_queries prunes row
+    groups) and broadcast into a single streamed map; per batch the work is
+    one np.isin + bincount per query over the batch's distinct (token, doc)
+    pairs. No shuffle, no corpus materialization. A standing MANY-query
+    workload would swap in the MinHash-LSH candidate path
+    (``minhash_neardup_docs``) behind the same output schema. jacc is a
+    single int/int IEEE division — bit-identical to the DuckDB oracle."""
+    import pyarrow.dataset as pads
+
+    from dedup_ray.pipelines.curation import _token_lists
+    from dedup_ray.sources.io import read_view
+    from dedup_ray.stages.grouped import distinct_pairs
+
+    def tok_sets(b: pa.Table) -> list[tuple[int, np.ndarray]]:
+        toks, counts = _token_lists(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t, d = distinct_pairs(toks, np.repeat(ids, counts))
+        out = []
+        for i in np.unique(d):
+            s = np.sort(t[d == i])
+            if s.size:
+                out.append((int(i), s))
+        return out
+
+    qtab = read_view(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        predicate=pads.field("doc_id") < n_queries,
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], n_queries)),
+        batch_format="pyarrow",
+    ).take_all()
+    qb = pa.table(
+        {"doc_id": pa.array([r["doc_id"] for r in qtab], type=pa.int64()),
+         "text": pa.array([r["text"] for r in qtab], type=pa.string())}
+    )
+    queries = tok_sets(qb)  # [(query_id, sorted distinct tokens)]
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()),
+         ("jacc", pa.float64())]
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        toks, counts = _token_lists(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t, d = distinct_pairs(toks, np.repeat(ids, counts))
+        if t.size == 0:
+            return out_schema.empty_table()
+        # dense doc index for bincount
+        uids, dx = np.unique(d, return_inverse=True)
+        sizes = np.bincount(dx)
+        outs = []
+        for qid, qset in queries:
+            inter = np.bincount(dx[np.isin(t, qset)], minlength=len(uids))
+            union = sizes + qset.size - inter
+            jacc = inter / union  # exact: one IEEE int/int division
+            keep = (jacc >= threshold) & (uids != qid)
+            if keep.any():
+                outs.append(pa.table(
+                    {"query_id": pa.array(
+                        np.full(int(keep.sum()), qid), type=pa.int64()),
+                     "doc_id": pa.array(uids[keep], type=pa.int64()),
+                     "jacc": pa.array(jacc[keep], type=pa.float64())}
+                ))
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        probe, batch_format="pyarrow"
+    )

@@ -156,3 +156,28 @@ def test_phash_hamming_search_planted(tmp_path):
         ("a_query", "c_dist6"): 6,
         ("a_query", "e_exact"): 0,
     }
+
+
+def test_doc_jaccard_search_planted(tmp_path):
+    from dedup_ray.pipelines.text import doc_jaccard_search
+
+    rows = [
+        (0, "alpha beta gamma delta"),         # the query
+        (1, "alpha beta gamma delta"),         # jacc 1.0
+        (2, "alpha beta gamma epsilon"),       # 3/5 = 0.6
+        (3, "alpha zeta eta theta"),           # 1/7 -> miss
+        (4, ""),                               # tokenless: excluded
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = doc_jaccard_search(str(tmp_path), n_queries=1, threshold=0.5)
+    got = {(r["query_id"], r["doc_id"]): r["jacc"] for r in out.take_all()}
+    assert got == {(0, 1): 1.0, (0, 2): 0.6}

@@ -43,6 +43,7 @@ CHECKED = [
     "length_quartiles",
     "customer_order_counts",
     "phash_hamming_search",
+    "doc_jaccard_search",
 ]
 
 
