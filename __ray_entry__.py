@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": analysis.lang_length_quantiles,
         "rarest_term_per_doc": analysis.rarest_term_per_doc,
         "length_quartiles": analysis.length_quartiles,
+        "df_histogram": analysis.df_histogram,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -535,6 +536,14 @@ def oracle_sql() -> dict[str, str]:
         "length_quartiles": (
             "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id)::BIGINT "
             "AS quartile FROM documents"
+        ),
+        "df_histogram": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents), "
+            "d AS (SELECT DISTINCT t, doc_id FROM tok), "
+            "dfs AS (SELECT t, count(*)::BIGINT AS df FROM d GROUP BY t) "
+            "SELECT df, count(*)::BIGINT AS n_terms FROM dfs GROUP BY df"
         ),
         "numeric_profile": (
             "SELECT count(n_chars)::BIGINT AS n_rows, min(n_chars)::BIGINT AS min_v, "

@@ -578,3 +578,51 @@ def length_quartiles(sf_dir: str, n_buckets: int = 4) -> rd.Dataset:
     docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
     return grouped_runs(docs, "n_chars", bucketize,
                         sort_cols=["n_chars", "doc_id"])
+
+
+def df_histogram(sf_dir: str) -> rd.Dataset:
+    """Vocabulary frequency-of-frequencies: how many distinct terms occur
+    in exactly n documents: (df, n_terms). The corpus-statistics profile
+    behind vocabulary pruning / min-df cutoffs (a Zipf check at a glance).
+
+    Scale shape: distinct (term, doc) pairs per batch, ONE grouped_runs
+    pass BY TERM where df = run length — and the kernel immediately
+    collapses to per-df partial counts, so the final groupby merges at most
+    ~64 tiny (df, count) rows per bucket. Terms never leave the bucket."""
+    from dedup_ray.pipelines.curation import _token_lists
+    from dedup_ray.stages.grouped import distinct_pairs, grouped_runs, run_starts
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks, counts = _token_lists(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t, d = distinct_pairs(toks, np.repeat(ids, counts))
+        return pa.table(
+            {"term": pa.array(t.astype(object), type=pa.string()),
+             "doc_id": pa.array(d, type=pa.int64())}
+        )
+
+    def df_counts(g: pa.Table) -> pa.Table:
+        t = g["term"].to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return pa.table(
+                {"df": pa.array([], type=pa.int64()),
+                 "pn": pa.array([], type=pa.int64())}
+            )
+        starts = run_starts(t)
+        lens = np.diff(np.append(starts, len(t)))  # df per complete term run
+        u, c = np.unique(lens, return_counts=True)
+        return pa.table(
+            {"df": pa.array(u, type=pa.int64()),
+             "pn": pa.array(c, type=pa.int64())}
+        )
+
+    p = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    agg = grouped_runs(p, "term", df_counts).groupby("df").sum("pn")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"df": b["df"], "n_terms": b["sum(pn)"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

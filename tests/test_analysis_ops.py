@@ -181,3 +181,14 @@ def test_doc_jaccard_search_planted(tmp_path):
     out = doc_jaccard_search(str(tmp_path), n_queries=1, threshold=0.5)
     got = {(r["query_id"], r["doc_id"]): r["jacc"] for r in out.take_all()}
     assert got == {(0, 1): 1.0, (0, 2): 0.6}
+
+
+def test_df_histogram_planted(tmp_path):
+    sf = _write_docs(tmp_path, [
+        (0, "a b c"),      # a in 3 docs, b in 2, c in 1
+        (1, "a b"),
+        (2, "a d d d"),    # d repeated IN one doc counts once
+    ])
+    got = {r["df"]: r["n_terms"]
+           for r in analysis.df_histogram(sf).take_all()}
+    assert got == {1: 2, 2: 1, 3: 1}  # {c,d}=1, {b}=2, {a}=3

@@ -44,6 +44,7 @@ CHECKED = [
     "customer_order_counts",
     "phash_hamming_search",
     "doc_jaccard_search",
+    "df_histogram",
 ]
 
 
