@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_profile": analysis.numeric_profile,
         "top_terms": analysis.top_terms,
         "lang_length_quantiles": analysis.lang_length_quantiles,
+        "trim_length_outliers": analysis.trim_length_outliers,
         "rarest_term_per_doc": analysis.rarest_term_per_doc,
         "length_quartiles": analysis.length_quartiles,
         "df_histogram": analysis.df_histogram,
@@ -178,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
         "events_rollup": relational.events_rollup,
+        "order_lineitem_full": relational.order_lineitem_full,
+        "user_value_running": relational.user_value_running,
         "distinct_users_by_type": relational.distinct_users_by_type,
         "approx_distinct_users": relational.approx_distinct_users,  # rows-only (sketch)
         # --- similarity search ---
@@ -208,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": curation.hash_split_docs,
         "sample_per_source": curation.sample_per_source,
         "dup_ngrams": curation.dup_ngrams,
+        "mix_sources": curation.mix_sources,
     }
 
 
@@ -644,6 +648,40 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_events FROM "
             "(SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket "
             "FROM events) GROUP BY ROLLUP(event_type, hour_bucket)"
+        ),
+        # sentinel-coalesced full outer join (the Ray side fill_nulls with
+        # the same -1.0, so the value compare is NaN-free)
+        "order_lineitem_full": (
+            "SELECT coalesce(o_orderkey, l_orderkey) AS okey, "
+            "coalesce(o_totalprice, -1.0) AS o_totalprice, "
+            "coalesce(l_quantity, -1.0) AS l_quantity FROM "
+            "(SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 400000) o FULL OUTER JOIN "
+            "(SELECT l_orderkey, l_quantity FROM lineitem "
+            "WHERE l_quantity > 48) l ON o_orderkey = l_orderkey"
+        ),
+        # running sums agree to ~1e-10 at these magnitudes, not to the ulp
+        # (np.cumsum left fold vs DuckDB's windowed segment tree) — round(4)
+        "user_value_running": (
+            "SELECT event_id, user_id, ts, "
+            "round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
+            "AS cum_value FROM events"
+        ),
+        "trim_length_outliers": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.05) FROM documents) "
+            "AND n_chars <= (SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        # weight = ((suffix % 4) + 1)/4; thresholds are exact multiples of
+        # 2^62, h = splitmix64(doc_id) as in hash_split_docs
+        "mix_sources": (
+            f"WITH {_smix_ctes('doc_id', 'documents')}, "
+            "j AS (SELECT d.doc_id, d.source, hx.h, "
+            "CAST(substr(d.source, 4) AS BIGINT) % 4 AS m FROM documents d "
+            "JOIN hx USING (doc_id)) "
+            "SELECT doc_id, source FROM j "
+            "WHERE m = 3 OR h < CAST(m + 1 AS HUGEINT) * 4611686018427387904"
         ),
         "event_gaps": (
             "SELECT event_id, user_id, ts, (epoch_us(ts) - epoch_us(lag(ts) "

@@ -126,6 +126,8 @@ def run_bench(scope: str) -> dict:
             "embedding_neardup_lsh", "lang_embedding_norms",
             "hash_split_docs", "sample_per_source", "dup_ngrams",
             "rarest_term_per_doc", "length_quartiles", "customer_order_counts",
+            "order_lineitem_full", "user_value_running",
+            "trim_length_outliers", "mix_sources",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

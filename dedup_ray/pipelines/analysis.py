@@ -13,10 +13,10 @@ import ray.data as rd
 from dedup_ray.config import DedupConfig
 from dedup_ray.functions.hashing import winnow_fingerprints
 
-def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def _docs(sf_dir: str, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
     from dedup_ray.sources.io import read_view
 
-    return read_view(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_view(f"{sf_dir}/documents.parquet", columns=columns, **kwargs)
 
 
 def token_stats(sf_dir: str) -> rd.Dataset:
@@ -625,4 +625,56 @@ def df_histogram(sf_dir: str) -> rd.Dataset:
             {"df": b["df"], "n_terms": b["sum(pn)"].cast(pa.int64())}
         ),
         batch_format="pyarrow",
+    )
+
+
+def trim_length_outliers(
+    sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95
+) -> rd.Dataset:
+    """Quantile-trim filter: keep docs whose n_chars lies inside the
+    corpus's [p05, p95] (quantile_disc semantics) — the standard
+    outlier-removal pass before training (degenerate-short and runaway-long
+    docs out): (doc_id, n_chars).
+
+    Scale shape: pass 1 is a projection-pruned partial (value, count)
+    histogram per batch merged on the driver (bounded by the DOMAIN of the
+    column, not the row count — same argument as numeric_profile); the two
+    thresholds then push into pass 2's scan as a parquet predicate, so row
+    groups wholly outside [lo, hi] are never read. No shuffle in either
+    pass."""
+    import pyarrow.dataset as pads
+
+    from dedup_ray.stages.grouped import merge_partial_counts, quantiles_from_hist
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        vc = b["n_chars"].drop_null().value_counts()
+        return pa.table(
+            {"v": vc.field("values").cast(pa.int64()),
+             "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in _docs(sf_dir, columns=["n_chars"])
+        .map_batches(partial_hist, batch_format="pyarrow")
+        .to_arrow_refs()
+    ]
+    import ray
+
+    tables = [t for t in ray.get(parts) if t.num_rows and "v" in t.column_names]
+    if not tables:
+        return rd.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+            .empty_table()
+        )
+    merged = pa.concat_tables(tables)
+    v, n = merge_partial_counts(
+        merged["v"].to_numpy(zero_copy_only=False),
+        merged["n"].to_numpy(zero_copy_only=False),
+    )
+    lo, hi = quantiles_from_hist(v, n, (q_lo, q_hi))
+    return _docs(
+        sf_dir,
+        columns=["doc_id", "n_chars"],
+        predicate=(pads.field("n_chars") >= lo) & (pads.field("n_chars") <= hi),
     )

@@ -407,3 +407,35 @@ def dup_ngrams(sf_dir: str, k: int = 8) -> rd.Dataset:
         partial, batch_format="pyarrow"
     )
     return grouped_runs(parts, "shingle", merge)
+
+
+def mix_sources(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-source downsampling (data mixing): each source gets
+    an acceptance weight and a doc survives iff splitmix64(doc_id) falls
+    under weight * 2^64 — the standard way a pretraining pipeline rebalances
+    source proportions (e.g. downweight crawl, keep curated sources whole)
+    without a stored sample or a shuffle: (doc_id, source).
+
+    Weights here cycle 0.25 / 0.50 / 0.75 / 1.00 by the source's integer
+    suffix (a stand-in for a config dict; thresholds are EXACT multiples of
+    2^62, so the DuckDB oracle compares against the same integers).
+    Membership composes with hash_split_docs (independent bits of the same
+    hash family would need distinct stream constants; here the mix uses the
+    same splitmix64, documented).
+
+    Scale shape: a pure projection-pruned map over (doc_id, source) — no
+    shuffle, no state; at 10^12 rows one streamed pass, like hash_split_docs.
+    """
+    from dedup_ray.functions.hashing import splitmix64
+
+    def keep_mask(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        suffix = pc.cast(pc.utf8_slice_codeunits(b["source"], 3, 99), pa.int64())
+        wq = (suffix.to_numpy(zero_copy_only=False) % 4 + 1).astype(np.uint64)
+        keep = wq == 4  # weight 1.0: always kept ((4 << 62) wraps to 0)
+        keep |= h < (wq << np.uint64(62))
+        return b.filter(pa.array(keep))
+
+    return _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        keep_mask, batch_format="pyarrow"
+    )

@@ -891,3 +891,100 @@ def customer_order_counts(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def order_lineitem_full(
+    sf_dir: str, price_min: float = 400_000.0, qty_min: float = 48.0
+) -> rd.Dataset:
+    """Full-outer shuffle join: high-value orders vs high-quantity lineitems
+    on orderkey — rows from EITHER side with no partner survive with the
+    other side's columns null-filled (then sentinel-coalesced to -1.0 so the
+    value compare is NaN-free): (okey, o_totalprice, l_quantity).
+
+    Same single co-partitioning shuffle as the inner/left modes; full outer
+    adds only the per-bucket right-miss scan (stages/join.py). Both side
+    filters run BEFORE the shuffle so only qualifying rows move. Oracle:
+    DuckDB FULL OUTER JOIN with the same coalesce.
+    """
+    from dedup_ray.stages.join import shuffle_join
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], price_min)),
+        batch_format="pyarrow",
+    )
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["l_quantity"], qty_min)),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_join(
+        orders, items, on="o_orderkey", right_on="l_orderkey", how="full",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_totalprice", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_quantity", pa.float64())]
+        ),
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "o_totalprice": pc.fill_null(b["o_totalprice"], -1.0),
+                "l_quantity": pc.fill_null(b["l_quantity"], -1.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def user_value_running(sf_dir: str) -> rd.Dataset:
+    """Running-total window: cumulative sum of ``value`` per user in event
+    order — SUM() OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING): (event_id, user_id, ts, cum_value).
+
+    One hash-partitioned shuffle on user_id (grouped_runs), then ONE
+    np.cumsum per bucket with per-run rebasing — no per-user Python, no
+    driver materialization. cum_value is rounded to 4 decimals on both sides
+    (the engines' running sums agree to ~1e-10 at these magnitudes but not
+    to the last ulp)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("cum_value", pa.float64())]
+    )
+
+    def cum_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        cs = np.cumsum(val)
+        starts = run_starts(uid)
+        base = np.where(starts == 0, 0.0, cs[starts - 1])
+        run_id = np.repeat(
+            np.arange(len(starts)), np.diff(np.append(starts, n))
+        )
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "cum_value": pa.array(
+                    np.round(cs - base[run_id], 4), type=pa.float64()
+                ),
+            }
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return grouped_runs(
+        ds, "user_id", cum_runs, sort_cols=["user_id", "ts", "event_id"]
+    )

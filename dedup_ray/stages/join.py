@@ -46,6 +46,8 @@ def shuffle_join(
 
     ``how``: ``"inner"`` (many-to-many, emits key + left cols + right cols),
     ``"left"`` (inner plus unmatched left rows with null right cols),
+    ``"right"`` (inner plus unmatched right rows with null left cols),
+    ``"full"`` (inner plus unmatched rows from BOTH sides),
     ``"semi"`` (left rows with >=1 right match; right cols dropped,
     duplicate right keys collapse) or ``"anti"`` (left rows with NO right
     match). Non-key column names must be disjoint.
@@ -61,8 +63,16 @@ def shuffle_join(
     """
     from dedup_ray.stages.grouped import coarse_hash, grouped_runs
 
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|right|full|semi|anti, got {how!r}"
+        )
+    if how in ("right", "full") and salt > 1:
+        # a right row is replicated to every salt but a MATCHING left row
+        # lives in only one of them, so per-salt right-miss detection would
+        # emit false unmatched-right rows — the exactness argument that holds
+        # for inner/left/semi/anti does not extend here
+        raise ValueError(f"how={how!r} does not compose with salt > 1")
     right_on = right_on or on
     # Dataset.schema() on a shuffle lineage (groupby/map_groups output)
     # cannot be answered from metadata and EXECUTES the upstream plan —
@@ -163,7 +173,7 @@ def shuffle_join(
             rtaken = rtab.take(pa.array(ridx, type=pa.int64()))
             for c in rval:
                 inner = inner.append_column(c, rtaken[c])
-        if how == "left" and len(lk):
+        if how in ("left", "full") and len(lk):
             # unmatched left rows survive with null right columns; exact
             # under salting too (a left row lives in exactly ONE salt, with
             # a full right replica there)
@@ -174,6 +184,27 @@ def shuffle_join(
                 inner = (
                     miss if inner is None
                     else pa.concat_tables([inner, miss])
+                )
+        if how in ("right", "full") and len(rk):
+            # unmatched right rows survive with null left columns (salt > 1
+            # is rejected up front, so the bucket holds ALL left rows of the
+            # key and the miss test is global)
+            if len(lk) == 0:
+                rmiss_mask = np.ones(len(rk), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(lk, rk), len(lk) - 1)
+                rmiss_mask = lk[pos] != rk
+            if rmiss_mask.any():
+                rside = g.filter(pa.array(~lmask)).filter(pa.array(rmiss_mask))
+                cols: dict[str, pa.Array | pa.ChunkedArray] = {on: rside[on]}
+                for c in lval:
+                    cols[c] = pa.nulls(rside.num_rows, type=ltypes[c])
+                for c in rval:
+                    cols[c] = rside[c]
+                rmiss_t = pa.table(cols)
+                inner = (
+                    rmiss_t if inner is None
+                    else pa.concat_tables([inner, rmiss_t])
                 )
         return empty if inner is None else inner
 

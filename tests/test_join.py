@@ -455,3 +455,154 @@ def test_shuffle_join_left_salted_matches_unsalted():
                      on="k", right_on="rk", how="left", num_buckets=8, salt=4)
     )
     assert plain.equals(salted)
+
+
+def test_shuffle_join_full_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    rng = np.random.default_rng(17)
+    left = pa.table(
+        {
+            # keys 0..29: 0..9 unmatched-left (right starts at 10)
+            "k": pa.array(rng.integers(0, 30, size=120), type=pa.int64()),
+            "lval": pa.array(np.arange(120), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            # keys 10..44: 30..44 unmatched-right
+            "rk": pa.array(rng.integers(10, 45, size=160), type=pa.int64()),
+            "rval": pa.array(np.arange(160) * 10, type=pa.int64()),
+        }
+    )
+
+    def canon(df):
+        df = df[["k", "lval", "rval"]].copy()
+        df["lval"] = df["lval"].fillna(-1).astype("int64")
+        df["rval"] = df["rval"].fillna(-1).astype("int64")
+        return df.sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+
+    got = canon(
+        shuffle_join(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(7),
+            on="k", right_on="rk", how="full", num_buckets=16,
+        ).to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = canon(
+        con.execute(
+            "SELECT coalesce(k, rk) AS k, lval, rval "
+            "FROM l FULL OUTER JOIN r ON k = rk"
+        ).df()
+    )
+    assert got.equals(want)
+    assert (got["lval"] == -1).any()  # right-miss part exercised
+    assert (got["rval"] == -1).any()  # left-miss part exercised
+
+
+def test_shuffle_join_right_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from dedup_ray.stages.join import shuffle_join
+
+    rng = np.random.default_rng(19)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, size=80), type=pa.int64()),
+            "lval": pa.array(np.arange(80), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(15, 40, size=90), type=pa.int64()),
+            "rval": pa.array(np.arange(90) * 10, type=pa.int64()),
+        }
+    )
+
+    def canon(df):
+        df = df[["k", "lval", "rval"]].copy()
+        df["lval"] = df["lval"].fillna(-1).astype("int64")
+        return df.sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+
+    got = canon(
+        shuffle_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(4),
+            on="k", right_on="rk", how="right", num_buckets=8,
+        ).to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = canon(
+        con.execute(
+            "SELECT coalesce(k, rk) AS k, lval, rval "
+            "FROM l RIGHT JOIN r ON k = rk"
+        ).df()
+    )
+    assert got.equals(want)
+    assert (got["lval"] == -1).any()
+
+
+def test_shuffle_join_full_empty_sides():
+    from dedup_ray.stages.join import shuffle_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2], type=pa.int64()),
+         "lval": pa.array([10, 20], type=pa.int64())}
+    )
+    empty_r = pa.table(
+        {"rk": pa.array([], type=pa.int64()),
+         "rval": pa.array([], type=pa.int64())}
+    )
+    # empty right: full == all left rows with null rval
+    out = shuffle_join(
+        rd.from_arrow(left), rd.from_arrow(empty_r),
+        on="k", right_on="rk", how="full", num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["lval"].tolist() == [10, 20]
+    assert out["rval"].isna().all()
+    # empty left: full == all right rows with null lval, key from the right
+    empty_l = pa.table(
+        {"k": pa.array([], type=pa.int64()),
+         "lval": pa.array([], type=pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([5, 6], type=pa.int64()),
+         "rval": pa.array([50, 60], type=pa.int64())}
+    )
+    out = shuffle_join(
+        rd.from_arrow(empty_l), rd.from_arrow(right),
+        on="k", right_on="rk", how="full", num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [5, 6]
+    assert out["rval"].tolist() == [50, 60]
+    assert out["lval"].isna().all()
+
+
+def test_shuffle_join_full_rejects_salt():
+    import pytest
+
+    from dedup_ray.stages.join import shuffle_join
+
+    t = pa.table(
+        {"k": pa.array([1], type=pa.int64()),
+         "lval": pa.array([1], type=pa.int64())}
+    )
+    r = pa.table(
+        {"rk": pa.array([1], type=pa.int64()),
+         "rval": pa.array([1], type=pa.int64())}
+    )
+    for how in ("full", "right"):
+        with pytest.raises(ValueError, match="salt"):
+            shuffle_join(
+                rd.from_arrow(t), rd.from_arrow(r),
+                on="k", right_on="rk", how=how, salt=4,
+            )

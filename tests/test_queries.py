@@ -45,6 +45,10 @@ CHECKED = [
     "phash_hamming_search",
     "doc_jaccard_search",
     "df_histogram",
+    "order_lineitem_full",
+    "user_value_running",
+    "trim_length_outliers",
+    "mix_sources",
 ]
 
 
