@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": analysis.top_terms,
         "lang_length_quantiles": analysis.lang_length_quantiles,
         "trim_length_outliers": analysis.trim_length_outliers,
+        "length_cume_dist": analysis.length_cume_dist,
         "rarest_term_per_doc": analysis.rarest_term_per_doc,
         "length_quartiles": analysis.length_quartiles,
         "df_histogram": analysis.df_histogram,
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
+        "ann_pq_topk": ann.ann_pq_topk,    # rows-only (approximate)
         "cosine_neardup_pairs": ann.cosine_neardup_pairs,
         "embedding_lsh_buckets": ann.lsh_buckets,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
@@ -672,6 +674,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.05) FROM documents) "
             "AND n_chars <= (SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        # cume = (# rows <= mine)/total: one int/int IEEE division of exact
+        # counts on both sides — bit-identical, no rounding needed
+        "length_cume_dist": (
+            "SELECT doc_id, n_chars, "
+            "cume_dist() OVER (ORDER BY n_chars) AS cume FROM documents"
         ),
         # weight = ((suffix % 4) + 1)/4; thresholds are exact multiples of
         # 2^62, h = splitmix64(doc_id) as in hash_split_docs

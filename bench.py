@@ -127,7 +127,8 @@ def run_bench(scope: str) -> dict:
             "hash_split_docs", "sample_per_source", "dup_ngrams",
             "rarest_term_per_doc", "length_quartiles", "customer_order_counts",
             "order_lineitem_full", "user_value_running",
-            "trim_length_outliers", "mix_sources",
+            "trim_length_outliers", "mix_sources", "length_cume_dist",
+            "ann_pq_topk",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -678,3 +678,64 @@ def trim_length_outliers(
         columns=["doc_id", "n_chars"],
         predicate=(pads.field("n_chars") >= lo) & (pads.field("n_chars") <= hi),
     )
+
+
+def length_cume_dist(sf_dir: str) -> rd.Dataset:
+    """Global cumulative-distribution window WITHOUT a global sort:
+    cume_dist() OVER (ORDER BY n_chars) per doc — (doc_id, n_chars, cume).
+
+    Scale shape: same two-pass histogram trick as length_quartiles /
+    trim_length_outliers — pass 1 merges per-batch (value, count) partials
+    driver-side (bounded by the column DOMAIN), pass 2 broadcasts the tiny
+    (values, cumulative counts) arrays into a streamed searchsorted probe.
+    No shuffle, no sort, and cume = one int/int IEEE division of exact
+    counts, so the DuckDB window-function oracle matches bit-identically."""
+    from dedup_ray.stages.grouped import merge_partial_counts
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        vc = b["n_chars"].drop_null().value_counts()
+        return pa.table(
+            {"v": vc.field("values").cast(pa.int64()),
+             "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    import ray
+
+    tables = [
+        t
+        for t in ray.get(
+            _docs(sf_dir, columns=["n_chars"])
+            .map_batches(partial_hist, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "v" in t.column_names
+    ]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chars", pa.int64()), ("cume", pa.float64())]
+    )
+    if not tables:
+        return rd.from_arrow(schema.empty_table())
+    merged = pa.concat_tables(tables)
+    v, n = merge_partial_counts(
+        merged["v"].to_numpy(zero_copy_only=False),
+        merged["n"].to_numpy(zero_copy_only=False),
+    )
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    ref = ray.put((v, cum))
+
+    def probe(b: pa.Table) -> pa.Table:
+        vv, cc = ray.get(ref)
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vv, x, side="right") - 1
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "cume": pa.array(cc[idx] / total, type=pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        probe, batch_format="pyarrow"
+    )

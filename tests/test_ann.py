@@ -89,3 +89,49 @@ def test_semdedup_matches_bruteforce_within_cells():
         for i, v in enumerate(mem):
             expect = not any(s[j, i] >= 0.4 for j in range(i))
             assert kept[v] == expect, (v, c)
+
+
+def _exact_l2_topk(k: int, n_queries: int) -> set:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).reshape(len(ids), -1).astype(np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    pairs = set()
+    for qi in range(n_queries):
+        d = ((m - m[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        # smallest-k with neighbor_id tiebreak (ids are sorted, argsort stable)
+        top = np.argsort(d, kind="stable")[:k]
+        pairs |= {(int(ids[qi]), int(ids[i])) for i in top}
+    return pairs
+
+
+def test_ann_pq_recall_vs_exact_l2():
+    from dedup_ray.pipelines.ann import ann_pq_topk
+
+    exact = _exact_l2_topk(k=5, n_queries=5)
+    approx = ann_pq_topk(SF, k=5, n_queries=5)
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.5, recall  # 8x16 codes + 4k-rerank on random vectors
+    # determinism
+    again = ann_pq_topk(SF, k=5, n_queries=5)
+    assert approx.equals(again)
+
+
+def test_ann_pq_full_shortlist_degenerates_to_exact():
+    """With the shortlist covering the whole corpus, the exact re-rank IS the
+    brute-force answer — the ADC approximation can only reorder the
+    shortlist's tail, never drop a true neighbor."""
+    from dedup_ray.pipelines.ann import ann_pq_topk
+
+    exact = _exact_l2_topk(k=5, n_queries=3)
+    full = ann_pq_topk(SF, k=5, n_queries=3, rerank=200)  # 1000 > corpus
+    f = set(map(tuple, full[["query_id", "neighbor_id"]].values))
+    assert f == exact

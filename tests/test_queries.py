@@ -49,6 +49,7 @@ CHECKED = [
     "user_value_running",
     "trim_length_outliers",
     "mix_sources",
+    "length_cume_dist",
 ]
 
 
