@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": curation.sample_per_source,
         "dup_ngrams": curation.dup_ngrams,
         "mix_sources": curation.mix_sources,
+        "remove_dup_passages": curation.remove_dup_passages,
     }
 
 
@@ -784,6 +785,34 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT source, doc_id FROM j QUALIFY "
             "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 10"
+        ),
+        # the APPLY step of substring dedup: tokens covered by a corpus-dup
+        # k=8 shingle are dropped everywhere except the shingle's keeper
+        # (min doc_id); text rebuilt from surviving tokens. Same token class
+        # and shingle join as dup_ngrams.
+        "remove_dup_passages": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t FROM documents), "
+            "occ AS (SELECT doc_id, g.i, array_to_string(t[g.i:g.i+7], ' ') AS shingle "
+            "FROM tok, unnest(generate_series(1, greatest(len(t)-7, 0))) AS g(i)), "
+            "dup AS (SELECT shingle, min(doc_id) AS keeper "
+            "FROM (SELECT DISTINCT shingle, doc_id FROM occ) "
+            "GROUP BY shingle HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT o.doc_id, g.p "
+            "FROM occ o JOIN dup d USING (shingle), "
+            "unnest(generate_series(o.i, o.i + 7)) AS g(p) "
+            "WHERE o.doc_id <> d.keeper), "
+            "tokpos AS (SELECT doc_id, u.p AS p, u.tk AS tk FROM "
+            "(SELECT doc_id, unnest(list_transform(range(1, len(t)+1), "
+            "j -> {'p': j, 'tk': t[j]})) AS u FROM tok)), "
+            "kept AS (SELECT tp.doc_id, tp.p, tp.tk FROM tokpos tp "
+            "LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p "
+            "WHERE cov.p IS NULL), "
+            "agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(a.ct, '') AS clean_text, "
+            "(len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_removed "
+            "FROM tok t LEFT JOIN agg a USING (doc_id)"
         ),
         # k=8 token shingles; token class matches top_terms' split set
         "dup_ngrams": (

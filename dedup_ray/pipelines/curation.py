@@ -439,3 +439,157 @@ def mix_sources(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
         keep_mask, batch_format="pyarrow"
     )
+
+
+def remove_dup_passages(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Duplicated-passage REMOVAL — the apply step of substring dedup (Lee
+    et al. 2022): every token covered by a k-token shingle that occurs in
+    >= 2 distinct documents is dropped from every doc EXCEPT the shingle's
+    keeper (min doc_id); text is rebuilt from the surviving tokens:
+    (doc_id, clean_text, n_removed). Complements ``dup_ngrams`` (the detect
+    step) the way the reference's hardlink action complements its report
+    (/root/reference/src/actions.rs:35-115 — detect, then mutate).
+
+    Scale shape: pass 1 is dup_ngrams' shuffle extended with a per-shingle
+    min-doc (keeper) — only (shingle, count, min_doc) partials move; the
+    surviving dup set is small by construction (it IS the duplication) and
+    broadcasts via ray.put as sorted arrays; pass 2 re-streams the corpus
+    once, probes shingle membership with searchsorted, marks covered token
+    spans with a vectorized diff-array, and rebuilds text with ONE Arrow
+    binary_join per batch — no per-row Python anywhere. If the dup set ever
+    outgrew worker heaps, pass 2's probe becomes a shuffle join on the
+    shingle hash (same grouped_runs machinery), with text rebuild after a
+    regroup by doc."""
+    import ray
+
+    from dedup_ray.stages.grouped import distinct_pairs
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, counts = _token_lists(b["text"])
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sh, doc_of = _shingles(toks, counts, k)
+        sh, docs = distinct_pairs(sh, doc_ids[doc_of])
+        starts = run_starts(sh)
+        if starts.size == 0:
+            return pa.table(
+                {"shingle": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "mdoc": pa.array([], type=pa.int64())}
+            )
+        bounds = np.append(starts, len(sh))
+        return pa.table(
+            {
+                "shingle": pa.array(sh[starts].astype(object), type=pa.string()),
+                "n": pa.array(np.diff(bounds), type=pa.int64()),
+                # docs within a run are sorted by distinct_pairs: min = first
+                "mdoc": pa.array(docs[starts], type=pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        md = t["mdoc"].to_numpy(zero_copy_only=False)
+        starts = run_starts(sh)
+        empty = pa.table(
+            {"shingle": pa.array([], type=pa.string()),
+             "keeper": pa.array([], type=pa.int64())}
+        )
+        if starts.size == 0:
+            return empty
+        tot = np.add.reduceat(n, starts)
+        keeper = np.minimum.reduceat(md, starts)
+        keep = tot >= 2
+        return pa.table(
+            {"shingle": pa.array(sh[starts][keep], type=pa.string()),
+             "keeper": pa.array(keeper[keep], type=pa.int64())}
+        )
+
+    dup = grouped_runs(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "shingle",
+        merge,
+    )
+    tabs = [
+        t for t in ray.get(dup.to_arrow_refs())
+        if t.num_rows and "shingle" in t.column_names
+    ]
+    if tabs:
+        cat = pa.concat_tables(tabs)
+        dsh = cat["shingle"].to_numpy(zero_copy_only=False).astype("U")
+        dkp = cat["keeper"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dsh, kind="stable")
+        dsh, dkp = dsh[order], dkp[order]
+    else:
+        dsh, dkp = np.empty(0, dtype="U1"), np.empty(0, dtype=np.int64)
+    ref = ray.put((dsh, dkp))
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        dup_sh, dup_keep = ray.get(ref)
+        toks, counts = _token_lists(b["text"])
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        noff = np.concatenate([[0], np.cumsum(counts)])
+        removed = np.zeros(len(toks) + 1, dtype=np.int64)  # diff array
+        if dup_sh.size:
+            sh, starts_flat = _shingles_with_pos(toks, counts, k)
+            if sh.size:
+                pos = np.searchsorted(dup_sh, sh)
+                pos[pos >= dup_sh.size] = dup_sh.size - 1
+                hit = dup_sh[pos] == sh
+                # drop occurrences in the shingle's keeper doc
+                doc_of = np.searchsorted(noff, starts_flat, side="right") - 1
+                hit &= dup_keep[pos] != doc_ids[doc_of]
+                hs = starts_flat[hit]
+                np.add.at(removed, hs, 1)
+                np.add.at(removed, hs + k, -1)  # in-doc: spans can't cross docs
+        covered = np.cumsum(removed[:-1]) > 0
+        kept = ~covered
+        if len(toks):
+            # reduceat needs indices < len: clip trailing-empty-doc starts
+            # (their value is overridden by the counts==0 mask anyway)
+            idx = np.minimum(noff[:-1], len(toks) - 1)
+            # int64 cast is LOAD-BEARING: add.reduceat over bools ORs, not sums
+            new_counts = np.add.reduceat(kept.astype(np.int64), idx)
+        else:
+            new_counts = np.zeros(len(counts), dtype=np.int64)
+        new_counts = np.where(counts == 0, 0, new_counts)  # reduceat quirk on empty docs
+        new_off = np.concatenate([[0], np.cumsum(new_counts)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()),
+            pa.array(toks[kept].astype(object), type=pa.string()),
+        )
+        clean = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": clean,
+                "n_removed": pa.array(
+                    counts - new_counts, type=pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rewrite, batch_format="pyarrow"
+    )
+
+
+def _shingles_with_pos(
+    tokens: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like _shingles but returns (shingle, FLAT token start index) — the
+    rewrite step needs positions, not just doc ids."""
+    noff = np.concatenate([[0], np.cumsum(counts)])
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    ti = np.arange(len(tokens))
+    if len(tokens) == 0:
+        return np.empty(0, dtype="U1"), np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(ti + k <= noff[doc_of + 1])
+    if starts.size == 0:
+        return np.empty(0, dtype="U1"), np.empty(0, dtype=np.int64)
+    sh = tokens[starts]
+    for j in range(1, k):
+        sh = np.char.add(np.char.add(sh, " "), tokens[starts + j])
+    return sh, starts

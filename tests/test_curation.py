@@ -236,3 +236,44 @@ def test_dup_ngrams_planted_passage(tmp_path):
     assert all(n >= 2 for n in got.values())
     assert not any("repeat" in s for s in got)
     assert set(got) == set(shared)
+
+
+def test_remove_dup_passages_planted(tmp_path, ray_session):
+    """Planted shared passage: the keeper (min doc_id) keeps it, every other
+    doc loses exactly the covered tokens; overlapping occurrences merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.curation import remove_dup_passages
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"  # exactly k=8 tokens
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha {passage} beta",          # keeper: untouched
+                    f"start {passage} end",           # loses the 8 tokens
+                    "totally unique words here",       # untouched
+                    f"{passage} x {passage}",          # loses both occurrences
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["src0"] * 4),
+            "n_chars": pa.array([1, 1, 1, 1], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (
+        remove_dup_passages(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.clean_text.tolist() == [
+        f"alpha {passage} beta",
+        "start end",
+        "totally unique words here",
+        "x",
+    ]
+    assert out.n_removed.tolist() == [0, 8, 0, 16]

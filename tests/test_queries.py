@@ -50,6 +50,7 @@ CHECKED = [
     "trim_length_outliers",
     "mix_sources",
     "length_cume_dist",
+    "remove_dup_passages",
 ]
 
 
