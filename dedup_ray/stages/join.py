@@ -345,3 +345,99 @@ def attach_pair_attrs(
             + [(f.name, f.type) for f in right_schema if f.name != "image_id"]
         )
     return out
+
+
+# --------------------------------------------------------- bloom prefilter
+
+BLOOM_BITS = 1 << 23   # 1 MiB of bits; ~1% FP at ~8.4e5 distinct keys
+BLOOM_HASHES = 4
+
+
+def _key_hash64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Uniform uint64 hash per key — splitmix64 for integers, crc32 double
+    hash for strings (entropy is plenty for a prefilter: false positives
+    only cost shuffle bytes, never correctness)."""
+    import zlib
+
+    from dedup_ray.functions.hashing import splitmix64
+
+    if pa.types.is_integer(col.type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return splitmix64(col.to_numpy(zero_copy_only=False))
+    vals = col.to_pylist()
+    lo = np.fromiter(
+        (zlib.crc32(v.encode()) for v in vals), dtype=np.uint64, count=len(vals)
+    )
+    hi = np.fromiter(
+        (zlib.crc32(v.encode(), 0x9E3779B9) for v in vals),
+        dtype=np.uint64, count=len(vals),
+    )
+    return splitmix64(((hi << np.uint64(32)) | lo).view(np.int64))
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: h1 + i*h2 mod m."""
+    with np.errstate(over="ignore"):
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd -> full-cycle stride
+        return np.stack(
+            [((h + np.uint64(i) * h2) & np.uint64(m_bits - 1)) for i in range(k)],
+            axis=1,
+        )
+
+
+def build_key_bloom(
+    ds: rd.Dataset, key: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES
+) -> np.ndarray:
+    """Distributed Bloom filter of a key column: each batch emits a partial
+    bitmap (one packed-binary row), the driver ORs them — data moved is
+    O(blocks × m_bits/8), never the keys. Returns the uint64 word array."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        if b.num_rows:
+            pos = _bloom_positions(_key_hash64(b[key]), m_bits, k).reshape(-1)
+            np.bitwise_or.at(
+                words, pos >> np.uint64(6),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bits": pa.array([words.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(m_bits // 64, dtype=np.uint64)
+    for t in ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows and "bits" in t.column_names:
+            for blob in t["bits"].to_pylist():
+                acc |= np.frombuffer(blob, dtype=np.uint64)
+    return acc
+
+
+def bloom_prefilter(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    right_on: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> rd.Dataset:
+    """Drop left rows whose key CANNOT appear on the right (no false
+    negatives: a Bloom miss proves absence) before an inner/semi
+    shuffle_join — the standard shuffle-volume reducer when the left side
+    is huge and the right key set is modest. False positives just ride the
+    shuffle and fall out in the exact per-bucket join, so composing this
+    with how='inner'/'semi' is output-identical (tested). NOT sound for
+    left/full/anti (missed rows must still be emitted / proven unmatched).
+
+    The right side is scanned once here (project it to the key column) and
+    again by the join itself; at scale that trade wins whenever
+    bytes(left dropped) >> bytes(right key column)."""
+    words_ref = ray.put(build_key_bloom(right_keys, right_on, m_bits, k))
+
+    def probe(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        words = ray.get(words_ref)
+        pos = _bloom_positions(_key_hash64(b[on]), m_bits, k)
+        bits = (words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return b.filter(pa.array(bits.all(axis=1)))
+
+    return left.map_batches(probe, batch_format="pyarrow")

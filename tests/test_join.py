@@ -606,3 +606,67 @@ def test_shuffle_join_full_rejects_salt():
                 rd.from_arrow(t), rd.from_arrow(r),
                 on="k", right_on="rk", how=how, salt=4,
             )
+
+
+def test_bloom_prefilter_output_identical_and_prunes():
+    import numpy as np
+
+    from dedup_ray.stages.join import bloom_prefilter, shuffle_join
+
+    rng = np.random.default_rng(23)
+    # left: mostly keys with NO right match (the pruning opportunity)
+    left = pa.table(
+        {
+            "k": pa.array(
+                np.concatenate([rng.integers(0, 20, 50),
+                                rng.integers(1000, 9000, 450)]),
+                type=pa.int64(),
+            ),
+            "lval": pa.array(np.arange(500), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(0, 20, 60), type=pa.int64()),
+            "rval": pa.array(np.arange(60), type=pa.int64()),
+        }
+    )
+    lds, rds = rd.from_arrow(left).repartition(4), rd.from_arrow(right).repartition(2)
+
+    def run(how, prefiltered):
+        lsrc = (
+            bloom_prefilter(lds, rds.select_columns(["rk"]), on="k", right_on="rk")
+            if prefiltered else lds
+        )
+        return (
+            shuffle_join(lsrc, rds, on="k", right_on="rk", how=how, num_buckets=8,
+                         left_schema=left.schema, right_schema=right.schema)
+            .to_pandas()
+            .sort_values(["k", "lval"] + (["rval"] if how == "inner" else []))
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "semi"):
+        assert run(how, True).equals(run(how, False)), how
+
+    # the filter really prunes: unmatched tail keys never reach the shuffle
+    pruned = bloom_prefilter(
+        lds, rds.select_columns(["rk"]), on="k", right_on="rk"
+    ).to_pandas()
+    assert len(pruned) < 500
+    assert (np.sort(pruned.k.unique())[:20] <= 20).all()
+
+
+def test_bloom_prefilter_string_keys_no_false_negatives():
+    from dedup_ray.stages.join import bloom_prefilter
+
+    left = pa.table(
+        {"k": pa.array([f"id{i}" for i in range(200)]),
+         "lval": pa.array(range(200), type=pa.int64())}
+    )
+    right = pa.table({"rk": pa.array([f"id{i}" for i in range(0, 200, 7)])})
+    out = bloom_prefilter(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk"
+    ).to_pandas()
+    # every true match survives (Bloom has no false negatives)
+    assert set(f"id{i}" for i in range(0, 200, 7)) <= set(out.k)
