@@ -100,6 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phash_hamming_search(_corpus(sf_dir))
 
+    def corpus_format_stats(sf_dir: str):
+        from dedup_ray.pipelines.neardup import corpus_format_stats as cfs
+
+        return cfs(_corpus(sf_dir))
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -163,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarest_term_per_doc": analysis.rarest_term_per_doc,
         "length_quartiles": analysis.length_quartiles,
         "df_histogram": analysis.df_histogram,
+        "lang_source_matrix": analysis.lang_source_matrix,
+        "lang_shared_terms": analysis.lang_shared_terms,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -198,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_report": flagship_report,
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
         "phash_hamming_search": phash_search,
+        "corpus_format_stats": corpus_format_stats,
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---
@@ -543,6 +551,35 @@ def oracle_sql() -> dict[str, str]:
         "length_quartiles": (
             "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id)::BIGINT "
             "AS quartile FROM documents"
+        ),
+        # pivot: fixed source domain src0..src19 -> one CASE-sum per column
+        "lang_source_matrix": (
+            "SELECT lang, "
+            + ", ".join(
+                f"sum(CASE WHEN source = 'src{s}' THEN 1 ELSE 0 END)::BIGINT "
+                f"AS n_src{s}"
+                for s in range(20)
+            )
+            + " FROM documents GROUP BY lang"
+        ),
+        # INTERSECT set-op; token class matches top_terms' split set
+        "lang_shared_terms": (
+            "SELECT token FROM ("
+            "SELECT DISTINCT unnest(regexp_extract_all(text, "
+            "'[^ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents WHERE lang = 'en' "
+            "INTERSECT "
+            "SELECT DISTINCT unnest(regexp_extract_all(text, "
+            "'[^ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents WHERE lang = 'de')"
+        ),
+        # image-side per-format profile over the synthesised corpus cache
+        # (generated/cached by the Ray query BEFORE the oracle runs, like
+        # phash_hamming_search)
+        "corpus_format_stats": (
+            f"SELECT fmt, count(*)::BIGINT AS n_images, "
+            "sum(octet_length(bytes))::BIGINT AS total_bytes, "
+            "round(sum(CAST(w AS BIGINT)) / count(*), 4) AS mean_w "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
+            "GROUP BY fmt"
         ),
         "df_histogram": (
             "WITH tok AS (SELECT doc_id, "

@@ -128,7 +128,8 @@ def run_bench(scope: str) -> dict:
             "rarest_term_per_doc", "length_quartiles", "customer_order_counts",
             "order_lineitem_full", "user_value_running",
             "trim_length_outliers", "mix_sources", "length_cume_dist",
-            "ann_pq_topk", "remove_dup_passages",
+            "ann_pq_topk", "remove_dup_passages", "lang_source_matrix",
+            "lang_shared_terms",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -739,3 +739,94 @@ def length_cume_dist(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
         probe, batch_format="pyarrow"
     )
+
+
+def lang_source_matrix(sf_dir: str) -> rd.Dataset:
+    """Pivot / crosstab: one row per language, one count column per source —
+    (lang, n_src0..n_src19). The corpus-composition dashboard view.
+
+    Scale shape: per-batch (lang, source) partial counts (Arrow C++
+    group_by), one tiny groupby merge — only (lang, source, n) rows ever
+    move, bounded by the CROSS-DOMAIN size, not the row count; the pivot
+    itself is a single-block finish map over that tiny table (same shape as
+    events_rollup's coarse levels). Columns are the fixed source domain;
+    an unbounded domain would keep the long (lang, source, n) form."""
+    n_sources = 20
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate(
+            [("source", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"lang": g["lang"], "source": g["source"], "pn": g["source_count"]}
+        )
+
+    merged = (
+        _docs(sf_dir, columns=["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("pn")
+    )
+
+    def pivot(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        srcs = np.asarray(
+            [int(s[3:]) for s in b["source"].to_pylist()], dtype=np.int64
+        )
+        n = b["sum(pn)"].to_numpy(zero_copy_only=False)
+        ul = np.unique(langs)
+        li = {v: i for i, v in enumerate(ul)}
+        mat = np.zeros((len(ul), n_sources), dtype=np.int64)
+        rows = np.fromiter((li[v] for v in langs), dtype=np.int64, count=len(langs))
+        mat[rows, srcs] = n
+        cols: dict = {"lang": pa.array(list(ul), type=pa.string())}
+        for s in range(n_sources):
+            cols[f"n_src{s}"] = pa.array(mat[:, s], type=pa.int64())
+        return pa.table(cols)
+
+    return merged.repartition(1).map_batches(
+        pivot, batch_format="pyarrow", batch_size=None
+    )
+
+
+def lang_shared_terms(sf_dir: str, lang_a: str = "en", lang_b: str = "de") -> rd.Dataset:
+    """Set operation (INTERSECT): distinct tokens that occur in documents of
+    BOTH languages: (token). The cross-corpus vocabulary-overlap probe.
+
+    Scale shape: per batch, distinct (token, lang) pairs for the two langs
+    only (vectorized lexsort dedup); ONE grouped_runs on token keeps tokens
+    whose run contains both langs — only distinct pairs shuffle, tokens
+    never leave their bucket."""
+    from dedup_ray.pipelines.curation import _token_lists
+    from dedup_ray.stages.grouped import distinct_pairs, grouped_runs, run_starts
+
+    def partial(b: pa.Table) -> pa.Table:
+        sel = pc.is_in(b["lang"], value_set=pa.array([lang_a, lang_b]))
+        t = b.filter(sel)
+        toks, counts = _token_lists(t["text"])
+        is_b = np.repeat(
+            pc.equal(t["lang"], lang_b).to_numpy(zero_copy_only=False), counts
+        )
+        tok, lb = distinct_pairs(toks, is_b.astype(np.int64))
+        return pa.table(
+            {"token": pa.array(tok.astype(object), type=pa.string()),
+             "is_b": pa.array(lb, type=pa.int64())}
+        )
+
+    def both_langs(g: pa.Table) -> pa.Table:
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        lb = g["is_b"].to_numpy(zero_copy_only=False)
+        starts = run_starts(tok)
+        if starts.size == 0:
+            return pa.table({"token": pa.array([], type=pa.string())})
+        bounds = np.append(starts, len(tok))
+        has_a = np.add.reduceat((lb == 0).astype(np.int64), starts) > 0
+        has_b = np.add.reduceat((lb == 1).astype(np.int64), starts) > 0
+        # reduceat quirk: single-element runs are fine (start < len always)
+        keep = has_a & has_b
+        return pa.table({"token": pa.array(tok[starts][keep], type=pa.string())})
+
+    parts = _docs(sf_dir, columns=["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_runs(parts, "token", both_langs, sort_cols=["token", "is_b"])

@@ -242,3 +242,58 @@ def phash_hamming_search(
         return pa.concat_tables(outs) if outs else out_schema.empty_table()
 
     return cols.map_batches(probe, batch_format="pyarrow")
+
+
+def corpus_format_stats(input_path: str) -> rd.Dataset:
+    """Per-format corpus profile over the image table: (fmt, n_images,
+    total_bytes, mean_w) — the storage/compression dashboard view of the
+    corpus (which codecs dominate, how wide the images run).
+
+    Scale shape: per-batch Arrow group_by partials collapse each block to
+    <= |formats| rows BEFORE the (tiny) groupby merge; ``bytes`` is length-
+    reduced inside the scan task and never shuffles — the same bytes-stay-
+    local rule as the flagship keys stage (stages/keys.py). mean_w rounds
+    to 4 (cross-engine sum-order ulps)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_table(input_path, columns=["fmt", "w", "bytes"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "fmt": b["fmt"],
+                "blen": pc.binary_length(b["bytes"]).cast(pa.int64()),
+                "w": b["w"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by("fmt").aggregate(
+            [("blen", "count", pc.CountOptions(mode="all")), ("blen", "sum"),
+             ("w", "sum")]
+        )
+        return pa.table(
+            {"fmt": g["fmt"], "pn": g["blen_count"], "pb": g["blen_sum"],
+             "pw": g["w_sum"]}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("fmt").sum(
+        ["pn", "pb", "pw"]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "fmt": b["fmt"],
+                "n_images": b["sum(pn)"].cast(pa.int64()),
+                "total_bytes": b["sum(pb)"].cast(pa.int64()),
+                "mean_w": pc.round(
+                    pc.divide(
+                        b["sum(pw)"].cast(pa.float64()),
+                        b["sum(pn)"].cast(pa.float64()),
+                    ),
+                    4,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -51,6 +51,9 @@ CHECKED = [
     "mix_sources",
     "length_cume_dist",
     "remove_dup_passages",
+    "lang_source_matrix",
+    "lang_shared_terms",
+    "corpus_format_stats",
 ]
 
 
