@@ -131,6 +131,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["clip_id", "duration_s", "rms", "zcr"]
         )  # band_energy is list<float32> — keep the compare scalar-only
 
+    def audio_similarity(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.sources.av_corpus import generate_clips
+        from dedup_ray.stages.multimodal import (
+            audio_feature_extract,
+            audio_similarity_search,
+        )
+
+        feats = audio_feature_extract(
+            rd.read_parquet(generate_clips("/tmp/dedup_ray_av"))
+        )
+        return audio_similarity_search(feats)
+
     def video_frame_sample(sf_dir: str):
         import ray.data as rd
 
@@ -170,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_histogram": analysis.df_histogram,
         "lang_source_matrix": analysis.lang_source_matrix,
         "lang_shared_terms": analysis.lang_shared_terms,
+        "lang_exclusive_shingles": analysis.lang_exclusive_shingles,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -210,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---
         "audio_features": audio_features,
+        "audio_similarity_search": audio_similarity,  # rows-only (binary decode)
         "video_frame_sample": video_frame_sample,
         # --- corpus curation (SQL-checked unless noted) ---
         "decontaminate_docs": curation.decontaminate_docs,
@@ -570,6 +586,18 @@ def oracle_sql() -> dict[str, str]:
             "INTERSECT "
             "SELECT DISTINCT unnest(regexp_extract_all(text, "
             "'[^ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents WHERE lang = 'de')"
+        ),
+        # EXCEPT set-op at 3-token-shingle granularity (the shared token
+        # pool makes token-level EXCEPT empty at every sf)
+        "lang_exclusive_shingles": (
+            "WITH tok AS (SELECT lang, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t "
+            "FROM documents WHERE lang IN ('en', 'de')), "
+            "sh AS (SELECT lang, array_to_string(t[g.i:g.i+2], ' ') AS s "
+            "FROM tok, unnest(generate_series(1, greatest(len(t)-2, 0))) AS g(i)) "
+            "SELECT token FROM ("
+            "SELECT DISTINCT s AS token FROM sh WHERE lang = 'en' "
+            "EXCEPT SELECT DISTINCT s FROM sh WHERE lang = 'de')"
         ),
         # image-side per-format profile over the synthesised corpus cache
         # (generated/cached by the Ray query BEFORE the oracle runs, like

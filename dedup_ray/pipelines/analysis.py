@@ -791,12 +791,30 @@ def lang_source_matrix(sf_dir: str) -> rd.Dataset:
 
 def lang_shared_terms(sf_dir: str, lang_a: str = "en", lang_b: str = "de") -> rd.Dataset:
     """Set operation (INTERSECT): distinct tokens that occur in documents of
-    BOTH languages: (token). The cross-corpus vocabulary-overlap probe.
+    BOTH languages: (token). The cross-corpus vocabulary-overlap probe."""
+    return _lang_term_setop(sf_dir, lang_a, lang_b, "intersect", k=None)
+
+
+def lang_exclusive_shingles(
+    sf_dir: str, lang_a: str = "en", lang_b: str = "de", k: int = 3
+) -> rd.Dataset:
+    """Set operation (EXCEPT): distinct k-token shingles of lang_a's
+    documents that never occur in lang_b's: (token). Shingle granularity
+    because the synthetic corpus draws every single TOKEN from one shared
+    pool (token-level EXCEPT is empty by construction at every sf);
+    word-sequence phrasing is what actually distinguishes the subsets."""
+    return _lang_term_setop(sf_dir, lang_a, lang_b, "except", k=k)
+
+
+def _lang_term_setop(
+    sf_dir: str, lang_a: str, lang_b: str, mode: str, k: int | None = None
+) -> rd.Dataset:
+    """Shared kernel for the vocabulary set operations.
 
     Scale shape: per batch, distinct (token, lang) pairs for the two langs
-    only (vectorized lexsort dedup); ONE grouped_runs on token keeps tokens
-    whose run contains both langs — only distinct pairs shuffle, tokens
-    never leave their bucket."""
+    only (vectorized lexsort dedup); ONE grouped_runs on token applies the
+    set predicate to each run — only distinct pairs shuffle, tokens never
+    leave their bucket."""
     from dedup_ray.pipelines.curation import _token_lists
     from dedup_ray.stages.grouped import distinct_pairs, grouped_runs, run_starts
 
@@ -804,16 +822,20 @@ def lang_shared_terms(sf_dir: str, lang_a: str = "en", lang_b: str = "de") -> rd
         sel = pc.is_in(b["lang"], value_set=pa.array([lang_a, lang_b]))
         t = b.filter(sel)
         toks, counts = _token_lists(t["text"])
-        is_b = np.repeat(
-            pc.equal(t["lang"], lang_b).to_numpy(zero_copy_only=False), counts
-        )
-        tok, lb = distinct_pairs(toks, is_b.astype(np.int64))
+        row_is_b = pc.equal(t["lang"], lang_b).to_numpy(zero_copy_only=False)
+        if k is None:
+            keys, key_rows = toks, np.repeat(np.arange(len(counts)), counts)
+        else:
+            from dedup_ray.pipelines.curation import _shingles
+
+            keys, key_rows = _shingles(toks, counts, k)
+        tok, lb = distinct_pairs(keys, row_is_b[key_rows].astype(np.int64))
         return pa.table(
             {"token": pa.array(tok.astype(object), type=pa.string()),
              "is_b": pa.array(lb, type=pa.int64())}
         )
 
-    def both_langs(g: pa.Table) -> pa.Table:
+    def setop_runs(g: pa.Table) -> pa.Table:
         tok = g["token"].to_numpy(zero_copy_only=False)
         lb = g["is_b"].to_numpy(zero_copy_only=False)
         starts = run_starts(tok)
@@ -823,10 +845,10 @@ def lang_shared_terms(sf_dir: str, lang_a: str = "en", lang_b: str = "de") -> rd
         has_a = np.add.reduceat((lb == 0).astype(np.int64), starts) > 0
         has_b = np.add.reduceat((lb == 1).astype(np.int64), starts) > 0
         # reduceat quirk: single-element runs are fine (start < len always)
-        keep = has_a & has_b
+        keep = (has_a & has_b) if mode == "intersect" else (has_a & ~has_b)
         return pa.table({"token": pa.array(tok[starts][keep], type=pa.string())})
 
     parts = _docs(sf_dir, columns=["lang", "text"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return grouped_runs(parts, "token", both_langs, sort_cols=["token", "is_b"])
+    return grouped_runs(parts, "token", setop_runs, sort_cols=["token", "is_b"])

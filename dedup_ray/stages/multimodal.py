@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -218,4 +219,73 @@ def resize_images(images: rd.Dataset, max_side: int = 16, concurrency=(1, 4)) ->
         batch_format="pyarrow",
         batch_size=512,
         concurrency=concurrency,
+    )
+
+
+def audio_similarity_search(
+    feats: rd.Dataset, n_queries: int = 3, k: int = 5
+) -> rd.Dataset:
+    """Audio similarity search over extracted features: for each of the
+    ``n_queries`` query clips (lexicographically-smallest clip_ids), the
+    ``k`` nearest clips by L2 distance over the band-energy spectrum
+    (rms/zcr excluded: the spectrum is the timbre signature):
+    (query_id, clip_id, rank), self-matches excluded.
+
+    Scale shape: mirrors ann_topk — the tiny query matrix broadcasts via
+    ray.put, each batch emits its LOCAL top-k from one vectorized distance
+    computation, and a driver merge over k·queries·blocks rows finishes.
+    ``feats`` must be pinned (materialize/checkpoint) if the caller also
+    consumes it elsewhere."""
+    import ray
+
+    feats = feats.materialize()  # consumed twice: query pick + scan
+
+    def local_min(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("clip_id", "ascending")])
+        return b.take(idx[:n_queries])
+
+    q = (
+        feats.map_batches(local_min, batch_format="pyarrow")
+        .sort("clip_id")
+        .limit(n_queries)
+        .take_all()
+    )
+    q_ids = [r["clip_id"] for r in q]
+    q_mat = np.asarray([r["band_energy"] for r in q], dtype=np.float64)
+    ref = ray.put((q_ids, q_mat))
+
+    def block(b: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = np.asarray(b["clip_id"].to_pylist(), dtype=object)
+        col = b["band_energy"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), -1
+        ).astype(np.float64)
+        out_q, out_c, out_d = [], [], []
+        take = min(k + 1, len(ids))
+        for row in range(len(qi)):
+            d = ((m - qm[row]) ** 2).sum(axis=1)
+            idx = np.argpartition(d, take - 1)[:take]
+            out_q.extend([qi[row]] * len(idx))
+            out_c.extend(ids[i] for i in idx)
+            out_d.extend(float(d[i]) for i in idx)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.string()),
+                "clip_id": pa.array(out_c, type=pa.string()),
+                "dist": pa.array(out_d, type=pa.float64()),
+            }
+        )
+
+    local = feats.map_batches(block, batch_format="pyarrow", batch_size=4096).to_pandas()
+    local = local[local.query_id != local.clip_id]
+    local = local.sort_values(
+        ["query_id", "dist", "clip_id"], ascending=[True, True, True]
+    )
+    top = local.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return rd.from_pandas(
+        top[["query_id", "clip_id", "rank"]].reset_index(drop=True)
     )

@@ -103,3 +103,34 @@ def test_unreadable_clip_dropped(tmp_path):
     )
     out = AudioFeatures()(b)
     assert out["clip_id"].to_pylist() == ["good"]
+
+
+def test_audio_similarity_search_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dedup_ray.sources.av_corpus import generate_clips
+    from dedup_ray.stages.multimodal import (
+        audio_feature_extract,
+        audio_similarity_search,
+    )
+
+    feats_ds = audio_feature_extract(
+        rd.read_parquet(generate_clips("/tmp/dedup_ray_av_simtest"))
+    ).materialize()
+    got = audio_similarity_search(feats_ds, n_queries=3, k=5).to_pandas()
+    assert (got.groupby("query_id")["rank"].max() == 5).all()
+    assert (got.query_id != got.clip_id).all()
+
+    # brute force over the same features
+    f = feats_ds.to_pandas().sort_values("clip_id").reset_index(drop=True)
+    m = np.asarray(list(f.band_energy), dtype=np.float64)
+    ids = f.clip_id.to_numpy()
+    for qid in got.query_id.unique():
+        qi = np.flatnonzero(ids == qid)[0]
+        d = ((m - m[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        want = list(ids[order])
+        have = got[got.query_id == qid].sort_values("rank").clip_id.tolist()
+        assert have == want, (qid, have, want)

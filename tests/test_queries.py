@@ -54,6 +54,7 @@ CHECKED = [
     "lang_source_matrix",
     "lang_shared_terms",
     "corpus_format_stats",
+    "lang_exclusive_shingles",
 ]
 
 
