@@ -950,7 +950,10 @@ def user_value_running(sf_dir: str) -> rd.Dataset:
     np.cumsum per bucket with per-run rebasing — no per-user Python, no
     driver materialization. cum_value is rounded to 4 decimals on both sides
     (the engines' running sums agree to ~1e-10 at these magnitudes but not
-    to the last ulp)."""
+    to the last ulp). The rebase (bucket-wide cumsum minus run-prefix) is
+    the segmented-cumsum idiom: its absolute float error grows with the
+    BUCKET sum, so at much larger per-bucket totals raise num_buckets (or
+    cumsum per run via reduceat splits) before trusting 4 decimals."""
     from dedup_ray.stages.grouped import grouped_runs, run_starts
 
     schema = pa.schema(
