@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_full": relational.order_lineitem_full,
         "user_value_running": relational.user_value_running,
         "distinct_users_by_type": relational.distinct_users_by_type,
+        "heavy_hitter_users": relational.heavy_hitter_users,
         "approx_distinct_users": relational.approx_distinct_users,  # rows-only (sketch)
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
@@ -793,6 +794,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        # the sketch only nominates candidates; the exact recount makes the
+        # output the true top-k, so a plain SQL top-k is the oracle
+        "heavy_hitter_users": (
+            "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
+            "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10"
         ),
         # k=5 token shingles; token class matches top_terms' split set
         "decontaminate_docs": (

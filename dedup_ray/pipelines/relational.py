@@ -991,3 +991,138 @@ def user_value_running(sf_dir: str) -> rd.Dataset:
     return grouped_runs(
         ds, "user_id", cum_runs, sort_cols=["user_id", "ts", "event_id"]
     )
+
+
+def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096) -> rd.Dataset:
+    """Exact top-k users by event count via a Misra-Gries sketch + exact
+    recount — the unbounded-domain scale path for "top keys by frequency":
+    (user_id, n_events), sorted by (count desc, user_id), k rows.
+
+    Why not a plain groupby: top_terms-style exact partials are bounded by
+    the key DOMAIN; when the domain is unbounded (users, URLs, IPs at
+    10^12 rows) the partial tables themselves explode. Misra-Gries keeps
+    <= m counters per batch and merges by summing + re-compressing, with
+    the classic guarantee true_count - err <= mg_count <= true_count where
+    ``err`` is the sum of all compression decrements. The sketch only
+    nominates CANDIDATES: every true top-k key provably lands in
+    {mg + err >= k-th mg}; a second streamed pass recounts candidates
+    exactly (broadcast np.isin probe), so the OUTPUT is exact and
+    oracle-checkable, never an estimate. A guard asserts the k-th exact
+    count exceeds err (keys absent from the sketch have true <= err);
+    if data ever violated it, fall back to the exact grouped count.
+
+    Scale shape: pass 1 moves <= m+1 rows per batch (the sketch), pass 2
+    moves <= |candidates| rows per batch — both independent of the key
+    domain. Driver state: one <= m-row merge. No shuffle in either pass.
+    """
+    import ray
+
+    from dedup_ray.stages.grouped import merge_partial_counts
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        vc = b["user_id"].drop_null().value_counts()
+        u = vc.field("values").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        err = 0
+        if len(u) > m:
+            t = np.partition(c, len(c) - m - 1)[len(c) - m - 1]  # (m+1)-th largest
+            c = c - t
+            keep = c > 0
+            u, c = u[keep], c[keep]
+            err = int(t)
+        # sentinel row u=-1 carries this batch's decrement (user ids are >= 0)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, [-1]]), type=pa.int64()),
+                "c": pa.array(np.concatenate([c, [err]]), type=pa.int64()),
+            }
+        )
+
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["user_id"])
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(mg_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "u" in t.column_names
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
+            .empty_table()
+        )
+    cat = pa.concat_tables(parts)
+    u, c = merge_partial_counts(
+        cat["u"].to_numpy(zero_copy_only=False),
+        cat["c"].to_numpy(zero_copy_only=False),
+    )
+    err = int(c[u == -1].sum()) if (u == -1).any() else 0
+    keep = u != -1
+    u, c = u[keep], c[keep]
+    if len(u) > m:  # merge-step compression (adds to the error budget)
+        t = np.partition(c, len(c) - m - 1)[len(c) - m - 1]
+        c = c - t
+        sel = c > 0
+        u, c = u[sel], c[sel]
+        err += int(t)
+
+    def exact_fallback() -> rd.Dataset:
+        agg = (
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"u": b["user_id"], "one": pa.nulls(b.num_rows, pa.int8())}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("u")
+            .count()
+            .to_pandas()
+            .rename(columns={"u": "user_id", "count()": "n_events"})
+        )
+        agg = agg.sort_values(
+            ["n_events", "user_id"], ascending=[False, True]
+        ).head(k)
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return rd.from_pandas(agg.reset_index(drop=True))
+
+    if len(c) == 0:
+        # every counter decremented to zero: the sketch carries no signal
+        return exact_fallback()
+    kth = np.partition(c, len(c) - min(k, len(c)))[len(c) - min(k, len(c))]
+    cand = u[c + err >= kth]
+    cand_ref = ray.put(np.sort(cand))
+
+    def recount(b: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        uid = b["user_id"].drop_null().to_numpy(zero_copy_only=False)
+        uid = uid[np.isin(uid, wanted)]
+        vu, vc_ = np.unique(uid, return_counts=True)
+        return pa.table(
+            {"u": pa.array(vu, type=pa.int64()),
+             "c": pa.array(vc_, type=pa.int64())}
+        )
+
+    parts2 = [
+        t
+        for t in ray.get(
+            ds.map_batches(recount, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "u" in t.column_names
+    ]
+    cat2 = pa.concat_tables(parts2)
+    u2, c2 = merge_partial_counts(
+        cat2["u"].to_numpy(zero_copy_only=False),
+        cat2["c"].to_numpy(zero_copy_only=False),
+    )
+    order = np.lexsort((u2, -c2))[:k]
+    top_u, top_c = u2[order], c2[order]
+    if len(top_c) < k or (err > 0 and top_c[-1] <= err):
+        # fewer candidates than k, or a key ABSENT from the sketch (true
+        # count up to err) could displace the k-th — the guarantee is void;
+        # do the exact grouped count instead
+        return exact_fallback()
+    import pandas as pd
+
+    return rd.from_pandas(
+        pd.DataFrame({"user_id": top_u, "n_events": top_c})
+    )

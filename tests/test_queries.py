@@ -55,6 +55,7 @@ CHECKED = [
     "lang_shared_terms",
     "corpus_format_stats",
     "lang_exclusive_shingles",
+    "heavy_hitter_users",
 ]
 
 

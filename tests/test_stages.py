@@ -123,3 +123,25 @@ def test_lsh_candidates_cover_planted_pairs(keys_ds, tiny_corpus):
     # recall bar is vs the ORACLE in test_pipeline.py
     assert planted > 0
     assert covered / planted >= 0.8, f"{covered}/{planted}"
+
+
+def test_heavy_hitter_users_sketch_compression_still_exact(ray_session):
+    """Force Misra-Gries compression (m << distinct users): the sketch only
+    nominates candidates, the exact recount must still produce the true
+    top-k — and the tiny-m case must trip the err guard and fall back to
+    the exact grouped count, same answer either way."""
+    import duckdb
+
+    from dedup_ray.pipelines.relational import heavy_hitter_users
+
+    sf = "/root/testdata/sf0.01"  # 150 distinct users
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT user_id, count(*)::BIGINT AS n_events FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY user_id "
+        "ORDER BY n_events DESC, user_id LIMIT 10"
+    ).df()
+    for m in (16, 2):  # compression path; err-guard fallback path
+        got = heavy_hitter_users(sf, k=10, m=m).to_pandas()
+        assert got.user_id.tolist() == want.user_id.tolist(), m
+        assert got.n_events.tolist() == want.n_events.tolist(), m
