@@ -106,3 +106,48 @@ def test_read_view_predicate_on_unprojected_column(tmp_path, ray_session):
     gotj = read_view(jpath, columns=["a"], predicate=pred).to_pandas()
     assert sorted(gotj.columns) == ["a"]
     assert sorted(gotj["a"].tolist()) == list(range(40, 50))
+
+
+def test_export_partitioned_resume_skip(tmp_path, ray_session):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from dedup_ray.sources.export import export_partitioned
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), type=pa.int64()),
+            "v": pa.array([i * 7 % 13 for i in range(1000)], type=pa.int64()),
+        }
+    )
+    out = str(tmp_path / "exp")
+    ds = rd.from_arrow(t).repartition(6)
+    s1 = export_partitioned(ds, out, key="doc_id", num_partitions=8)
+    assert s1["partitions_skipped"] == 0
+    assert s1["rows"] == 1000
+
+    # read-back: every row present exactly once
+    files = sorted(glob.glob(out + "/part=*/data.parquet"))
+    assert len(files) == s1["partitions_written"]
+    back = pa.concat_tables([pq.read_table(f) for f in files])
+    assert back.num_rows == 1000
+    assert sorted(back["doc_id"].to_pylist()) == list(range(1000))
+
+    # resume: everything skips
+    s2 = export_partitioned(ds, out, key="doc_id", num_partitions=8)
+    assert s2["partitions_written"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_written"]
+
+    # torn partition (marker removed) is rewritten, others still skip
+    victim = os.path.dirname(files[0])
+    os.remove(os.path.join(victim, "_SUCCESS"))
+    s3 = export_partitioned(ds, out, key="doc_id", num_partitions=8)
+    assert s3["partitions_written"] == 1
+    assert s3["partitions_skipped"] == s1["partitions_written"] - 1
+    back = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(out + "/part=*/data.parquet"))]
+    )
+    assert back.num_rows == 1000
