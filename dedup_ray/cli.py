@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--prior-checkpoint", help="incremental mode: completed "
                    "checkpoint dir of a prior run over --prior-input")
     r.add_argument("--output", help="write clusters parquet here")
+    r.add_argument("--export", help="resumable partitioned export dir: one "
+                   "atomically-committed part=NNNN/ per cluster_id hash "
+                   "range; re-runs skip finished partitions")
+    r.add_argument("--export-partitions", type=int, default=64)
     r.add_argument("--action", choices=["none", "keep-one"], default="none")
     r.add_argument("--decisions", help="output path for the decisions table")
     r.add_argument("--dry-run", action="store_true")
@@ -115,6 +119,17 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     if args.output:
         res.clusters.write_parquet(args.output)
+
+    if args.export:
+        from dedup_ray.sources.export import export_partitioned
+
+        stats = export_partitioned(
+            res.clusters, args.export, key="cluster_id",
+            num_partitions=args.export_partitions,
+        )
+        print(f"export: {stats['partitions_written']} partitions written, "
+              f"{stats['partitions_skipped']} skipped, {stats['rows']} rows",
+              file=sys.stderr)
 
     if args.action == "keep-one":
         decisions = res.clusters.map_batches(_decide, batch_format="pyarrow")

@@ -126,3 +126,29 @@ def test_incremental_mode_flags(corpus, tmp_path, capsys):
     assert main(["run", "--input", empty, "--prior-input", corpus,
                  "--prior-checkpoint", ck, "--checkpoint",
                  str(tmp_path / "ck2"), "--format", "quiet"]) == 2
+
+
+def test_cli_export_partitioned(tiny_corpus, tmp_path, capsys):
+    import glob
+    import os
+
+    from dedup_ray.cli import main
+
+    exp = str(tmp_path / "exp")
+    rc = main(["run", "--input", os.path.join(tiny_corpus, "images.parquet"),
+               "--format", "quiet", "--export", exp,
+               "--export-partitions", "8"])
+    assert rc == 0
+    parts = glob.glob(exp + "/part=*/data.parquet")
+    assert parts  # something was exported
+    assert all(
+        os.path.exists(os.path.join(os.path.dirname(p), "_SUCCESS"))
+        for p in parts
+    )
+    # second run skips every partition
+    rc = main(["run", "--input", os.path.join(tiny_corpus, "images.parquet"),
+               "--format", "quiet", "--export", exp,
+               "--export-partitions", "8"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "0 partitions written" in err.splitlines()[-1]
