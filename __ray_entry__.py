@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cfs(_corpus(sf_dir))
 
+    def caption_quality(sf_dir: str):
+        from dedup_ray.pipelines.neardup import caption_quality as cq
+
+        return cq(_corpus(sf_dir))
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -144,6 +149,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(generate_clips("/tmp/dedup_ray_av"))
         )
         return audio_similarity_search(feats)
+
+    def video_neardup(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.sources.av_corpus import generate_videos_with_dups
+        from dedup_ray.stages.multimodal import video_neardup_clusters
+
+        return video_neardup_clusters(
+            rd.read_parquet(generate_videos_with_dups("/tmp/dedup_ray_av"))
+        )
 
     def video_frame_sample(sf_dir: str):
         import ray.data as rd
@@ -222,12 +237,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
+        "caption_quality": caption_quality,
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---
         "audio_features": audio_features,
         "audio_similarity_search": audio_similarity,  # rows-only (binary decode)
         "video_frame_sample": video_frame_sample,
+        "video_neardup_clusters": video_neardup,  # rows-only (pytest vs planted gt)
         # --- corpus curation (SQL-checked unless noted) ---
         "decontaminate_docs": curation.decontaminate_docs,
         "cap_per_source": curation.cap_per_source,
@@ -609,6 +626,25 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CAST(w AS BIGINT)) / count(*), 4) AS mean_w "
             f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
             "GROUP BY fmt"
+        ),
+        # quality_scores' expressions over the image corpus's captions —
+        # same RE2 classes, same int/int IEEE divisions, bit-identical
+        "caption_quality": (
+            "WITH c AS (SELECT image_id, caption FROM "
+            f"read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')), "
+            "w AS (SELECT image_id, "
+            "regexp_extract_all(lower(caption), '[a-z]+') AS words, "
+            "len(regexp_extract_all(caption, '[^\\w\\s]')) AS n_punct, "
+            "length(caption) AS n_char FROM c) "
+            "SELECT image_id, len(words)::BIGINT AS n_tokens, "
+            "CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+            "len(list_filter(words, x -> list_contains("
+            "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that'], x"
+            "))) / len(words) END AS stopword_ratio, "
+            "CASE WHEN n_char = 0 THEN 0.0 ELSE n_punct / n_char END AS punct_ratio, "
+            "CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(words, x -> length(x))) / len(words) END "
+            "AS mean_token_len FROM w"
         ),
         "df_histogram": (
             "WITH tok AS (SELECT doc_id, "

@@ -297,3 +297,29 @@ def corpus_format_stats(input_path: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def caption_quality(input_path: str) -> rd.Dataset:
+    """Cross-modal reuse: the text-quality scorer applied to the image
+    corpus's CAPTION column: (image_id, n_tokens, stopword_ratio,
+    punct_ratio, mean_token_len). One projection-pruned streamed map —
+    the image bytes never load. Demonstrates that every text operator runs
+    unchanged over any table with a text column (the pipeline-step API is
+    ``Dataset -> Dataset``); values stay bit-identical to the same DuckDB
+    oracle as quality_scores."""
+    import pyarrow as pa
+
+    from dedup_ray.pipelines.analysis import QualityScorer
+
+    ds = read_table(input_path, columns=["image_id", "caption"])
+    scorer = QualityScorer()
+
+    def score(b: pa.Table) -> pa.Table:
+        out = scorer(
+            pa.table({"doc_id": b["image_id"], "text": b["caption"]})
+        )
+        return out.rename_columns(
+            ["image_id"] + out.column_names[1:]
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -87,3 +87,57 @@ def generate_videos(out_dir: str, n_videos: int = 40, seed: int = 42,
     )
     os.rename(tmp, path)
     return path
+
+
+def generate_videos_with_dups(
+    out_dir: str, n_videos: int = 40, dup_ratio: float = 0.3, seed: int = 42,
+    frames_min: int = 20, frames_max: int = 90, side: int = 24,
+) -> str:
+    """videos table with PLANTED near-duplicates: a dup row is a trimmed
+    copy of an earlier original (10–30% of leading/trailing frames cut), so
+    its frame-content set overlaps the source's heavily but not fully —
+    the video analog of the image corpus's planted near-dup classes.
+    Ground truth: ``gt_source`` column ('' for originals). Cached by path."""
+    path = os.path.join(out_dir, "videos_dups.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 2)
+    ids, blobs, nf, gt = [], [], [], []
+    originals: list[tuple[str, list]] = []
+    for i in range(n_videos):
+        make_dup = originals and rng.random() < dup_ratio
+        if make_dup:
+            src_id, src_frames = originals[int(rng.integers(len(originals)))]
+            cut = max(1, int(len(src_frames) * rng.uniform(0.1, 0.3)))
+            frames = src_frames[cut:] if rng.random() < 0.5 else src_frames[:-cut]
+            gt.append(src_id)
+        else:
+            n = int(rng.integers(frames_min, frames_max + 1))
+            base = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+            frames = [
+                ((base.astype(np.int64) + 3 * k) % 256).astype(np.uint8)
+                for k in range(n)
+            ]
+            gt.append("")
+        vid = f"vid_{i:05d}"
+        if not gt[-1]:
+            originals.append((vid, frames))
+        ids.append(vid)
+        blobs.append(encode_fvc(frames, fmt="raw", fps=30.0))
+        nf.append(len(frames))
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "video_id": pa.array(ids, type=pa.string()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "n_frames": pa.array(nf, type=pa.int32()),
+                "fps": pa.array([30.0] * n_videos, type=pa.float64()),
+                "gt_source": pa.array(gt, type=pa.string()),
+            }
+        ),
+        tmp, row_group_size=8, compression="none",
+    )
+    os.rename(tmp, path)
+    return path

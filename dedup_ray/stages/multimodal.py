@@ -289,3 +289,169 @@ def audio_similarity_search(
     return rd.from_pandas(
         top[["query_id", "clip_id", "rank"]].reset_index(drop=True)
     )
+
+
+def video_neardup_clusters(
+    videos: rd.Dataset, every_n: int = 3, jaccard_threshold: float = 0.5
+) -> rd.Dataset:
+    """Video near-duplicate clustering — the flagship's cascade shape on the
+    video modality: (cluster_id, video_id), cluster = connected component,
+    id = min member. A trimmed/re-cut copy shares most of its FRAME CONTENT
+    with its source even though byte blobs and frame counts differ, so:
+
+      1. iterate frames (no pixel decode; the container iterator slices
+         bytes) and digest each frame's bytes,
+      2. CONTENT-ANCHORED sampling: keep a frame iff its hash ≡ 0 mod
+         ``every_n`` — the winnowing trick. Index-based sampling
+         (idx % n) breaks under a leading trim (the copy's sampled indices
+         hit different CONTENT); anchoring the choice to the hash makes
+         the selected set shift-invariant, so source and trimmed copy
+         select the same surviving frames,
+      3. candidates = videos sharing >= 1 frame hash: explode
+         (frame_hash, video_id), ONE grouped_runs emits co-bucket pairs,
+      4. verify = exact Jaccard over the two frame-hash sets, computed
+         DISTRIBUTED from shared-frame counts + broadcast per-video set
+         sizes (never the sets themselves),
+      5. union-find over surviving pairs (driver path; edges are dup-rate
+         bounded like the flagship's).
+
+    Scale shape: only (hash, id) rows shuffle; frame bytes never leave the
+    sampler task. Hot frame hashes (e.g. black frames) would get the LSH
+    stage's cap/salt treatment — out of scope for the synthetic corpus,
+    documented."""
+    import hashlib
+
+    import ray
+
+    from dedup_ray.stages.grouped import (
+        drop_sorted_dup_pairs,
+        grouped_runs,
+        merge_partial_counts,
+        run_starts,
+    )
+
+    sampled = sample_video_frames(videos, every_n=1)  # all frames; see 2.
+
+    def frame_hashes(b: pa.Table) -> pa.Table:
+        ids = b["video_id"].to_pylist()
+        data = b["frame_bytes"]
+        out_h, out_v = [], []
+        for i in range(b.num_rows):
+            h = hashlib.blake2b(data[i].as_py(), digest_size=16).hexdigest()
+            if int(h[:8], 16) % every_n == 0:  # content-anchored selection
+                out_h.append(h)
+                out_v.append(ids[i])
+        return pa.table(
+            {"fh": pa.array(out_h, type=pa.string()),
+             "video_id": pa.array(out_v, type=pa.string())}
+        )
+
+    fh = sampled.map_batches(
+        frame_hashes, batch_format="pyarrow", batch_size=256
+    ).materialize()  # consumed twice: set sizes + pair generation
+
+    # per-video sampled-frame-set sizes (distinct hashes), broadcast
+    def size_partial(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.grouped import distinct_pairs
+
+        f = np.asarray(b["fh"].to_pylist(), dtype=object)
+        v = np.asarray(b["video_id"].to_pylist(), dtype=object)
+        vv, ff = distinct_pairs(v, f)
+        starts = run_starts(vv)
+        if starts.size == 0:
+            return pa.table({"v": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table(
+            {"v": pa.array(vv[starts], type=pa.string()),
+             "n": pa.array(np.diff(np.append(starts, len(vv))), type=pa.int64())}
+        )
+
+    parts = [t for t in ray.get(
+        fh.map_batches(size_partial, batch_format="pyarrow").to_arrow_refs()
+    ) if t.num_rows and "v" in t.column_names]
+    if not parts:
+        return rd.from_arrow(
+            pa.schema([("cluster_id", pa.string()), ("video_id", pa.string())])
+            .empty_table()
+        )
+    cat = pa.concat_tables(parts)
+    sizes_v, sizes_n = merge_partial_counts(
+        np.asarray(cat["v"].to_pylist(), dtype=object),
+        cat["n"].to_numpy(zero_copy_only=False),
+    )
+    sizes_ref = ray.put((sizes_v, sizes_n))
+
+    def pairs_of_runs(g: pa.Table) -> pa.Table:
+        f = np.asarray(g["fh"].to_pylist(), dtype=object)
+        v = np.asarray(g["video_id"].to_pylist(), dtype=object)
+        bounds = np.append(run_starts(f), len(f))
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            vids = np.unique(v[s:e])
+            if len(vids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(vids), k=1)
+            out_a.append(vids[ai])
+            out_b.append(vids[bi])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "shared": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        # pre-reduce within the bucket: same pair may share many frames
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"a": pa.array(a[starts], type=pa.string()),
+             "b": pa.array(bb[starts], type=pa.string()),
+             "shared": pa.array(
+                 np.diff(np.append(starts, len(a))), type=pa.int64()
+             )}
+        )
+
+    pair_partials = grouped_runs(fh, "fh", pairs_of_runs, sort_cols=["fh", "video_id"])
+
+    # merge per-bucket partial shared-counts (a pair can co-occur in many
+    # frame-hash buckets, one partial row per bucket) and verify Jaccard
+    def verify(g: pa.Table) -> pa.Table:
+        sv, sn = ray.get(sizes_ref)
+        a = np.asarray(g["a"].to_pylist(), dtype=object)
+        b = np.asarray(g["b"].to_pylist(), dtype=object)
+        sh = g["shared"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, sh = a[order], b[order], sh[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(sh, starts) if len(sh) else sh
+        ua, ub = a[starts], b[starts]
+        na = sn[np.searchsorted(sv, ua)]
+        nb = sn[np.searchsorted(sv, ub)]
+        jac = tot / (na + nb - tot)
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {"src_id": pa.array(ua[keep], type=pa.string()),
+             "dst_id": pa.array(ub[keep], type=pa.string())}
+        )
+
+    # key partials by the pair (a is a fine shuffle key: all rows of a pair
+    # share it) so verify sees every partial of a pair together
+    edges = grouped_runs(pair_partials, "a", verify, sort_cols=["a", "b"])
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.stages.cluster import cluster_stage
+
+    clusters = cluster_stage(edges, DedupConfig())
+    return grouped_runs(
+        clusters.map_batches(
+            lambda t: t.rename_columns(["cluster_id", "video_id"]),
+            batch_format="pyarrow",
+        ),
+        "cluster_id",
+        lambda g: drop_sorted_dup_pairs(g, "cluster_id", "video_id"),
+        sort_cols=["cluster_id", "video_id"],
+    )

@@ -134,3 +134,38 @@ def test_audio_similarity_search_matches_bruteforce(ray_session):
         want = list(ids[order])
         have = got[got.query_id == qid].sort_values("rank").clip_id.tolist()
         assert have == want, (qid, have, want)
+
+
+def test_video_neardup_clusters_match_planted(ray_session, tmp_path):
+    """Trimmed-copy videos must cluster with their source (recall) and
+    unrelated videos must stay apart (precision) — ground truth from the
+    generator's gt_source column."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from dedup_ray.sources.av_corpus import generate_videos_with_dups
+    from dedup_ray.stages.multimodal import video_neardup_clusters
+
+    path = generate_videos_with_dups(str(tmp_path), n_videos=40, dup_ratio=0.4)
+    got = video_neardup_clusters(
+        rd.read_parquet(path), every_n=3, jaccard_threshold=0.5
+    ).to_pandas()
+    cl = dict(zip(got.video_id, got.cluster_id))
+
+    gt = pq.read_table(path, columns=["video_id", "gt_source"]).to_pydict()
+    planted = [(v, s) for v, s in zip(gt["video_id"], gt["gt_source"]) if s]
+    assert planted  # the generator actually planted dups
+    # recall: every (copy, source) pair lands in the same cluster
+    for v, s in planted:
+        assert cl.get(v) is not None and cl.get(v) == cl.get(s), (v, s)
+    # precision: clusters contain ONLY one source lineage
+    lineage = {v: (s or v) for v, s in zip(gt["video_id"], gt["gt_source"])}
+    by_cluster: dict = {}
+    for v, c in cl.items():
+        by_cluster.setdefault(c, set()).add(lineage[v])
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+    # originals with no copy stay unclustered (singleton suppression)
+    copied = {s for _, s in planted}
+    for v, s in zip(gt["video_id"], gt["gt_source"]):
+        if not s and v not in copied:
+            assert v not in cl, v

@@ -56,6 +56,7 @@ CHECKED = [
     "corpus_format_stats",
     "lang_exclusive_shingles",
     "heavy_hitter_users",
+    "caption_quality",
 ]
 
 
