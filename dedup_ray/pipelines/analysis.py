@@ -644,34 +644,14 @@ def trim_length_outliers(
     pass."""
     import pyarrow.dataset as pads
 
-    from dedup_ray.stages.grouped import merge_partial_counts, quantiles_from_hist
+    from dedup_ray.stages.grouped import collect_value_hist, quantiles_from_hist
 
-    def partial_hist(b: pa.Table) -> pa.Table:
-        vc = b["n_chars"].drop_null().value_counts()
-        return pa.table(
-            {"v": vc.field("values").cast(pa.int64()),
-             "n": vc.field("counts").cast(pa.int64())}
-        )
-
-    parts = [
-        t
-        for t in _docs(sf_dir, columns=["n_chars"])
-        .map_batches(partial_hist, batch_format="pyarrow")
-        .to_arrow_refs()
-    ]
-    import ray
-
-    tables = [t for t in ray.get(parts) if t.num_rows and "v" in t.column_names]
-    if not tables:
+    v, n = collect_value_hist(_docs(sf_dir, columns=["n_chars"]), "n_chars")
+    if v.size == 0:
         return rd.from_arrow(
             pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
             .empty_table()
         )
-    merged = pa.concat_tables(tables)
-    v, n = merge_partial_counts(
-        merged["v"].to_numpy(zero_copy_only=False),
-        merged["n"].to_numpy(zero_copy_only=False),
-    )
     lo, hi = quantiles_from_hist(v, n, (q_lo, q_hi))
     return _docs(
         sf_dir,
@@ -690,36 +670,16 @@ def length_cume_dist(sf_dir: str) -> rd.Dataset:
     (values, cumulative counts) arrays into a streamed searchsorted probe.
     No shuffle, no sort, and cume = one int/int IEEE division of exact
     counts, so the DuckDB window-function oracle matches bit-identically."""
-    from dedup_ray.stages.grouped import merge_partial_counts
-
-    def partial_hist(b: pa.Table) -> pa.Table:
-        vc = b["n_chars"].drop_null().value_counts()
-        return pa.table(
-            {"v": vc.field("values").cast(pa.int64()),
-             "n": vc.field("counts").cast(pa.int64())}
-        )
-
     import ray
 
-    tables = [
-        t
-        for t in ray.get(
-            _docs(sf_dir, columns=["n_chars"])
-            .map_batches(partial_hist, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows and "v" in t.column_names
-    ]
+    from dedup_ray.stages.grouped import collect_value_hist
+
+    v, n = collect_value_hist(_docs(sf_dir, columns=["n_chars"]), "n_chars")
     schema = pa.schema(
         [("doc_id", pa.int64()), ("n_chars", pa.int64()), ("cume", pa.float64())]
     )
-    if not tables:
+    if v.size == 0:
         return rd.from_arrow(schema.empty_table())
-    merged = pa.concat_tables(tables)
-    v, n = merge_partial_counts(
-        merged["v"].to_numpy(zero_copy_only=False),
-        merged["n"].to_numpy(zero_copy_only=False),
-    )
     cum = np.cumsum(n)
     total = int(cum[-1])
     ref = ray.put((v, cum))

@@ -498,6 +498,10 @@ def _train_pq_codebooks(
     for s in range(m_sub):
         x = train[:, s * sub_d : (s + 1) * sub_d]
         cent = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)].copy()
+        if len(cent) < n_codes:
+            # tiny corpus: pad by repeating rows — duplicate centroids are
+            # harmless (argmin picks the first), a shape mismatch is a crash
+            cent = cent[np.arange(n_codes) % len(cent)].copy()
         for _ in range(15):
             # L2 argmin via the expanded form; x-norms are rank-constant
             d = -2 * x @ cent.T + (cent * cent).sum(axis=1)

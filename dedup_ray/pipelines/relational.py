@@ -1067,11 +1067,11 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096) -> rd.Dataset:
         err += int(t)
 
     def exact_fallback() -> rd.Dataset:
+        # drop nulls like the sketch path does (a null key is not a "user")
+        # so both internal paths of this operator return the same answer
         agg = (
             ds.map_batches(
-                lambda b: pa.table(
-                    {"u": b["user_id"], "one": pa.nulls(b.num_rows, pa.int8())}
-                ),
+                lambda b: pa.table({"u": b["user_id"].drop_null()}),
                 batch_format="pyarrow",
             )
             .groupby("u")

@@ -171,3 +171,38 @@ def quantiles_from_hist(
         int(uv[np.searchsorted(cum, max(1, int(np.ceil(q * total))))])
         for q in qs
     ]
+
+
+def collect_value_hist(
+    ds: "rd.Dataset", col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (sorted_values, counts) histogram of one numeric column,
+    collected driver-side: per-batch ``value_counts`` partials, one
+    merge — movement and driver state are bounded by the column DOMAIN,
+    never the row count. The shared pass-1 of the histogram-based
+    profile/quantile/window operators (numeric_profile's groupby variant
+    stays separate: it finishes distributed). Returns empty arrays for an
+    empty dataset."""
+    import ray
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        vc = b[col].drop_null().value_counts()
+        return pa.table(
+            {"v": vc.field("values").cast(pa.int64()),
+             "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial_hist, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "v" in t.column_names
+    ]
+    if not tables:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    merged = pa.concat_tables(tables)
+    return merge_partial_counts(
+        merged["v"].to_numpy(zero_copy_only=False),
+        merged["n"].to_numpy(zero_copy_only=False),
+    )

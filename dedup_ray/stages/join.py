@@ -356,7 +356,8 @@ BLOOM_HASHES = 4
 def _key_hash64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Uniform uint64 hash per key — splitmix64 for integers, crc32 double
     hash for strings (entropy is plenty for a prefilter: false positives
-    only cost shuffle bytes, never correctness)."""
+    only cost shuffle bytes, never correctness). Callers must drop nulls
+    first (a null join key never matches anything in an inner/semi join)."""
     import zlib
 
     from dedup_ray.functions.hashing import splitmix64
@@ -395,8 +396,9 @@ def build_key_bloom(
 
     def partial(b: pa.Table) -> pa.Table:
         words = np.zeros(m_bits // 64, dtype=np.uint64)
-        if b.num_rows:
-            pos = _bloom_positions(_key_hash64(b[key]), m_bits, k).reshape(-1)
+        keys = b[key].drop_null() if b.num_rows else b[key]
+        if len(keys):
+            pos = _bloom_positions(_key_hash64(keys), m_bits, k).reshape(-1)
             np.bitwise_or.at(
                 words, pos >> np.uint64(6),
                 np.uint64(1) << (pos & np.uint64(63)),
@@ -436,8 +438,17 @@ def bloom_prefilter(
         if b.num_rows == 0:
             return b
         words = ray.get(words_ref)
-        pos = _bloom_positions(_key_hash64(b[on]), m_bits, k)
-        bits = (words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
-        return b.filter(pa.array(bits.all(axis=1)))
+        valid = pa.compute.is_valid(b[on]).to_numpy(zero_copy_only=False)
+        keep = np.zeros(b.num_rows, dtype=bool)  # null key = proven no-match
+        if valid.any():
+            pos = _bloom_positions(
+                _key_hash64(b[on].drop_null()), m_bits, k
+            )
+            bits = (
+                (words[pos >> np.uint64(6)] >> (pos & np.uint64(63)))
+                & np.uint64(1)
+            )
+            keep[valid] = bits.all(axis=1)
+        return b.filter(pa.array(keep))
 
     return left.map_batches(probe, batch_format="pyarrow")

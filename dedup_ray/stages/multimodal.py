@@ -350,24 +350,30 @@ def video_neardup_clusters(
         frame_hashes, batch_format="pyarrow", batch_size=256
     ).materialize()  # consumed twice: set sizes + pair generation
 
-    # per-video sampled-frame-set sizes (distinct hashes), broadcast
-    def size_partial(b: pa.Table) -> pa.Table:
-        from dedup_ray.stages.grouped import distinct_pairs
-
-        f = np.asarray(b["fh"].to_pylist(), dtype=object)
-        v = np.asarray(b["video_id"].to_pylist(), dtype=object)
-        vv, ff = distinct_pairs(v, f)
-        starts = run_starts(vv)
+    # per-video sampled-frame-set sizes: GLOBAL distinct hashes per video.
+    # One grouped_runs on video_id (the run holds every row of a video, so
+    # within-run distinct IS global distinct) — a per-batch distinct summed
+    # driver-side would double-count a repeated frame whose occurrences
+    # span blocks and silently deflate Jaccard (review finding).
+    def size_runs(g: pa.Table) -> pa.Table:
+        v = np.asarray(g["video_id"].to_pylist(), dtype=object)
+        f = np.asarray(g["fh"].to_pylist(), dtype=object)
+        starts = run_starts(v)
         if starts.size == 0:
             return pa.table({"v": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
+        new_pair = np.ones(len(v), dtype=bool)  # sorted by (video, fh)
+        new_pair[1:] = (v[1:] != v[:-1]) | (f[1:] != f[:-1])
+        bounds = np.append(starts, len(v))
+        n_distinct = np.add.reduceat(new_pair.astype(np.int64), starts)
         return pa.table(
-            {"v": pa.array(vv[starts], type=pa.string()),
-             "n": pa.array(np.diff(np.append(starts, len(vv))), type=pa.int64())}
+            {"v": pa.array(v[starts], type=pa.string()),
+             "n": pa.array(n_distinct[: len(bounds) - 1], type=pa.int64())}
         )
 
     parts = [t for t in ray.get(
-        fh.map_batches(size_partial, batch_format="pyarrow").to_arrow_refs()
+        grouped_runs(fh, "video_id", size_runs, sort_cols=["video_id", "fh"])
+        .to_arrow_refs()
     ) if t.num_rows and "v" in t.column_names]
     if not parts:
         return rd.from_arrow(

@@ -151,3 +151,41 @@ def test_export_partitioned_resume_skip(tmp_path, ray_session):
         [pq.read_table(f) for f in sorted(glob.glob(out + "/part=*/data.parquet"))]
     )
     assert back.num_rows == 1000
+
+
+def test_export_partitioned_sweeps_torn_tmp_and_rejects_config_change(
+    tmp_path, ray_session
+):
+    import glob
+
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+    from dedup_ray.sources.export import export_partitioned
+
+    t = pa.table(
+        {"doc_id": pa.array(range(200), type=pa.int64()),
+         "v": pa.array(range(200), type=pa.int64())}
+    )
+    out = str(tmp_path / "exp2")
+    ds = rd.from_arrow(t).repartition(3)
+    export_partitioned(ds, out, key="doc_id", num_partitions=4)
+
+    # plant a torn tmp dir (crashed attempt, even with a marker inside):
+    # it must be swept, never crash the resume, never match part=* globs
+    torn = os.path.join(out, "part=0002.tmp.99999")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "_SUCCESS"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(torn, "data.parquet"), "w") as f:
+        f.write("not parquet")
+    s = export_partitioned(ds, out, key="doc_id", num_partitions=4)
+    assert s["partitions_written"] == 0
+    assert not glob.glob(out + "/part=*.tmp.*")
+
+    # a different partitioning config must be rejected, not mixed in
+    with pytest.raises(ValueError, match="hashing schemes"):
+        export_partitioned(ds, out, key="doc_id", num_partitions=8)
+    with pytest.raises(ValueError, match="hashing schemes"):
+        export_partitioned(ds, out, key="v", num_partitions=4)

@@ -670,3 +670,28 @@ def test_bloom_prefilter_string_keys_no_false_negatives():
     ).to_pandas()
     # every true match survives (Bloom has no false negatives)
     assert set(f"id{i}" for i in range(0, 200, 7)) <= set(out.k)
+
+
+def test_bloom_prefilter_null_keys_dropped_not_crashed():
+    from dedup_ray.stages.join import bloom_prefilter
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2, None, 3], type=pa.int64()),
+         "lval": pa.array([10, 20, 30, 40, 50], type=pa.int64())}
+    )
+    right = pa.table({"rk": pa.array([1, 3, None], type=pa.int64())})
+    out = bloom_prefilter(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk"
+    ).to_pandas()
+    # null keys are proven non-matches for inner/semi: dropped, not crashed
+    assert set(out.k) == {1, 3}
+
+    sleft = pa.table(
+        {"k": pa.array(["a", None, "b"]),
+         "lval": pa.array([1, 2, 3], type=pa.int64())}
+    )
+    sright = pa.table({"rk": pa.array(["b", None])})
+    out = bloom_prefilter(
+        rd.from_arrow(sleft), rd.from_arrow(sright), on="k", right_on="rk"
+    ).to_pandas()
+    assert set(out.k) == {"b"}
