@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": curation.dup_ngrams,
         "mix_sources": curation.mix_sources,
         "remove_dup_passages": curation.remove_dup_passages,
+        "curate_docs": curation.curate_docs,
     }
 
 
@@ -893,6 +894,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT source, doc_id FROM j QUALIFY "
             "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 10"
+        ),
+        # composed curation cascade: exact-dedup keeper ∧ p05-p95 length
+        # band ∧ >= 20 tokens (token rule aligned with token_stats')
+        "curate_docs": (
+            "WITH tok AS (SELECT doc_id, n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents), "
+            "kf AS (SELECT doc_id, row_number() OVER "
+            "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
+            "SELECT t.doc_id FROM tok t JOIN kf USING (doc_id) "
+            "WHERE rn = 1 AND n_tokens >= 20 "
+            "AND n_chars >= (SELECT quantile_disc(n_chars, 0.05) FROM documents) "
+            "AND n_chars <= (SELECT quantile_disc(n_chars, 0.95) FROM documents)"
         ),
         # the APPLY step of substring dedup: tokens covered by a corpus-dup
         # k=8 shingle are dropped everywhere except the shingle's keeper

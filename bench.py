@@ -129,7 +129,7 @@ def run_bench(scope: str) -> dict:
             "order_lineitem_full", "user_value_running",
             "trim_length_outliers", "mix_sources", "length_cume_dist",
             "ann_pq_topk", "remove_dup_passages", "lang_source_matrix",
-            "caption_quality",
+            "caption_quality", "curate_docs",
             "lang_shared_terms", "lang_exclusive_shingles", "heavy_hitter_users",
         ):
             t0 = time.time()

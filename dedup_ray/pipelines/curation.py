@@ -593,3 +593,67 @@ def _shingles_with_pos(
     for j in range(1, k):
         sh = np.char.add(np.char.add(sh, " "), tokens[starts + j])
     return sh, starts
+
+
+def curate_docs(
+    sf_dir: str, min_tokens: int = 20, q_lo: float = 0.05, q_hi: float = 0.95
+) -> rd.Dataset:
+    """The composed text-curation pipeline — dedup + outlier trim + quality
+    floor in ONE pass, the text-side analog of the image flagship's staged
+    cascade: a doc survives iff it is (a) the keeper (min doc_id) of its
+    exact-text group, (b) inside the corpus's [p05, p95] length band and
+    (c) at least ``min_tokens`` tokens long: (doc_id).
+
+    Scale shape: thresholds come from the bounded value histogram
+    (collect_value_hist); per-row stats (hash, token count) compute on the
+    scan; then ONE grouped_runs on the text hash both picks each group's
+    keeper AND applies the row filters inside the bucket kernel — only
+    (hash, doc_id, n_chars, n_tokens) rows shuffle, never text. Conditions
+    (b)/(c) commute with (a) because they depend on columns constant within
+    an exact-text group — so filtering at the keeper step equals filtering
+    before or after it (the cascade-reordering argument)."""
+    import hashlib
+
+    from dedup_ray.stages.grouped import (
+        collect_value_hist,
+        grouped_runs,
+        quantiles_from_hist,
+        run_starts,
+    )
+
+    v, n = collect_value_hist(_docs(sf_dir, columns=["n_chars"]), "n_chars")
+    if v.size == 0:
+        return rd.from_arrow(pa.schema([("doc_id", pa.int64())]).empty_table())
+    lo, hi = quantiles_from_hist(v, n, (q_lo, q_hi))
+
+    def keys(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b["text"], "")
+        toks = pc.fill_null(pc.count_substring_regex(texts, r"\S+"), 0)
+        th = [
+            hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+            for t in texts.to_pylist()
+        ]
+        return pa.table(
+            {
+                "th": pa.array(th, type=pa.string()),
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "n_tokens": toks.cast(pa.int64()),
+            }
+        )
+
+    def keep_runs(g: pa.Table) -> pa.Table:
+        th = np.asarray(g["th"].to_pylist(), dtype=object)
+        if len(th) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        starts = run_starts(th)  # sorted by (th, doc_id): run head = keeper
+        keeper = g.take(pa.array(starts, type=pa.int64()))
+        nc = keeper["n_chars"].to_numpy(zero_copy_only=False)
+        nt = keeper["n_tokens"].to_numpy(zero_copy_only=False)
+        keep = (nc >= lo) & (nc <= hi) & (nt >= min_tokens)
+        return pa.table({"doc_id": keeper["doc_id"].filter(pa.array(keep))})
+
+    keyed = _docs(sf_dir, columns=["doc_id", "text", "n_chars"]).map_batches(
+        keys, batch_format="pyarrow"
+    )
+    return grouped_runs(keyed, "th", keep_runs, sort_cols=["th", "doc_id"])

@@ -57,6 +57,7 @@ CHECKED = [
     "lang_exclusive_shingles",
     "heavy_hitter_users",
     "caption_quality",
+    "curate_docs",
 ]
 
 
