@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cq(_corpus(sf_dir))
 
+    def caption_dup_images(sf_dir: str):
+        from dedup_ray.pipelines.neardup import caption_dup_images as cdi
+
+        return cdi(_corpus(sf_dir))
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -216,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_order_priorities": relational.bulk_order_priorities,
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
+        "events_debounced": relational.events_debounced,
         "events_rollup": relational.events_rollup,
         "order_lineitem_full": relational.order_lineitem_full,
         "user_value_running": relational.user_value_running,
@@ -238,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
         "caption_quality": caption_quality,
+        "caption_dup_images": caption_dup_images,
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---
@@ -727,6 +734,24 @@ def oracle_sql() -> dict[str, str]:
         # image-side Hamming search over the synthesised corpus cache (the
         # Ray query generates/caches it BEFORE the oracle runs; both sf0.001
         # and sf0.01 resolve to the _1000 cache — see _corpus)
+        # digest-vs-bytes: the Ray side distinct-counts a 64-bit blake2b
+        # digest of bytes; collision-free at oracle scale, so the values
+        # match count(DISTINCT bytes)
+        "caption_dup_images": (
+            "SELECT caption, count(*)::BIGINT AS n_rows, "
+            "count(DISTINCT bytes)::BIGINT AS n_distinct_images "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
+            "GROUP BY caption "
+            "HAVING count(*) >= 2 AND count(DISTINCT bytes) >= 2"
+        ),
+        # debounce: lag() gap filter — first event per user always kept
+        "events_debounced": (
+            "SELECT event_id, user_id, ts FROM ("
+            "SELECT event_id, user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 300000000"
+        ),
         "phash_hamming_search": (
             f"WITH c AS (SELECT image_id, phash FROM "
             f"read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')), "

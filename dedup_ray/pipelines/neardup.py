@@ -299,6 +299,81 @@ def corpus_format_stats(input_path: str) -> rd.Dataset:
     )
 
 
+def caption_dup_images(input_path: str) -> rd.Dataset:
+    """Label-conflict detection: caption groups whose members do NOT share
+    image content — the mislabel/duplicate-caption signal a curation pass
+    flags before training a captioner: (caption, n_rows, n_distinct_images)
+    for captions with >= 2 rows and >= 2 distinct byte payloads. The empty
+    caption is the planted hot key (FIXTURES §1) and surfaces as the
+    largest group.
+
+    Scale shape: ``bytes`` is digested to a 64-bit key INSIDE the scan task
+    (the flagship's bytes-stay-local rule) and per-batch distinct
+    (caption, digest, count) partials collapse each block before the one
+    hash-partitioned caption shuffle; the run kernel is two reduceats.
+    Oracle: GROUP BY caption with count(DISTINCT bytes) in DuckDB — the
+    digest has no observable collisions at oracle scale, so values match."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_table(input_path, columns=["caption", "bytes"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(v.as_py(), digest_size=8).digest(), "big"
+                )
+                for v in b["bytes"]
+            ),
+            dtype=np.uint64,
+            count=b.num_rows,
+        )
+        t = pa.table(
+            {"caption": b["caption"], "h": pa.array(h, type=pa.uint64())}
+        )
+        g = t.group_by(["caption", "h"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"caption": g["caption"], "h": g["h"],
+             "cnt": g["count_all"].cast(pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("caption", pa.string()), ("n_rows", pa.int64()),
+         ("n_distinct_images", pa.int64())]
+    )
+
+    def stats_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        cap = np.asarray(g["caption"].to_pylist(), dtype=object)
+        hv = g["h"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        starts = run_starts(cap)
+        n = np.add.reduceat(cnt, starts)
+        new_pair = np.ones(len(cap), dtype=np.int64)
+        new_pair[1:] = ((cap[1:] != cap[:-1]) | (hv[1:] != hv[:-1])).astype(
+            np.int64
+        )
+        nd = np.add.reduceat(new_pair, starts)
+        keep = (n >= 2) & (nd >= 2)
+        return pa.table(
+            {
+                "caption": pa.array(cap[starts][keep], type=pa.string()),
+                "n_rows": pa.array(n[keep], type=pa.int64()),
+                "n_distinct_images": pa.array(nd[keep], type=pa.int64()),
+            }
+        )
+
+    return grouped_runs(parts, "caption", stats_runs, sort_cols=["caption", "h"])
+
+
 def caption_quality(input_path: str) -> rd.Dataset:
     """Cross-modal reuse: the text-quality scorer applied to the image
     corpus's CAPTION column: (image_id, n_tokens, stopword_ratio,

@@ -642,6 +642,44 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
     return grouped_runs(ds, "user_id", gap_runs, sort_cols=["user_id", "ts", "event_id"])
 
 
+def events_debounced(sf_dir: str, min_gap_s: int = 300) -> rd.Dataset:
+    """Debounce filter: keep an event iff it is the user's FIRST event or
+    arrived >= ``min_gap_s`` after the user's previous event (lag semantics:
+    the gap is measured to the previous RAW event, not the previous kept
+    one — that keeps it a pure window expression both engines agree on):
+    (event_id, user_id, ts). The stream-hygiene staple — collapsing
+    double-clicks / retry storms before sessionization.
+
+    Scale shape: identical to ``event_gaps`` — ONE hash-partitioned shuffle
+    on user_id, then a vectorized shifted-difference keep-mask per bucket.
+    Oracle: lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id).
+    """
+    from dedup_ray.stages.grouped import grouped_runs
+
+    gap_us = np.int64(min_gap_s * 1_000_000)
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us"))]
+    )
+
+    def debounce_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (tsv[1:] - tsv[:-1] >= gap_us)
+        return g.filter(pa.array(keep))
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return grouped_runs(
+        ds, "user_id", debounce_runs, sort_cols=["user_id", "ts", "event_id"]
+    )
+
+
 def events_rollup(sf_dir: str) -> rd.Dataset:
     """ROLLUP aggregate: event counts at three levels — (event_type, hour),
     per-type totals, grand total — in ONE pass: (event_type, hour_bucket,
