@@ -115,6 +115,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cdi(_corpus(sf_dir))
 
+    def rotation_invariant_clusters(sf_dir: str):
+        """Orbit-exact dedup over a corpus with PLANTED rotated/flipped
+        duplicates (sources/corpus.py rot_dups mix; cached separately from
+        the default corpus). Rows-only: binary decode is non-SQL; pytest
+        checks vs in-process brute force + the planted ground truth."""
+        import os
+
+        from dedup_ray.pipelines.neardup import rotation_invariant_clusters as ric
+        from dedup_ray.sources.corpus import generate_corpus
+
+        n = 5000 if sf_dir.rstrip("/").endswith("sf0.1") else 1000
+        out = f"{_CORPUS_CACHE}_rot_{n}"
+        generate_corpus(out, n_rows=n, use_ray=False, rot_dups=True)
+        return ric(os.path.join(out, "images.parquet"))
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -245,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_format_stats": corpus_format_stats,
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
+        "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---

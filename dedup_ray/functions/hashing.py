@@ -74,6 +74,40 @@ def phash64(pixels: np.ndarray) -> int:
     return int(np.uint64(val).astype(np.int64))
 
 
+def _dihedral_orbit(pixels: np.ndarray):
+    """The 8 dihedral transforms of an (h, w, c) image — rotations by
+    0/90/180/270 degrees and their mirror images. numpy views (no copies);
+    consumers that need contiguity copy themselves."""
+    yield pixels
+    yield np.rot90(pixels)
+    yield np.rot90(pixels, 2)
+    yield np.rot90(pixels, 3)
+    f = pixels[:, ::-1]
+    yield f
+    yield np.rot90(f)
+    yield np.rot90(f, 2)
+    yield np.rot90(f, 3)
+
+
+def dihedral_pixel_hash(pixels: np.ndarray) -> bytes:
+    """Orbit-canonical exact digest: min over the 8 dihedral transforms of
+    ``pixel_hash``. EXACTLY invariant under any rotation/flip of the pixel
+    array — the orbit {T(p)} is a group orbit, so every member yields the
+    same 8-digest set and therefore the same minimum. The exact-dedup key
+    for rotated/flipped copies (the tier plain pixel_hash cannot have)."""
+    return min(pixel_hash(t) for t in _dihedral_orbit(pixels))
+
+
+def phash_dihedral64(pixels: np.ndarray) -> int:
+    """Orbit-canonical perceptual hash: min over the 8 dihedral transforms
+    of ``phash64``. Exactly invariant for exact rotations/flips (same group-
+    orbit argument as ``dihedral_pixel_hash``); for a perturbed-then-rotated
+    copy it moves about as many bits as plain phash64 does for the same
+    perturbation, so it serves as the cheap key of a rotation-robust near-
+    dup cascade."""
+    return min(phash64(t) for t in _dihedral_orbit(pixels))
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized popcount of XOR over int64/uint64 arrays."""
     x = (np.ascontiguousarray(np.asarray(a).astype(np.int64)).view(np.uint64)

@@ -299,6 +299,75 @@ def corpus_format_stats(input_path: str) -> rd.Dataset:
     )
 
 
+def rotation_invariant_clusters(input_path: str) -> rd.Dataset:
+    """Rotation/flip-invariant exact dedup: clusters of images whose DECODED
+    pixels are dihedral transforms of each other (same image rotated
+    0/90/180/270 or mirrored) — the orbit-exact tier plain ``pixel_hash``
+    cannot see: (image_id, cluster_id) member rows for clusters of >= 2,
+    cluster_id = min member image_id.
+
+    Key = ``dihedral_pixel_hash`` (min blake2b digest over the 8-transform
+    group orbit, functions/hashing.py) computed INSIDE the scan-side decode
+    task — bytes and pixels never shuffle, exactly the flagship keys-stage
+    rule; then one hash-partitioned shuffle on the digest and a vectorized
+    HAVING >= 2 run kernel. The orbit digest costs 8 pixel hashes per image
+    (the decode still dominates). Rows-only query: binary decode is not
+    SQL-expressible; tests/test_rotation.py checks against an in-process
+    brute force AND the generator's planted rotated-duplicate ground truth
+    (sources/corpus.py rot_dups)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.functions import codecs
+    from dedup_ray.functions.hashing import dihedral_pixel_hash
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_table(input_path, columns=["image_id", "bytes", "fmt"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        data = b["bytes"]
+        fmts = b["fmt"].to_pylist()
+        dig = np.empty(n, dtype=object)
+        ok = np.ones(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode(data[i].as_py(), fmts[i])
+                dig[i] = dihedral_pixel_hash(px).hex()
+            except Exception:
+                ok[i] = False
+                dig[i] = ""
+        t = pa.table(
+            {"image_id": b["image_id"],
+             "dhash": pa.array(list(dig), type=pa.string())}
+        )
+        return t.filter(pa.array(ok))
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow", batch_size=256)
+
+    out_schema = pa.schema(
+        [("image_id", pa.string()), ("cluster_id", pa.string())]
+    )
+
+    def emit_clusters(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        dh = np.asarray(g["dhash"].to_pylist(), dtype=object)
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        starts = run_starts(dh)
+        sizes = np.diff(np.append(starts, len(dh)))
+        rep = np.repeat(ids[starts], sizes)  # sorted (dhash, id): min id first
+        keep = np.repeat(sizes >= 2, sizes)
+        return pa.table(
+            {"image_id": pa.array(ids[keep], type=pa.string()),
+             "cluster_id": pa.array(rep[keep], type=pa.string())}
+        )
+
+    return grouped_runs(
+        keyed, "dhash", emit_clusters, sort_cols=["dhash", "image_id"]
+    )
+
+
 def caption_dup_images(input_path: str) -> rd.Dataset:
     """Label-conflict detection: caption groups whose members do NOT share
     image content — the mislabel/duplicate-caption signal a curation pass

@@ -48,6 +48,16 @@ _CLASS_MIX = [
     ("hot_identical", 0.02, None),        # one giant exact cluster (skew case)
 ]
 
+# opt-in mix (spec.rot_dups): adds rotated/flipped duplicate clusters —
+# members are exact dihedral transforms of member 0's pixels in a LOSSLESS
+# fmt (raw/png), so the planted ground truth is exactly recoverable by the
+# orbit-canonical digest. Weight comes out of `unique`; default corpora are
+# byte-identical to the legacy mix.
+_CLASS_MIX_ROT = [
+    ("unique", 0.34, (1, 1)),
+    ("rotated", 0.08, (2, 4)),
+] + _CLASS_MIX[1:]
+
 _FMTS = ["raw", "png", "qnt"]
 _FMT_W = [0.4, 0.4, 0.2]
 
@@ -77,6 +87,7 @@ class CorpusSpec:
     dup_ratio: float | None = None  # target fraction of rows in dup groups
     # (None = legacy class-mix behaviour ~0.7; the reference benchmarks at
     # 0.10/0.30/0.60 — benchmark/config.py:20-22)
+    rot_dups: bool = False  # opt-in: plant rotated/flipped duplicate clusters
 
     @property
     def vocab_size(self) -> int:
@@ -96,13 +107,14 @@ def plan_corpus(spec: CorpusSpec) -> pa.Table:
     member_idx:int32, dup_class:string, fmt:string
     """
     rng = np.random.default_rng(spec.seed)
-    names = [c[0] for c in _CLASS_MIX]
-    weights = np.array([c[1] for c in _CLASS_MIX])
+    mix = _CLASS_MIX_ROT if spec.rot_dups else _CLASS_MIX
+    names = [c[0] for c in mix]
+    weights = np.array([c[1] for c in mix])
     weights = weights / weights.sum()
-    sizes = {c[0]: c[2] for c in _CLASS_MIX}
+    sizes = {c[0]: c[2] for c in mix}
 
     dup_names = [n for n in names if n not in ("unique", "hot_empty_caption")]
-    dup_w = np.array([w for n, w, _ in _CLASS_MIX if n in dup_names])
+    dup_w = np.array([w for n, w, _ in mix if n in dup_names])
     dup_w = dup_w / dup_w.sum()
     uniq_names = ["unique", "hot_empty_caption"]
     uniq_w = np.array([0.84, 0.16])
@@ -138,6 +150,9 @@ def plan_corpus(spec: CorpusSpec) -> pa.Table:
             elif cls == "reencode":
                 # force distinct fmts across members (the class's point)
                 fmt = ["raw", "png", "qnt"][m % 3]
+            elif cls == "rotated":
+                # lossless only: members must decode to EXACT transforms
+                fmt = ["raw", "png"][int(rng.integers(0, 2))]
             else:
                 fmt = _FMTS[int(rng.choice(3, p=_FMT_W))]
             rows.append((cluster_seed, m, cls, fmt))
@@ -226,6 +241,19 @@ def materialize_rows(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
             pass  # identical pixels + caption for every member
         elif cls == "reencode":
             pass  # identical pixels + caption; fmt differs per plan
+        elif cls == "rotated":
+            if m > 0:
+                # exact dihedral transform #1..7 of member 0's pixels;
+                # caption stays the cluster caption (a rotated copy keeps
+                # its label). w/h columns are fixed up below from the
+                # actual array shape (90/270 rotations swap them).
+                from dedup_ray.functions.hashing import _dihedral_orbit
+
+                k = 1 + (int(m) - 1) % 7
+                for i, t in enumerate(_dihedral_orbit(pixels)):
+                    if i == k:
+                        pixels = np.ascontiguousarray(t)
+                        break
         elif cls == "phash_near":
             if m > 0:
                 # perturb a small patch; caption fully different
@@ -255,8 +283,10 @@ def materialize_rows(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
         decoded = codecs.decode(data, fmt)  # phash over *decoded* pixels
         out["row_uid"].append(int(uid))
         out["bytes"].append(data)
-        out["w"].append(w)
-        out["h"].append(h)
+        # declared dims come from the ACTUAL array (identical to the cluster
+        # draw except for 90/270-rotated members, which swap w/h)
+        out["w"].append(int(pixels.shape[1]))
+        out["h"].append(int(pixels.shape[0]))
         out["fmt"].append(fmt)
         out["caption"].append(caption)
         out["phash"].append(phash64(decoded))
@@ -288,6 +318,7 @@ def generate_corpus(
     img_min: int | None = None,
     img_max: int | None = None,
     dup_ratio: float | None = None,
+    rot_dups: bool = False,
 ) -> dict:
     """Generate the corpus + sidecars into ``out_dir``; returns metadata.
 
@@ -296,7 +327,10 @@ def generate_corpus(
     ``img_min``/``img_max`` override the pixel-side range (bench corpora use
     realistic larger images so decode dominates like it would in production).
     """
-    spec = CorpusSpec(n_rows=n_rows or SCALES[scale], seed=seed, dup_ratio=dup_ratio)
+    spec = CorpusSpec(
+        n_rows=n_rows or SCALES[scale], seed=seed, dup_ratio=dup_ratio,
+        rot_dups=rot_dups,
+    )
     if img_min or img_max:
         from dataclasses import replace
 
@@ -306,6 +340,7 @@ def generate_corpus(
     cfg_hash = (
         f"{spec.n_rows}-{spec.seed}-{spec.hot_cluster_size}"
         f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-{spec.dup_ratio}-v7"
+        + ("-rot1" if spec.rot_dups else "")
     )
     meta_path = os.path.join(out_dir, "metadata.json")
     if os.path.exists(meta_path):
