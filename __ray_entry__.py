@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_matrix": analysis.lang_source_matrix,
         "lang_shared_terms": analysis.lang_shared_terms,
         "lang_exclusive_shingles": analysis.lang_exclusive_shingles,
+        "bpe_merges": analysis.bpe_merges,              # rows-only (iterative learner)
+        "bpe_token_counts": analysis.bpe_token_counts,  # rows-only (trained-model apply)
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,

@@ -131,7 +131,7 @@ def run_bench(scope: str) -> dict:
             "ann_pq_topk", "remove_dup_passages", "lang_source_matrix",
             "caption_quality", "curate_docs",
             "events_debounced", "caption_dup_images",
-            "rotation_invariant_clusters",
+            "rotation_invariant_clusters", "bpe_token_counts",
             "lang_shared_terms", "lang_exclusive_shingles", "heavy_hitter_users",
         ):
             t0 = time.time()

@@ -376,6 +376,123 @@ def top_terms(sf_dir: str, k: int = 20) -> rd.Dataset:
     )
 
 
+def _bpe_word_freqs(sf_dir: str, max_words: int = 30_000) -> dict[str, int]:
+    """Distributed word-frequency table for BPE training, capped to the
+    ``max_words`` most frequent words (ties lexical): the same partial-
+    count + tiny-groupby + local-top-k shape as ``top_terms``, so only
+    (token, count) rows ever move and the driver holds a BOUNDED table.
+    The cap is the standard scale trick — merge statistics saturate long
+    before the vocabulary tail (functions/bpe.py docstring)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.ascii_split_whitespace(b["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "pn": vc.field("counts").cast(pa.int64())}
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("pn")
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("sum(pn)", "descending"), ("token", "ascending")]
+        )
+        return b.take(idx[:max_words])
+
+    rows = (
+        agg.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["sum(pn)", "token"], descending=[True, False])
+        .limit(max_words)
+        .take_all()
+    )
+    return {r["token"]: int(r["sum(pn)"]) for r in rows}
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 200) -> pa.Table:
+    """Train a BPE subword vocabulary on the corpus: (rank, left, right)
+    merge rules in application order. Word counts are gathered distributed
+    (``_bpe_word_freqs``); the merge loop itself runs on the driver over
+    the bounded table — training state is O(vocab), never O(corpus).
+    Deterministic (max count, lexicographic tie-break), so two runs emit
+    identical tables. Rows-only query: an iterative learner is non-SQL;
+    tests/test_bpe.py checks the incremental trainer against a
+    recount-from-scratch reference and the published toy example."""
+    from dedup_ray.functions.bpe import train_bpe
+
+    merges = train_bpe(_bpe_word_freqs(sf_dir), n_merges)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), type=pa.int64()),
+            "left": pa.array([m[0] for m in merges], type=pa.string()),
+            "right": pa.array([m[1] for m in merges], type=pa.string()),
+        }
+    )
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = 200) -> rd.Dataset:
+    """Apply the trained BPE tokenizer to every document: (doc_id,
+    n_bpe_tokens) — the REAL token count the whitespace/regex counters
+    approximate, and the quantity a pretraining pipeline bills by.
+
+    Scale shape: train once driver-side on the bounded word-frequency
+    table, then ship the merge list INTO an actor pool — ranks dict and
+    word->segmentation cache built once per actor (``__init__``), batches
+    encoded via per-batch np.unique so each distinct word is segmented
+    once per batch and amortized to a dict hit across batches (Zipf).
+    One streamed map, no shuffle."""
+    from dedup_ray.functions.bpe import train_bpe
+
+    merges = train_bpe(_bpe_word_freqs(sf_dir), n_merges)
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        BpeEncoder,
+        fn_constructor_args=(merges,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+class BpeEncoder:
+    """Actor-pool BPE apply stage: ranks dict + word-segmentation cache
+    built once per actor; per batch each DISTINCT word is segmented once
+    (np.unique) and amortized to a dict hit across batches (Zipf).
+    Module-level with explicit ctor args so the serialized actor stays
+    small (no closure capture)."""
+
+    def __init__(self, merges: list[tuple[str, str]]) -> None:
+        from dedup_ray.functions.bpe import encode_word
+
+        self._encode = encode_word
+        self.ranks = {m: i for i, m in enumerate(merges)}
+        self.cache: dict[str, tuple[str, ...]] = {}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        words_per_doc = [t.split() if t else [] for t in texts]
+        flat = [w for ws in words_per_doc for w in ws]
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        tok_len = np.array(
+            [len(self._encode(w, self.ranks, self.cache)) for w in uniq],
+            dtype=np.int64,
+        )
+        per_word = tok_len[inv] if len(flat) else np.empty(0, dtype=np.int64)
+        bounds = np.cumsum([0] + [len(ws) for ws in words_per_doc])
+        counts = np.add.reduceat(
+            np.append(per_word, 0), bounds[:-1]
+        ) * (np.diff(bounds) > 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
 def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
     """Grouped distribution profile: exact per-language p25/p50/p75 of
     n_chars: (lang, n_docs, p25, p50, p75). Same mergeable-histogram design
