@@ -130,6 +130,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         generate_corpus(out, n_rows=n, use_ray=False, rot_dups=True)
         return ric(os.path.join(out, "images.parquet"))
 
+    def image_histogram_search(sf_dir: str):
+        import ray.data as rd
+
+        from dedup_ray.stages.multimodal import image_histogram_search as ihs
+
+        return ihs(rd.read_parquet(_corpus(sf_dir)))
+
     def image_feature_extract(sf_dir: str):
         import ray.data as rd
 
@@ -239,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
         "events_debounced": relational.events_debounced,
+        "above_avg_orders": relational.above_avg_orders,
         "events_rollup": relational.events_rollup,
         "order_lineitem_full": relational.order_lineitem_full,
         "user_value_running": relational.user_value_running,
@@ -263,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
+        "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
         # --- audio/video (inputs synthesised; rows-only) ---
@@ -761,6 +770,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
             "GROUP BY caption "
             "HAVING count(*) >= 2 AND count(DISTINCT bytes) >= 2"
+        ),
+        # exact cents arithmetic on both sides: cents*n > sum(cents) never
+        # flips with summation order the way a float avg can
+        "above_avg_orders": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders), "
+            "w AS (SELECT o_orderkey, o_custkey, o_totalprice, cents, "
+            "sum(cents) OVER (PARTITION BY o_custkey) AS s, "
+            "count(*) OVER (PARTITION BY o_custkey) AS n FROM c) "
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM w "
+            "WHERE cents * n > s"
         ),
         # debounce: lag() gap filter — first event per user always kept
         "events_debounced": (

@@ -680,6 +680,46 @@ def events_debounced(sf_dir: str, min_gap_s: int = 300) -> rd.Dataset:
     )
 
 
+def above_avg_orders(sf_dir: str) -> rd.Dataset:
+    """Correlated-aggregate composition: orders priced strictly above their
+    own customer's average order price: (o_orderkey, o_custkey,
+    o_totalprice). The comparison is EXACT integer arithmetic — price in
+    cents times the customer's order count vs the customer's cent sum — so
+    both engines decide borderline rows identically (a float avg differs in
+    ulps with summation order; cents x n > sum never does).
+
+    Scale shape: ONE hash-partitioned shuffle on o_custkey (grouped_runs);
+    the per-bucket kernel is a reduceat sum + repeat — no join, no second
+    scan, no driver state. Oracle: sum/count window over o_custkey."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_totalprice", pa.float64())]
+    )
+
+    def keep_above(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.round(price * 100).astype(np.int64)
+        starts = run_starts(cust)
+        sizes = np.diff(np.append(starts, n))
+        s = np.add.reduceat(cents, starts)
+        keep = cents * np.repeat(sizes, sizes) > np.repeat(s, sizes)
+        return g.select(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).filter(pa.array(keep))
+
+    ds = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return grouped_runs(ds, "o_custkey", keep_above)
+
+
 def events_rollup(sf_dir: str) -> rd.Dataset:
     """ROLLUP aggregate: event counts at three levels — (event_type, hour),
     per-type totals, grand total — in ONE pass: (event_type, hour_bucket,

@@ -90,6 +90,117 @@ class ImageResizer:
         )
 
 
+class ImageHistogram:
+    """bytes+fmt -> normalized 3x8-bin RGB color histogram (24 floats per
+    image): the classic cheap content descriptor for color-based similarity
+    search — resolution-independent (normalized by pixel count) and
+    rotation/flip-invariant by construction. Vectorized per image: one
+    bincount per channel over the top-3 bits."""
+
+    OUTPUT_SCHEMA = pa.schema(
+        [("image_id", pa.string()), ("hist", pa.list_(pa.float32()))]
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ids, hists = [], []
+        for i in range(batch.num_rows):
+            try:
+                px = codecs.decode(data[i].as_py(), fmts[i])
+            except Exception:
+                continue
+            npx = px.shape[0] * px.shape[1]
+            h = np.concatenate(
+                [
+                    np.bincount((px[:, :, c] >> 5).ravel(), minlength=8)
+                    for c in range(3)
+                ]
+            ).astype(np.float32) / np.float32(npx)
+            ids.append(batch["image_id"][i].as_py())
+            hists.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "hist": pa.array(
+                    [h.tolist() for h in hists], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def image_histogram_search(
+    images: rd.Dataset, n_queries: int = 5, k: int = 5
+) -> rd.Dataset:
+    """Color-based image similarity search: for each of the ``n_queries``
+    query images (lexicographically-smallest image_ids), the ``k`` nearest
+    images by L2 distance over the normalized RGB histogram:
+    (query_id, image_id, rank), self-matches excluded.
+
+    Scale shape: identical to ``audio_similarity_search`` / ann_topk — the
+    feature extraction is one actor-pool pass (bytes never leave the decode
+    task), the tiny query matrix broadcasts via ray.put, each batch emits a
+    LOCAL top-k, and the driver merges k·queries·blocks rows."""
+    import ray
+
+    feats = images.map_batches(
+        ImageHistogram, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4),
+    ).materialize()  # consumed twice: query pick + scan
+
+    def local_min(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("image_id", "ascending")])
+        return b.take(idx[:n_queries])
+
+    q = (
+        feats.map_batches(local_min, batch_format="pyarrow")
+        .sort("image_id")
+        .limit(n_queries)
+        .take_all()
+    )
+    q_ids = [r["image_id"] for r in q]
+    q_mat = np.asarray([r["hist"] for r in q], dtype=np.float64)
+    ref = ray.put((q_ids, q_mat))
+
+    def block(b: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = np.asarray(b["image_id"].to_pylist(), dtype=object)
+        col = b["hist"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), -1
+        ).astype(np.float64)
+        out_q, out_c, out_d = [], [], []
+        take = min(k + 1, len(ids))
+        for row in range(len(qi)):
+            d = ((m - qm[row]) ** 2).sum(axis=1)
+            idx = np.argpartition(d, take - 1)[:take]
+            out_q.extend([qi[row]] * len(idx))
+            out_c.extend(ids[i] for i in idx)
+            out_d.extend(float(d[i]) for i in idx)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.string()),
+                "image_id": pa.array(out_c, type=pa.string()),
+                "dist": pa.array(out_d, type=pa.float64()),
+            }
+        )
+
+    local = feats.map_batches(
+        block, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    local = local[local.query_id != local.image_id]
+    local = local.sort_values(
+        ["query_id", "dist", "image_id"], ascending=[True, True, True]
+    )
+    top = local.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return rd.from_pandas(
+        top[["query_id", "image_id", "rank"]].reset_index(drop=True)
+    )
+
+
 class AudioFeatures:
     """Audio decode + feature stage — REAL for WAV PCM16 (stdlib ``wave`` +
     numpy, functions/av.py): per clip, duration, RMS, zero-crossing rate and
