@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": relational.distinct_users_by_type,
         "heavy_hitter_users": relational.heavy_hitter_users,
         "approx_distinct_users": relational.approx_distinct_users,  # rows-only (sketch)
+        "approx_value_quantiles": relational.approx_value_quantiles,  # rows-only (sketch; pytest rank-error bound)
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)

@@ -680,6 +680,52 @@ def events_debounced(sf_dir: str, min_gap_s: int = 300) -> rd.Dataset:
     )
 
 
+def approx_value_quantiles(sf_dir: str, k: int = 256) -> pa.Table:
+    """Approximate quantiles of the CONTINUOUS ``events.value`` column via
+    the mergeable deterministic KLL/MRL sketch (functions/sketch.py):
+    (q, value_est). The unbounded-domain complement of the exact
+    histogram-based quantile family — a double column where every value is
+    distinct would make the (value, count) histogram as big as the data,
+    so the sketch caps state at O(k·log(n/k)) per batch and the driver
+    folds per-batch sketches (merge is the sketch's native operation).
+
+    Scale shape: one streamed map emits ≤ k·log(n)-value partial sketches
+    per batch; no shuffle; driver state is one sketch. Rows-only query
+    (approximate by design); tests/test_sketch.py bounds the rank error vs
+    the exact quantiles and checks merge associativity bounds."""
+    from dedup_ray.functions.sketch import QuantileSketch
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).add(
+            b["value"].to_numpy(zero_copy_only=False)
+        )
+        rows = sk.to_rows()
+        return pa.table(
+            {
+                "lvl": pa.array([r[0] for r in rows], type=pa.int32()),
+                "vals": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    parts = (
+        read_view(f"{sf_dir}/events.parquet", columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    sk = QuantileSketch.from_rows(
+        [(r["lvl"], r["vals"]) for r in parts], k
+    )
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "value_est": pa.array(sk.quantiles(qs), type=pa.float64()),
+        }
+    )
+
+
 def above_avg_orders(sf_dir: str) -> rd.Dataset:
     """Correlated-aggregate composition: orders priced strictly above their
     own customer's average order price: (o_orderkey, o_custkey,
