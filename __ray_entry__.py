@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": relational.event_gaps,
         "events_debounced": relational.events_debounced,
         "above_avg_orders": relational.above_avg_orders,
+        "nation_revenue": relational.nation_revenue,
+        "event_transitions": relational.event_transitions,
         "events_rollup": relational.events_rollup,
         "order_lineitem_full": relational.order_lineitem_full,
         "user_value_running": relational.user_value_running,
@@ -782,6 +784,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY o_custkey) AS n FROM c) "
             "SELECT o_orderkey, o_custkey, o_totalprice FROM w "
             "WHERE cents * n > s"
+        ),
+        # Q5 shape; revenue summed as exact int ten-thousandths, divided
+        # once at the end -> bit-identical doubles on both engines
+        "nation_revenue": (
+            "WITH j AS (SELECT c.c_nationkey, "
+            "CAST(round(l.l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l.l_discount)*100) AS BIGINT) AS r "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey) "
+            "SELECT n.n_name, count(*)::BIGINT AS n_items, "
+            "sum(j.r)/10000.0 AS revenue "
+            "FROM j JOIN nation n ON n.n_nationkey = j.c_nationkey "
+            "GROUP BY n.n_name"
+        ),
+        "event_transitions": (
+            "WITH w AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS prev_type, event_type AS next_type, "
+            "count(*)::BIGINT AS n FROM w WHERE prev IS NOT NULL "
+            "GROUP BY prev, event_type"
         ),
         # debounce: lag() gap filter — first event per user always kept
         "events_debounced": (

@@ -483,6 +483,148 @@ def order_revenue_join(sf_dir: str) -> rd.Dataset:
     )
 
 
+def nation_revenue(sf_dir: str) -> rd.Dataset:
+    """Three-table composition (TPC-H Q5 shape): customer -> orders ->
+    lineitem revenue per nation: (n_name, n_items, revenue).
+
+    Join plan: the DIMENSION hops (customer->nationkey, nationkey->name)
+    are broadcast lookups probed inside map_batches — same bounded-side
+    rule as revenue_by_segment, with the shuffle-join fallback documented
+    there; the FACT-FACT hop (orders x lineitem) is the one co-partitioned
+    shuffle (stages/join.shuffle_join). Revenue is summed as EXACT int64
+    ten-thousandths (cents x discount-percent) and divided once at the end,
+    so both engines emit bit-identical doubles — no float-sum rounding
+    caveat. (Int64 headroom: ~1e9 units/row, overflow only past ~9e9 rows
+    per nation — shard the partial key by nation+salt long before that.)"""
+    from dedup_ray.stages.join import shuffle_join
+
+    cust = read_view(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = read_view(f"{sf_dir}/nation.parquet").to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order_ck = np.argsort(ck, kind="stable")
+    ref = ray.put(
+        (
+            ck[order_ck],
+            cust["c_nationkey"].to_numpy(dtype=np.int64)[order_ck],
+            n2name,
+        )
+    )
+
+    def tag_nation(b: pa.Table) -> pa.Table:
+        keys, nkeys, names = ray.get(ref)
+        okey = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, okey), max(len(keys) - 1, 0))
+        hit = keys[pos] == okey if len(keys) else np.zeros(len(okey), bool)
+        nk = nkeys[pos[hit]]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+                "n_name": pa.array(
+                    [names[int(k)] for k in nk], type=pa.string()
+                ),
+            }
+        )
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_nation, batch_format="pyarrow")
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dpct = np.round(
+            (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {"n_name": b["n_name"],
+             "r": pa.array(cents * dpct, type=pa.int64())}
+        )
+        g = t.group_by("n_name").aggregate(
+            [("r", "sum"), ("r", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"n_name": g["n_name"], "pn": g["r_count"], "pr": g["r_sum"]}
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name"
+    ).sum(["pn", "pr"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "n_items": b["sum(pn)"].cast(pa.int64()),
+                "revenue": pc.divide(
+                    b["sum(pr)"].cast(pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """Per-user event-type transition counts (first-order Markov matrix):
+    (prev_type, next_type, n) over consecutive events of the same user —
+    the sequence-analysis staple behind funnel / next-event models.
+
+    Scale shape: the event_gaps shuffle (ONE hash partition on user_id);
+    the bucket kernel shifts the type column once and pre-aggregates to
+    (prev, next, n) partials, so the final groupby merges at most
+    |type-domain|² rows per bucket. Oracle: lag(event_type) window."""
+    from dedup_ray.stages.grouped import grouped_runs
+
+    def pair_counts(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {"prev_type": pa.array([], type=pa.string()),
+             "next_type": pa.array([], type=pa.string()),
+             "pn": pa.array([], type=pa.int64())}
+        )
+        if n < 2:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"]
+        same = uid[1:] == uid[:-1]
+        t = pa.table(
+            {"prev_type": et.slice(0, n - 1).combine_chunks(),
+             "next_type": et.slice(1, n - 1).combine_chunks()}
+        ).filter(pa.array(same))
+        if t.num_rows == 0:
+            return empty
+        agg = t.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"prev_type": agg["prev_type"], "next_type": agg["next_type"],
+             "pn": agg["count_all"].cast(pa.int64())}
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    parts = grouped_runs(
+        ds, "user_id", pair_counts, sort_cols=["user_id", "ts", "event_id"]
+    )
+    agg = parts.groupby(["prev_type", "next_type"]).sum("pn")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"prev_type": b["prev_type"], "next_type": b["next_type"],
+             "n": b["sum(pn)"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def bulk_order_priorities(sf_dir: str, min_qty: float = 49.0) -> rd.Dataset:
     """Left-semi shuffle join (TPC-H Q4 shape): orders having at least one
     lineitem with quantity > min_qty, counted per priority. The probe side is
