@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_shared_terms": analysis.lang_shared_terms,
         "lang_exclusive_shingles": analysis.lang_exclusive_shingles,
         "bpe_merges": analysis.bpe_merges,              # rows-only (iterative learner)
+        "lm_perplexity_scores": analysis.lm_perplexity_scores,  # rows-only (transcendental; pytest kernel replay)
         "bpe_token_counts": analysis.bpe_token_counts,  # rows-only (trained-model apply)
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,

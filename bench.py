@@ -134,6 +134,7 @@ def run_bench(scope: str) -> dict:
             "rotation_invariant_clusters", "bpe_token_counts",
             "above_avg_orders", "image_histogram_search",
             "nation_revenue", "event_transitions", "approx_value_quantiles",
+            "lm_perplexity_scores",
             "lang_shared_terms", "lang_exclusive_shingles", "heavy_hitter_users",
         ):
             t0 = time.time()

@@ -493,6 +493,132 @@ class BpeEncoder:
         )
 
 
+def lm_perplexity_scores(sf_dir: str) -> rd.Dataset:
+    """Language-model quality scoring (the CCNet-style perplexity filter):
+    train a char-bigram LM on the corpus, score every document by its
+    bits-per-bigram under the model: (doc_id, n_bigrams, bits_per_bigram).
+    Low bits = fluent/common phrasing, high bits = noise/garbage — the
+    classic cheap stand-in for a KenLM wikipedia model (Wenzek et al. 2020,
+    "CCNet"), self-contained because the model trains on the data itself.
+
+    Scale shape: training statistics are (bigram, count) partials BOUNDED
+    BY THE CHARSET SQUARED — per-batch np.unique partials, one tiny groupby
+    merge, driver builds the add-one-smoothed log2 table once and
+    broadcasts it via ray.put; scoring is one streamed map doing a dense
+    2-D LUT gather per batch (no per-char Python). Two passes over text,
+    no shuffle of document rows. Rows-only: transcendental log2 sums are
+    not reproducible bit-exactly in SQL; tests/test_lm.py replays the
+    kernel in-process and bounds fluent-vs-garbage separation."""
+    import ray
+
+    from dedup_ray.stages.grouped import merge_partial_counts
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        cps = [
+            np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            for t in b["text"].to_pylist()
+            if t and len(t) >= 2
+        ]
+        if not cps:
+            return pa.table(
+                {"bg": pa.array([], type=pa.int64()),
+                 "pn": pa.array([], type=pa.int64())}
+            )
+        # bigram id = hi*2^21 | lo (codepoints < 2^21); counts per batch
+        pairs = np.concatenate(
+            [c[:-1].astype(np.int64) << 21 | c[1:].astype(np.int64) for c in cps]
+        )
+        u, cnt = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {"bg": pa.array(u, type=pa.int64()),
+             "pn": pa.array(cnt, type=pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _docs(sf_dir, columns=["text"])
+            .map_batches(bigram_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "bg" in t.column_names
+    ]
+    if parts:
+        merged = pa.concat_tables(parts)
+        bgs, counts = merge_partial_counts(
+            merged["bg"].to_numpy(zero_copy_only=False),
+            merged["pn"].to_numpy(zero_copy_only=False),
+        )
+    else:
+        bgs = counts = np.empty(0, dtype=np.int64)
+
+    # add-one-smoothed conditional log2 P(next | prev): dense per-prev
+    # normalization over the OBSERVED charset (bounded)
+    prev_ids = bgs >> 21
+    next_ids = bgs & ((1 << 21) - 1)
+    charset = np.unique(np.concatenate([prev_ids, next_ids]))
+    v = charset.size
+    pi = np.searchsorted(charset, prev_ids)
+    prev_tot = np.zeros(v, dtype=np.int64)
+    np.add.at(prev_tot, pi, counts)
+    # log2 of smoothed probability for every OBSERVED bigram; unseen
+    # bigrams of seen prev get the same smoothed floor, unseen chars get
+    # the global floor
+    obs_bits = -np.log2((counts + 1.0) / (prev_tot[pi] + v + 1.0))
+    floor_bits = -np.log2(1.0 / (prev_tot + v + 1.0))
+    global_floor = float(np.log2(v + 1.0)) if v else 1.0
+    model = ray.put((bgs, obs_bits, charset, floor_bits, global_floor))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("bits_per_bigram", pa.float64())]
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        m_bgs, m_bits, m_cs, m_floor, m_gf = ray.get(model)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_n = np.zeros(len(ids), dtype=np.int64)
+        out_b = np.zeros(len(ids), dtype=np.float64)
+        for i, t in enumerate(b["text"].to_pylist()):
+            if not t or len(t) < 2:
+                continue
+            c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            pairs = c[:-1] << 21 | c[1:]
+            pos = np.searchsorted(m_bgs, pairs)
+            pos_c = np.minimum(pos, max(m_bgs.size - 1, 0))
+            hit = (m_bgs[pos_c] == pairs) if m_bgs.size else np.zeros(
+                pairs.size, bool
+            )
+            bits = np.empty(pairs.size, dtype=np.float64)
+            bits[hit] = m_bits[pos_c[hit]]
+            # unseen bigram: floor of its prev char, or the global floor
+            miss_prev = c[:-1][~hit]
+            ppos = np.minimum(
+                np.searchsorted(m_cs, miss_prev), max(m_cs.size - 1, 0)
+            )
+            phit = (m_cs[ppos] == miss_prev) if m_cs.size else np.zeros(
+                miss_prev.size, bool
+            )
+            mb = np.full(miss_prev.size, m_gf, dtype=np.float64)
+            mb[phit] = m_floor[ppos[phit]]
+            bits[~hit] = mb
+            out_n[i] = pairs.size
+            out_b[i] = bits.mean()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": pa.array(out_n, type=pa.int64()),
+                "bits_per_bigram": pa.array(out_b, type=pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
     """Grouped distribution profile: exact per-language p25/p50/p75 of
     n_chars: (lang, n_docs, p25, p50, p75). Same mergeable-histogram design
