@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": relational.heavy_hitter_users,
         "approx_distinct_users": relational.approx_distinct_users,  # rows-only (sketch)
         "approx_value_quantiles": relational.approx_value_quantiles,  # rows-only (sketch; pytest rank-error bound)
+        "orders_global_rank": relational.orders_global_rank,
+        "top_event_type_per_user": relational.top_event_type_per_user,
+        "user_event_sequence": relational.user_event_sequence,
+        "user_value_moving_max": relational.user_value_moving_max,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -881,6 +885,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT doc_id, source FROM j "
             "WHERE m = 3 OR h < CAST(m + 1 AS HUGEINT) * 4611686018427387904"
+        ),
+        # global row_number via range-partitioned sort (sampled splitters);
+        # ranks are exact, so the compare needs no tolerance
+        "orders_global_rank": (
+            "SELECT o_orderkey, o_totalprice, "
+            "row_number() OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS rk "
+            "FROM orders"
+        ),
+        # per-user mode; tie-break = lexicographically smallest type
+        "top_event_type_per_user": (
+            "SELECT user_id, event_type AS top_type, cnt::BIGINT AS n_events "
+            "FROM (SELECT user_id, event_type, count(*) AS cnt, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "user_event_sequence": (
+            "SELECT user_id, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) AS seq, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY user_id"
+        ),
+        # max is arithmetic-free -> doubles compare bit-identically
+        "user_value_moving_max": (
+            "SELECT event_id, user_id, ts, max(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS max4 FROM events"
         ),
         "event_gaps": (
             "SELECT event_id, user_id, ts, (epoch_us(ts) - epoch_us(lag(ts) "

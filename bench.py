@@ -136,6 +136,8 @@ def run_bench(scope: str) -> dict:
             "nation_revenue", "event_transitions", "approx_value_quantiles",
             "lm_perplexity_scores",
             "lang_shared_terms", "lang_exclusive_shingles", "heavy_hitter_users",
+            "orders_global_rank", "top_event_type_per_user",
+            "user_event_sequence", "user_value_moving_max",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

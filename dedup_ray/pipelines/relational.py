@@ -1392,3 +1392,268 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096) -> rd.Dataset:
     return rd.from_pandas(
         pd.DataFrame({"user_id": top_u, "n_events": top_c})
     )
+
+
+def orders_global_rank(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
+    """Global ROW_NUMBER() over (o_totalprice, o_orderkey) WITHOUT a global
+    sort barrier — the north-rule's range-partitioned sort as a user-facing
+    operator (the same shape `stages/cluster.py` uses for edge merging):
+    (o_orderkey, o_totalprice, rk).
+
+    Three bounded passes over a 2-column projection:
+      1. sample — per-batch stride sample of the key, driver picks
+         ``num_parts - 1`` splitters from the sorted sample (the terasort
+         recipe; sample size is O(num_parts), never the row count);
+      2. count — per-batch ``bincount`` of range-partition ids (searchsorted
+         vs broadcast splitters), driver prefix-sums to global offsets —
+         what moves is O(num_blocks * num_parts) ints;
+      3. rank — ONE hash shuffle on the partition id; each range partition
+         lands whole, sorts locally by (key, tiebreak), and its ranks are
+         offset[pid] + local position. Equal keys share a pid by
+         construction (searchsorted is deterministic on the key alone), so
+         ranks are exact, not approximate.
+
+    At 10^12 rows: splitter count grows with the cluster, the sample and the
+    offset table stay O(num_parts) on the driver, and pass 3 is the same
+    one-exchange grouped_runs shuffle as every other wide operator. Skewed
+    key values (one price dominating) cap a partition at that key's row
+    count — the documented trade of range partitioning; hot single keys
+    would need a secondary-key sub-split, which the orderkey tiebreak here
+    provides for free if splitters were drawn from (price, orderkey) pairs.
+    Oracle: row_number() OVER (ORDER BY o_totalprice, o_orderkey)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = read_view(path, columns=["o_orderkey", "o_totalprice"])
+
+    # pass 1: bounded deterministic sample of the sort key
+    def sample(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        step = max(1, len(v) // 32)
+        return pa.table({"v": pa.array(v[::step], pa.float64())})
+
+    samp_parts = [
+        t["v"].to_numpy(zero_copy_only=False)
+        for t in ray.get(
+            ds.map_batches(sample, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "v" in t.column_names
+    ]
+    if not samp_parts:
+        return rd.from_arrow(
+            pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "rk": pa.array([], pa.int64())}
+            )
+        )
+    samp = np.sort(np.concatenate(samp_parts))
+    # num_parts-1 splitters at even sample quantiles
+    idx = (np.arange(1, num_parts) * len(samp)) // num_parts
+    splitters = np.unique(samp[idx])
+    n_parts = len(splitters) + 1
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(splitters, v, side="right").astype(np.int64)
+        return b.append_column("__pid__", pa.array(pid))
+
+    keyed = ds.map_batches(add_pid, batch_format="pyarrow")
+
+    # pass 2: exact per-partition counts -> global rank offsets
+    def pid_counts(b: pa.Table) -> pa.Table:
+        c = np.bincount(
+            b["__pid__"].to_numpy(zero_copy_only=False), minlength=n_parts
+        )
+        return pa.table(
+            {"pid": pa.array(np.arange(n_parts, dtype=np.int64)),
+             "n": pa.array(c.astype(np.int64))}
+        )
+
+    totals = np.zeros(n_parts, dtype=np.int64)
+    for t in ray.get(
+        keyed.map_batches(pid_counts, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "pid" in t.column_names:
+            np.add.at(
+                totals,
+                t["pid"].to_numpy(zero_copy_only=False),
+                t["n"].to_numpy(zero_copy_only=False),
+            )
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    # pass 3: one shuffle; ranks assigned per complete range partition
+    def rank_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "rk": pa.array([], pa.int64())}
+            )
+        pid = g["__pid__"].to_numpy(zero_copy_only=False)
+        starts = run_starts(pid)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, lens)
+        rk = offsets[pid] + pos + 1
+        return pa.table(
+            {"o_orderkey": g["o_orderkey"],
+             "o_totalprice": g["o_totalprice"],
+             "rk": pa.array(rk, pa.int64())}
+        )
+
+    return grouped_runs(
+        keyed,
+        "__pid__",
+        rank_runs,
+        sort_cols=["__pid__", "o_totalprice", "o_orderkey"],
+    )
+
+
+def top_event_type_per_user(sf_dir: str) -> rd.Dataset:
+    """Per-user MODE: the event_type each user emits most often, tie-break
+    lexicographically smallest type: (user_id, top_type, n_events).
+
+    Combiner shape: each batch collapses to (user_id, event_type, n)
+    partials via one Arrow group_by (the full stream never shuffles), then
+    ONE coarse hash shuffle on user_id; the bucket kernel merges partial
+    counts over (user, type) runs with add.reduceat and picks each user's
+    argmax with maximum.reduceat + a first-max-index trick (types are sorted
+    within the user run, so the first max IS the lexicographic tie-break).
+    Oracle: row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC,
+    event_type) = 1."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b["user_id"], "event_type": b["event_type"]}
+        ).group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        return t.rename_columns(["user_id", "event_type", "n"])
+
+    pairs = read_view(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(pair_partial, batch_format="pyarrow")
+
+    def mode_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "top_type": pa.array([], pa.string()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["event_type"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # merge cross-batch partials: sum n over equal (u, t) runs
+        new_pair = np.ones(len(u), dtype=bool)
+        new_pair[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        ps = np.flatnonzero(new_pair)
+        u, t = u[ps], t[ps]
+        n = np.add.reduceat(n, ps)
+        # per-user argmax, first (= lexicographically smallest) on ties
+        us = run_starts(u)
+        lens = np.diff(np.append(us, len(u)))
+        run_id = np.repeat(np.arange(len(us)), lens)
+        maxn = np.maximum.reduceat(n, us)
+        cand = np.where(n == maxn[run_id], np.arange(len(u)), len(u))
+        pick = np.minimum.reduceat(cand, us)
+        return pa.table(
+            {"user_id": pa.array(u[pick], pa.int64()),
+             "top_type": pa.array(t[pick], pa.string()),
+             "n_events": pa.array(n[pick], pa.int64())}
+        )
+
+    return grouped_runs(
+        pairs, "user_id", mode_runs, sort_cols=["user_id", "event_type"]
+    )
+
+
+def user_event_sequence(sf_dir: str) -> rd.Dataset:
+    """Per-user ordered event-type sequence — the session-mining /
+    behavioral-clustering input: (user_id, seq, n_events) with seq =
+    ','-joined event types by (ts, event_id).
+
+    ONE hash shuffle on user_id; the bucket kernel builds a ListArray
+    directly from the run offsets over the already-sorted event_type column
+    and joins it with a single Arrow binary_join kernel — no per-user Python.
+    Sequence length is bounded by per-user activity (the same bound
+    sessionize lives with); a pathological single user caps one bucket.
+    Oracle: string_agg(event_type, ',' ORDER BY ts, event_id)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def seq_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "seq": pa.array([], pa.string()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        starts = run_starts(u)
+        bounds = np.append(starts, n)
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), types
+        )
+        seq = pc.binary_join(lists, ",")
+        return pa.table(
+            {"user_id": pa.array(u[starts], pa.int64()),
+             "seq": seq,
+             "n_events": pa.array(np.diff(bounds), pa.int64())}
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return grouped_runs(
+        ds, "user_id", seq_runs, sort_cols=["user_id", "ts", "event_id"]
+    )
+
+
+def user_value_moving_max(sf_dir: str, preceding: int = 3) -> rd.Dataset:
+    """ROWS-frame moving window: per-user max(value) over the trailing
+    ``preceding``+1 events: (event_id, user_id, ts, max4). Rounds out the
+    window family with the bounded-ROWS frame (running = unbounded,
+    sliding_window_counts = RANGE). Max involves NO arithmetic, so doubles
+    compare bit-identically against the SQL window — no rounding tolerance.
+
+    Same one-shuffle shape as event_gaps: hash-partition on user_id, then a
+    k-pass shifted np.maximum inside the bucket (k = frame width, constant),
+    masked at run starts so frames never cross users."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def win_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "max4": pa.array([], pa.float64())}
+            )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        starts = run_starts(u)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, lens)
+        m = v.copy()
+        for k in range(1, preceding + 1):
+            idx = np.flatnonzero(pos >= k)
+            m[idx] = np.maximum(m[idx], v[idx - k])
+        return pa.table(
+            {"event_id": g["event_id"],
+             "user_id": g["user_id"],
+             "ts": g["ts"],
+             "max4": pa.array(m, pa.float64())}
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return grouped_runs(
+        ds, "user_id", win_runs, sort_cols=["user_id", "ts", "event_id"]
+    )

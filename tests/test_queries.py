@@ -58,6 +58,10 @@ CHECKED = [
     "heavy_hitter_users",
     "caption_quality",
     "curate_docs",
+    "orders_global_rank",
+    "top_event_type_per_user",
+    "user_event_sequence",
+    "user_value_moving_max",
 ]
 
 
