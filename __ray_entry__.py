@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_per_user": relational.top_event_type_per_user,
         "user_event_sequence": relational.user_event_sequence,
         "user_value_moving_max": relational.user_value_moving_max,
+        "exact_value_median": relational.exact_value_median,
+        "diff_snapshots": curation.diff_snapshots,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -885,6 +887,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT doc_id, source FROM j "
             "WHERE m = 3 OR h < CAST(m + 1 AS HUGEINT) * 4611686018427387904"
+        ),
+        # exact selection: rank ceil(n/2), 1-based — quantile_disc semantics
+        "exact_value_median": (
+            "SELECT quantile_disc(value, 0.5) AS median, "
+            "count(*)::BIGINT AS n_rows FROM events"
+        ),
+        # snapshot diff: the 'new' snapshot derives deterministically from
+        # documents on both sides (drop %13, append ' [v2]' on %11, spawn
+        # +1e6 rows on %17), so the diff itself is what's compared
+        "diff_snapshots": (
+            "WITH newt AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 "
+            "THEN text || ' [v2]' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id + 1000000 AS doc_id, "
+            "'new doc ' || doc_id AS text FROM documents WHERE doc_id % 17 = 0) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"
         ),
         # global row_number via range-partitioned sort (sampled splitters);
         # ranks are exact, so the compare needs no tolerance

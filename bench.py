@@ -138,6 +138,7 @@ def run_bench(scope: str) -> dict:
             "lang_shared_terms", "lang_exclusive_shingles", "heavy_hitter_users",
             "orders_global_rank", "top_event_type_per_user",
             "user_event_sequence", "user_value_moving_max",
+            "exact_value_median", "diff_snapshots",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -657,3 +657,85 @@ def curate_docs(
         keys, batch_format="pyarrow"
     )
     return grouped_runs(keyed, "th", keep_runs, sort_cols=["th", "doc_id"])
+
+
+def diff_snapshots(sf_dir: str) -> rd.Dataset:
+    """Dataset DIFF between two corpus snapshots — the curation-iteration
+    audit step ("what did this pipeline change?"): (doc_id, status) with
+    status in added / removed / changed; unchanged rows are suppressed.
+
+    The "new" snapshot is derived deterministically from ``documents`` so
+    both engines reconstruct it identically: doc_id % 13 == 0 rows are
+    dropped (removed), doc_id % 11 == 0 survivors get ' [v2]' appended
+    (changed), and each doc_id % 17 == 0 row also spawns a fresh row at
+    doc_id + 1_000_000 (added).
+
+    Scale shape: both snapshots are tagged 0/1 and unioned, then ONE coarse
+    hash shuffle on doc_id co-locates each key's (≤2) rows; the bucket
+    kernel classifies runs with two vectorized masks and an object-array
+    text compare on the both-sides runs only. Nothing broadcasts, nothing
+    materializes — the diff of two 100 TB snapshots moves each side once.
+    Oracle: FULL OUTER JOIN o/n ON doc_id with NULL/inequality cases."""
+
+    def make_old(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": b["text"],
+             "side": pa.array(np.zeros(b.num_rows, np.int8))}
+        )
+
+    def make_new(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_numpy(zero_copy_only=False)
+        keep = did % 13 != 0
+        kd, kt = did[keep], txt[keep]
+        changed = kd % 11 == 0
+        kt = np.where(changed, np.char.add(kt.astype(str), " [v2]"), kt)
+        add_src = did[did % 17 == 0]
+        out_id = np.concatenate([kd, add_src + 1_000_000])
+        out_tx = np.concatenate(
+            [kt, np.char.add("new doc ", add_src.astype(str))]
+        )
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "text": pa.array(out_tx, pa.string()),
+             "side": pa.array(np.ones(len(out_id), np.int8))}
+        )
+
+    cols = ["doc_id", "text"]
+    old = _docs(sf_dir, columns=cols).map_batches(make_old, batch_format="pyarrow")
+    new = _docs(sf_dir, columns=cols).map_batches(make_new, batch_format="pyarrow")
+
+    def diff_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "status": pa.array([], pa.string())}
+            )
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        txt = g["text"].to_numpy(zero_copy_only=False)
+        starts = run_starts(did)
+        lens = np.diff(np.append(starts, n))
+        out_id, out_st = [], []
+        one = lens == 1
+        # singletons: side decides added/removed (sorted by [doc_id, side])
+        s1 = starts[one]
+        out_id.append(did[s1])
+        out_st.append(np.where(side[s1] == 0, "removed", "added"))
+        # pairs: changed iff text differs (equal rows are suppressed)
+        s2 = starts[~one]
+        if s2.size:
+            diffm = txt[s2] != txt[s2 + 1]
+            out_id.append(did[s2[diffm]])
+            out_st.append(np.full(int(diffm.sum()), "changed", dtype=object))
+        ids = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        sts = np.concatenate(out_st) if out_st else np.empty(0, object)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "status": pa.array(sts.astype(object), pa.string())}
+        )
+
+    return grouped_runs(
+        old.union(new), "doc_id", diff_runs, sort_cols=["doc_id", "side"]
+    )

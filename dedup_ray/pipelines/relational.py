@@ -1657,3 +1657,83 @@ def user_value_moving_max(sf_dir: str, preceding: int = 3) -> rd.Dataset:
     return grouped_runs(
         ds, "user_id", win_runs, sort_cols=["user_id", "ts", "event_id"]
     )
+
+
+def exact_value_median(sf_dir: str, k: int = 512) -> pa.Table:
+    """EXACT median of the continuous ``events.value`` column — an unbounded
+    double domain where the (value, count) histogram would be as big as the
+    data: (median, n_rows).
+
+    Sketch-bounded exact selection, two streamed passes and NO shuffle:
+      1. per-batch KLL partial sketches fold driver-side (state O(k·log n));
+         the sketch brackets the median with a widening margin around q=0.5;
+      2. one pass counts rows strictly below the bracket and collects ONLY
+         the in-bracket values (≈ rank-error · n of them — at k=512 well
+         under 1% of the column); the exact rank-ceil(n/2) element is then
+         selected from the collected slice.
+    If the true rank falls outside the bracket (sketch error beyond margin),
+    the margin doubles and pass 2 re-runs — a self-correcting loop that
+    terminates because the margin reaches q∈[0,1]. At 10^12 rows the
+    collected slice is the knob: raise k (error ~ 1/k) or recurse the
+    selection inside the bracket instead of collecting it; the loop
+    structure here IS that recursion's outer case. Oracle:
+    quantile_disc(value, 0.5) — rank ceil(n/2), 1-based, same semantics."""
+    from dedup_ray.functions.sketch import QuantileSketch
+
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).add(b["value"].to_numpy(zero_copy_only=False))
+        rows = sk.to_rows()
+        if not rows:
+            return pa.table(
+                {"lvl": pa.array([], pa.int32()),
+                 "vals": pa.array([], pa.list_(pa.float64())),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"lvl": pa.array([r[0] for r in rows], type=pa.int32()),
+             "vals": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
+             "cnt": pa.array([b.num_rows] + [0] * (len(rows) - 1), pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table(
+            {"median": pa.array([], pa.float64()),
+             "n_rows": pa.array([], pa.int64())}
+        )
+    sk = QuantileSketch.from_rows([(r["lvl"], r["vals"]) for r in parts], k)
+    n = int(sum(r["cnt"] for r in parts))
+    target = max(1, -(-n // 2))  # rank ceil(n/2), 1-based
+
+    margin = 0.02
+    while True:
+        lo_q, hi_q = max(0.0, 0.5 - margin), min(1.0, 0.5 + margin)
+        lo, hi = sk.quantiles([lo_q, hi_q])
+        if lo_q == 0.0:
+            lo = -np.inf
+        if hi_q == 1.0:
+            hi = np.inf
+
+        def scan(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            inb = v[(v >= lo) & (v <= hi)]
+            return pa.table(
+                {"below": pa.array([int(np.count_nonzero(v < lo))], pa.int64()),
+                 "inb": pa.array([inb.tolist()], pa.list_(pa.float64()))}
+            )
+
+        rows2 = ds.map_batches(scan, batch_format="pyarrow").take_all()
+        below = sum(r["below"] for r in rows2)
+        collected = np.concatenate(
+            [np.asarray(r["inb"], np.float64) for r in rows2]
+        ) if rows2 else np.empty(0)
+        if below < target <= below + collected.size:
+            collected.sort()
+            med = float(collected[target - below - 1])
+            return pa.table(
+                {"median": pa.array([med], pa.float64()),
+                 "n_rows": pa.array([n], pa.int64())}
+            )
+        margin *= 2.0  # sketch error exceeded the margin: widen and retry

@@ -62,6 +62,8 @@ CHECKED = [
     "top_event_type_per_user",
     "user_event_sequence",
     "user_value_moving_max",
+    "exact_value_median",
+    "diff_snapshots",
 ]
 
 
