@@ -100,6 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phash_hamming_search(_corpus(sf_dir))
 
+    def decontaminate_images_q(sf_dir: str):
+        from dedup_ray.pipelines.neardup import decontaminate_images
+
+        return decontaminate_images(_corpus(sf_dir))
+
     def corpus_format_stats(sf_dir: str):
         from dedup_ray.pipelines.neardup import corpus_format_stats as cfs
 
@@ -263,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_moving_max": relational.user_value_moving_max,
         "exact_value_median": relational.exact_value_median,
         "diff_snapshots": curation.diff_snapshots,
+        "events_window_dedup": relational.events_window_dedup,
+        "decontaminate_images": decontaminate_images_q,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -887,6 +894,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT doc_id, source FROM j "
             "WHERE m = 3 OR h < CAST(m + 1 AS HUGEINT) * 4611686018427387904"
+        ),
+        # windowed dedup: first per (user, type, hour); integer-us windows
+        "events_window_dedup": (
+            "SELECT event_id, user_id, event_type, ts FROM ("
+            "SELECT event_id, user_id, event_type, ts, "
+            "row_number() OVER (PARTITION BY user_id, event_type, "
+            "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        # image decontamination: eval = numeric id suffix % 50 == 0;
+        # train rows within Hamming<=6 of any eval phash
+        "decontaminate_images": (
+            f"WITH c AS (SELECT image_id, phash FROM "
+            f"read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')), "
+            "e AS (SELECT image_id AS eval_id, phash AS eh FROM c "
+            "WHERE CAST(substr(image_id, 5) AS BIGINT) % 50 = 0), "
+            "t AS (SELECT image_id, phash FROM c "
+            "WHERE CAST(substr(image_id, 5) AS BIGINT) % 50 <> 0) "
+            "SELECT t.image_id, e.eval_id, "
+            "bit_count(xor(e.eh, t.phash))::BIGINT AS dist "
+            "FROM t CROSS JOIN e "
+            "WHERE bit_count(xor(e.eh, t.phash)) <= 6"
         ),
         # exact selection: rank ceil(n/2), 1-based — quantile_disc semantics
         "exact_value_median": (

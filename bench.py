@@ -139,6 +139,7 @@ def run_bench(scope: str) -> dict:
             "orders_global_rank", "top_event_type_per_user",
             "user_event_sequence", "user_value_moving_max",
             "exact_value_median", "diff_snapshots",
+            "events_window_dedup", "decontaminate_images",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

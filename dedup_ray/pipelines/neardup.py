@@ -467,3 +467,67 @@ def caption_quality(input_path: str) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def decontaminate_images(
+    input_path: str, eval_mod: int = 50, radius: int = 6
+) -> rd.Dataset:
+    """Cross-corpus image decontamination — the image analog of
+    ``curation.decontaminate_docs``: flag training images whose perceptual
+    hash is within Hamming ``radius`` of ANY held-out eval image:
+    (image_id, eval_id, dist). Near-duplicate eval leakage is the
+    train/test contamination mode exact byte matching misses (re-encoded,
+    resized, slightly-cropped copies).
+
+    The eval set here derives deterministically from the corpus (numeric
+    id suffix % ``eval_mod`` == 0) so both engines agree on it; eval rows
+    themselves are excluded from the train side. Scale shape: an eval set
+    is small by definition — its (id, phash) pairs are collected once
+    (bounded driver state) and broadcast into ONE streamed XOR+popcount
+    map over the corpus projection; no shuffle, bytes never load. A large
+    eval set would swap in the banded phash multi-index (the flagship's
+    band keys) behind the same output schema, exactly like
+    ``phash_hamming_search`` documents."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.functions.hashing import hamming64
+
+    cols = read_table(input_path, columns=["image_id", "phash"])
+
+    def eval_rows(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_numpy(zero_copy_only=False)
+        suffix = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+        return b.filter(pa.array(suffix % eval_mod == 0))
+
+    ev = cols.map_batches(eval_rows, batch_format="pyarrow").take_all()
+    ev_ids = np.array([r["image_id"] for r in ev], dtype=object)
+    ev_hashes = np.array([r["phash"] for r in ev], dtype=np.int64)
+    ev_id_set = set(ev_ids.tolist())
+
+    out_schema = pa.schema(
+        [("image_id", pa.string()), ("eval_id", pa.string()),
+         ("dist", pa.int64())]
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_numpy(zero_copy_only=False)
+        h = b["phash"].to_numpy(zero_copy_only=False)
+        train = np.array([i not in ev_id_set for i in ids], dtype=bool)
+        ids, h = ids[train], h[train]
+        outs = []
+        for qi, qh in zip(ev_ids, ev_hashes):
+            d = hamming64(h, np.full(len(h), qh, dtype=np.int64))
+            keep = d <= radius
+            if keep.any():
+                outs.append(pa.table(
+                    {"image_id": pa.array(ids[keep], type=pa.string()),
+                     "eval_id": pa.array(
+                         np.full(int(keep.sum()), qi), type=pa.string()),
+                     "dist": pa.array(d[keep], type=pa.int64())}
+                ))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return cols.map_batches(probe, batch_format="pyarrow")

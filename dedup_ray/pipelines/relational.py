@@ -1737,3 +1737,45 @@ def exact_value_median(sf_dir: str, k: int = 512) -> pa.Table:
                  "n_rows": pa.array([n], pa.int64())}
             )
         margin *= 2.0  # sketch error exceeded the margin: widen and retry
+
+
+def events_window_dedup(sf_dir: str) -> rd.Dataset:
+    """Windowed dedup: the FIRST event per (user_id, event_type, 1-hour
+    window): (event_id, user_id, event_type, ts). The streaming-ingestion
+    staple — "seen this key in this window already?" — expressed as a batch
+    operator: ONE hash shuffle on user_id, then a vectorized
+    neighbor-inequality keep mask over (user, type, window) runs (rows are
+    sorted by ts within (user, type), so the first row of each window run
+    is the earliest). Window ids are integer microsecond floors — no float
+    epoch arithmetic to disagree over. Oracle: row_number() OVER (PARTITION
+    BY user_id, event_type, epoch_us(ts) // 3600000000) = 1."""
+    from dedup_ray.stages.grouped import grouped_runs
+
+    win_us = np.int64(3_600_000_000)
+
+    def dedup_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "ts": pa.array([], pa.timestamp("us"))}
+            )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["event_type"].to_numpy(zero_copy_only=False)
+        w = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // win_us
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1]) | (w[1:] != w[:-1])
+        return g.select(["event_id", "user_id", "event_type", "ts"]).filter(
+            pa.array(keep)
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return grouped_runs(
+        ds, "user_id", dedup_runs,
+        sort_cols=["user_id", "event_type", "ts", "event_id"],
+    )

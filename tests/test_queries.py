@@ -64,6 +64,8 @@ CHECKED = [
     "user_value_moving_max",
     "exact_value_median",
     "diff_snapshots",
+    "events_window_dedup",
+    "decontaminate_images",
 ]
 
 
