@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_snapshots": curation.diff_snapshots,
         "events_window_dedup": relational.events_window_dedup,
         "decontaminate_images": decontaminate_images_q,
+        "latest_event_per_user": relational.latest_event_per_user,
+        "funnel_conversions": relational.funnel_conversions,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -894,6 +896,25 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT doc_id, source FROM j "
             "WHERE m = 3 OR h < CAST(m + 1 AS HUGEINT) * 4611686018427387904"
+        ),
+        # latest-row-per-key: newest event version per user
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, event_type, ts, value FROM ("
+            "SELECT user_id, event_id, event_type, ts, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        # funnel: purchases preceded by >=1 view inside the trailing hour;
+        # the oracle pays the quadratic self-join the Ray kernel avoids
+        "funnel_conversions": (
+            "WITH p AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'), "
+            "c AS (SELECT DISTINCT p.user_id, p.event_id FROM p JOIN v "
+            "ON v.user_id = p.user_id AND v.ts < p.ts "
+            "AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000) "
+            "SELECT user_id, count(*)::BIGINT AS n_conversions "
+            "FROM c GROUP BY user_id"
         ),
         # windowed dedup: first per (user, type, hour); integer-us windows
         "events_window_dedup": (

@@ -140,6 +140,7 @@ def run_bench(scope: str) -> dict:
             "user_event_sequence", "user_value_moving_max",
             "exact_value_median", "diff_snapshots",
             "events_window_dedup", "decontaminate_images",
+            "latest_event_per_user", "funnel_conversions",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

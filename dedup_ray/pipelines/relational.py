@@ -1779,3 +1779,106 @@ def events_window_dedup(sf_dir: str) -> rd.Dataset:
         ds, "user_id", dedup_runs,
         sort_cols=["user_id", "event_type", "ts", "event_id"],
     )
+
+
+def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    """Latest-row-per-key: each user's MOST RECENT event with its payload
+    (user_id, event_id, event_type, ts, value) — the dimension-refresh /
+    CDC-compaction staple (keep the newest version of every key).
+
+    ONE hash shuffle on user_id; rows arrive sorted by (user, ts, event_id)
+    so each run's LAST row is the winner — the keep mask is one shifted
+    neighbor-inequality compare, no per-user Python. Ties on ts break to the
+    larger event_id (the sort's last row), pinned on both sides.
+    Oracle: row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+    event_id DESC) = 1."""
+    from dedup_ray.stages.grouped import grouped_runs
+
+    def last_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "event_id": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "value": pa.array([], pa.float64())}
+            )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        keep = np.ones(n, dtype=bool)
+        keep[:-1] = u[:-1] != u[1:]  # last row of each user run
+        return g.select(
+            ["user_id", "event_id", "event_type", "ts", "value"]
+        ).filter(pa.array(keep))
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts", "value"],
+    )
+    return grouped_runs(
+        ds, "user_id", last_runs, sort_cols=["user_id", "ts", "event_id"]
+    )
+
+
+def funnel_conversions(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """Funnel analysis: users who performed a 'view' followed by a
+    'purchase' within ``window_s`` seconds, with their conversion count:
+    (user_id, n_conversions) where n_conversions = number of purchases
+    preceded by >=1 view inside the trailing window (view strictly before
+    the purchase).
+
+    ONE hash shuffle on user_id; the bucket kernel is fully vectorized: a
+    forward-fill (maximum.accumulate over view indices) finds each row's
+    most recent view, run-start comparison confines it to the same user,
+    and one subtraction applies the window — any view in the window implies
+    the LATEST view is in it, so the forward-fill answers the EXISTS. The
+    equal-timestamp edge (a view at exactly the purchase ts must not shadow
+    an earlier in-window view) is handled by the sort itself: event_type is
+    the ts tiebreak and 'purchase' < 'view' alphabetically, so same-ts
+    views sort AFTER the purchase and never enter its forward-fill. The SQL
+    oracle pays a quadratic self-join for the same answer; at 10^12 events
+    this O(n log n)-per-bucket formulation is the point."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def funnel_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_conversions": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_v = et == "view"
+        is_p = et == "purchase"
+        if not (is_v.any() and is_p.any()):
+            return empty
+        starts = run_starts(u)
+        lens = np.diff(np.append(starts, n))
+        row_start = np.repeat(starts, lens)
+        # index of the most recent view at or before each stream position
+        vidx = np.where(is_v, np.arange(n), -1)
+        ff = np.maximum.accumulate(vidx)
+        valid = ff >= row_start  # view belongs to this user's run
+        vts = tsv[np.maximum(ff, 0)]
+        conv = is_p & valid & (vts < tsv) & (tsv - vts <= win_us)
+        cu = u[conv]
+        if cu.size == 0:
+            return empty
+        cs = run_starts(cu)
+        return pa.table(
+            {"user_id": pa.array(cu[cs], pa.int64()),
+             "n_conversions": pa.array(
+                 np.diff(np.append(cs, cu.size)), pa.int64())}
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return grouped_runs(
+        ds, "user_id", funnel_runs, sort_cols=["user_id", "ts", "event_type"]
+    )

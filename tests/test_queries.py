@@ -66,6 +66,8 @@ CHECKED = [
     "diff_snapshots",
     "events_window_dedup",
     "decontaminate_images",
+    "latest_event_per_user",
+    "funnel_conversions",
 ]
 
 
