@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_images": decontaminate_images_q,
         "latest_event_per_user": relational.latest_event_per_user,
         "funnel_conversions": relational.funnel_conversions,
+        "source_dedup_stats": curation.source_dedup_stats,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -896,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN hx USING (doc_id)) "
             "SELECT doc_id, source FROM j "
             "WHERE m = 3 OR h < CAST(m + 1 AS HUGEINT) * 4611686018427387904"
+        ),
+        # per-source dedup health; ratio = one IEEE division of exact ints
+        "source_dedup_stats": (
+            "SELECT source, count(*)::BIGINT AS n_rows, "
+            "count(DISTINCT text)::BIGINT AS n_distinct, "
+            "count(DISTINCT text) * 1.0 / count(*) AS distinct_ratio "
+            "FROM documents GROUP BY source"
         ),
         # latest-row-per-key: newest event version per user
         "latest_event_per_user": (

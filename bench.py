@@ -141,6 +141,7 @@ def run_bench(scope: str) -> dict:
             "exact_value_median", "diff_snapshots",
             "events_window_dedup", "decontaminate_images",
             "latest_event_per_user", "funnel_conversions",
+            "source_dedup_stats",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -739,3 +739,60 @@ def diff_snapshots(sf_dir: str) -> rd.Dataset:
     return grouped_runs(
         old.union(new), "doc_id", diff_runs, sort_cols=["doc_id", "side"]
     )
+
+
+def source_dedup_stats(sf_dir: str) -> rd.Dataset:
+    """Per-source duplication health report — the curation dashboard's
+    first row: (source, n_rows, n_distinct, distinct_ratio) where
+    distinct_ratio = n_distinct / n_rows (one IEEE division of exact ints,
+    bit-identical on both engines).
+
+    Combiner shape: each batch collapses to its distinct (source, text)
+    pairs plus a per-source row-count partial, so the full stream never
+    shuffles; ONE coarse hash shuffle on source, then run counts. The
+    distinct pairs carry the text once (needed for cross-batch distinct);
+    at 100 TB you'd collapse text to a 128-bit digest in the combiner
+    first — same shape, digest instead of payload (the documented swap,
+    cf. exact text dedup's text_hash)."""
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "text": b["text"]})
+        d = t.group_by(["source", "text"]).aggregate([("text", "count")])
+        return d.rename_columns(["source", "text", "n"])
+
+    pairs = _docs(sf_dir, columns=["source", "text"]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+
+    def stats_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "n_rows": pa.array([], pa.int64()),
+                 "n_distinct": pa.array([], pa.int64()),
+                 "distinct_ratio": pa.array([], pa.float64())}
+            )
+        s = g["source"].to_numpy(zero_copy_only=False)
+        txt = g["text"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = run_starts(s)
+        bounds = np.append(starts, len(s))
+        # distinct (source, text) pairs across batches: new-pair mask
+        new_pair = np.ones(len(s), dtype=bool)
+        new_pair[1:] = (s[1:] != s[:-1]) | (txt[1:] != txt[:-1])
+        cm_d = np.concatenate([[0], np.cumsum(new_pair)])
+        cm_n = np.concatenate([[0], np.cumsum(n)])
+        n_rows = cm_n[bounds[1:]] - cm_n[bounds[:-1]]
+        n_dist = cm_d[bounds[1:]] - cm_d[bounds[:-1]]
+        return pa.table(
+            {"source": pa.array(s[starts]),
+             "n_rows": pa.array(n_rows, pa.int64()),
+             "n_distinct": pa.array(n_dist, pa.int64()),
+             "distinct_ratio": pa.array(
+                 n_dist.astype(np.float64) / n_rows.astype(np.float64),
+                 pa.float64())}
+        )
+
+    return grouped_runs(
+        pairs, "source", stats_runs, sort_cols=["source", "text"]
+    )

@@ -68,6 +68,7 @@ CHECKED = [
     "decontaminate_images",
     "latest_event_per_user",
     "funnel_conversions",
+    "source_dedup_stats",
 ]
 
 
