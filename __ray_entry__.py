@@ -272,6 +272,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_images": decontaminate_images_q,
         "latest_event_per_user": relational.latest_event_per_user,
         "funnel_conversions": relational.funnel_conversions,
+        "shipping_priority": relational.shipping_priority,
+        "events_pivot": relational.events_pivot,
+        "user_value_ntile": relational.user_value_ntile,
+        "value_stats_by_type": relational.value_stats_by_type,
+        "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
@@ -923,6 +928,56 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000) "
             "SELECT user_id, count(*)::BIGINT AS n_conversions "
             "FROM c GROUP BY user_id"
+        ),
+        # Q3 shape: revenue summed as exact int ten-thousandths then divided
+        # once (bit-identical doubles); ties broken by orderkey ascending
+        "shipping_priority": (
+            "SELECT o_orderkey, o_orderdate, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT)) / 10000.0 AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY o_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        # NTILE size rule: first n%k buckets get ceil(n/k) rows; ordering
+        # (value, event_id) is total so both engines agree exactly
+        "user_value_ntile": (
+            "SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id "
+            "ORDER BY value, event_id)::BIGINT AS tile FROM events"
+        ),
+        # mergeable moments; floats rounded to 4 (sum order differs)
+        "value_stats_by_type": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "round(avg(value), 4) AS mean, "
+            "round(stddev_samp(value), 4) AS stddev "
+            "FROM events GROUP BY event_type"
+        ),
+        # inverted index: df over distinct (term, doc) pairs; postings =
+        # first 20 doc_ids ascending, comma-joined on both engines
+        "term_postings": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents), "
+            "d AS (SELECT DISTINCT doc_id, t FROM tok), "
+            "r AS (SELECT t, doc_id, row_number() OVER (PARTITION BY t "
+            "ORDER BY doc_id) AS rn FROM d) "
+            "SELECT t AS term, count(*)::BIGINT AS df, "
+            "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) "
+            "FILTER (rn <= 20) AS postings FROM r GROUP BY t"
+        ),
+        # per-user event-type pivot (fixed column map)
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click')::BIGINT AS n_click, "
+            "count(*) FILTER (event_type = 'error')::BIGINT AS n_error, "
+            "count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase, "
+            "count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup, "
+            "count(*) FILTER (event_type = 'view')::BIGINT AS n_view "
+            "FROM events GROUP BY user_id"
         ),
         # windowed dedup: first per (user, type, hour); integer-us windows
         "events_window_dedup": (

@@ -141,7 +141,8 @@ def run_bench(scope: str) -> dict:
             "exact_value_median", "diff_snapshots",
             "events_window_dedup", "decontaminate_images",
             "latest_event_per_user", "funnel_conversions",
-            "source_dedup_stats",
+            "source_dedup_stats", "shipping_priority", "events_pivot",
+            "user_value_ntile", "value_stats_by_type", "term_postings",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -1055,3 +1055,53 @@ def _lang_term_setop(
         partial, batch_format="pyarrow"
     )
     return grouped_runs(parts, "token", setop_runs, sort_cols=["token", "is_b"])
+
+
+def term_postings(sf_dir: str, max_postings: int = 20) -> rd.Dataset:
+    """Inverted index: (term, df, postings) where df = # distinct docs
+    containing the term and postings = the first ``max_postings`` doc_ids
+    ascending, comma-joined — the search-engine posting-list build, capped
+    so the output row stays bounded no matter how common the term.
+
+    Scale shape: ONE shuffle of the distinct (term, doc) pair set (the
+    per-batch combiner dedups before anything moves), grouped_runs by term,
+    then run-length df + a head slice per run. The per-run string join is
+    Python but runs once per VOCAB ENTRY (bounded), not per posting."""
+    from dedup_ray.pipelines.curation import _token_lists
+    from dedup_ray.stages.grouped import distinct_pairs, grouped_runs, run_starts
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks, counts = _token_lists(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        toks, doc = distinct_pairs(toks, np.repeat(ids, counts))
+        return pa.table(
+            {"term": pa.array(toks.astype(object), type=pa.string()),
+             "doc_id": pa.array(doc, type=pa.int64())}
+        )
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+    )
+
+    def postings_runs(g: pa.Table) -> pa.Table:
+        t = g["term"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return out_schema.empty_table()
+        starts = run_starts(t)
+        bounds = np.append(starts, len(t))
+        lens = np.diff(bounds)
+        post = [
+            ",".join(map(str, d[s: min(s + max_postings, e)]))
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
+        return pa.table(
+            {"term": pa.array(t[starts].astype(object), type=pa.string()),
+             "df": pa.array(lens, type=pa.int64()),
+             "postings": pa.array(post, type=pa.string())}
+        )
+
+    p = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    return grouped_runs(p, "term", postings_runs, sort_cols=["term", "doc_id"])

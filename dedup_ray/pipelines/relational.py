@@ -1882,3 +1882,242 @@ def funnel_conversions(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     return grouped_runs(
         ds, "user_id", funnel_runs, sort_cols=["user_id", "ts", "event_type"]
     )
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment — (o_orderkey, o_orderdate, revenue), revenue descending,
+    orderkey ascending on ties.
+
+    Join plan mirrors nation_revenue: the customer segment filter is a
+    BROADCAST membership probe (sorted custkey array shipped once via
+    ray.put), the orders date filter rides the same map_batches, and the
+    one big-big hop (filtered orders x filtered lineitem) is a single
+    co-partitioning shuffle_join. Revenue is summed as exact int64
+    ten-thousandths and divided once at the end (bit-identical doubles on
+    both engines). Per-order totals come from grouped_runs on o_orderkey —
+    only (orderkey, date, partial) rows shuffle — then local top-k per
+    bucket + a k-row global sort-limit, so the driver never sees more than
+    k rows per bucket."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+    from dedup_ray.stages.join import shuffle_join
+
+    cutoff = np.datetime64("1998-06-01").astype("datetime64[us]").astype(np.int64)
+    cust = read_view(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(
+            dtype=np.int64
+        )
+    )
+    ref = ray.put(keys)
+
+    def probe_orders(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        odate = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, ck), max(len(ks) - 1, 0))
+        hit = (ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)) & (
+            odate < cutoff
+        )
+        m = pa.array(hit)
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"].filter(m),
+             "o_orderdate": b["o_orderdate"].filter(m)}
+        )
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(probe_orders, batch_format="pyarrow")
+
+    def ship_filter(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = pa.array(sd > cutoff)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"].filter(m),
+             "l_extendedprice": b["l_extendedprice"].filter(m),
+             "l_discount": b["l_discount"].filter(m)}
+        )
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(ship_filter, batch_format="pyarrow")
+    joined = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dpct = np.round(
+            (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
+             "r": pa.array(cents * dpct, type=pa.int64())}
+        )
+        g = t.group_by(["o_orderkey", "o_orderdate"]).aggregate([("r", "sum")])
+        return g.rename_columns(["o_orderkey", "o_orderdate", "pr"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def order_totals(g: pa.Table) -> pa.Table:
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        pr = g["pr"].to_numpy(zero_copy_only=False)
+        starts = run_starts(ok)
+        bounds = np.append(starts, len(ok))
+        cm = np.concatenate([[0], np.cumsum(pr)])
+        tot = cm[bounds[1:]] - cm[bounds[:-1]]
+        t = pa.table(
+            {"o_orderkey": pa.array(ok[starts], pa.int64()),
+             "o_orderdate": g["o_orderdate"].take(pa.array(starts)),
+             "revenue": pa.array(
+                 tot.astype(np.float64) / 10000.0, pa.float64())}
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    return (
+        grouped_runs(partials, "o_orderkey", order_totals)
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_pivot(sf_dir: str) -> rd.Dataset:
+    """Per-user event-type pivot: (user_id, n_click, n_error, n_purchase,
+    n_signup, n_view) — the wide activity matrix a feature store exports.
+
+    Pivot-early shape: each batch collapses to one row per user already in
+    column form (np.add.at scatter into a (users x types) matrix), so the
+    shuffle moves pre-pivoted partials — never event rows — and the final
+    groupby sums fixed int64 columns. Unknown types are dropped by the
+    fixed column map (schema stability beats silent column explosion at
+    scale; extend TYPES to widen)."""
+    types = ("click", "error", "purchase", "signup", "view")
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].combine_chunks().dictionary_encode()
+        col_of = np.array(
+            [types.index(v) if v in types else -1
+             for v in et.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        codes = col_of[et.indices.to_numpy(zero_copy_only=False)]
+        uu, inv = np.unique(uid, return_inverse=True)
+        m = np.zeros((len(uu), len(types)), np.int64)
+        ok = codes >= 0
+        np.add.at(m, (inv[ok], codes[ok]), 1)
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()),
+             **{f"n_{t}": pa.array(m[:, i], pa.int64())
+                for i, t in enumerate(types)}}
+        )
+
+    cols = [f"n_{t}" for t in types]
+    agg = (
+        read_view(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum(cols)
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"user_id": b["user_id"],
+             **{c: b[f"sum({c})"].cast(pa.int64()) for c in cols}}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def user_value_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """NTILE(k) per user over event value: (event_id, user_id, tile) with
+    tile in 1..k, ordered by (value, event_id) within the user — the
+    per-entity quantile-bucket labeler (spend tiers, engagement bands).
+
+    One hash shuffle on user_id (grouped_runs), then the NTILE size rule —
+    first n%k buckets get ceil(n/k) rows — evaluated vectorized per run
+    via run ranks; no per-group Python."""
+    from dedup_ray.stages.grouped import grouped_runs, run_ranks, run_starts
+
+    def ntile_runs(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.schema(
+                [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("tile", pa.int64())]
+            ).empty_table()
+        starts = run_starts(u)
+        lens = np.diff(np.append(starts, len(u)))
+        r = run_ranks(u)
+        n = np.repeat(lens, lens)
+        q, rem = n // k, n % k
+        big = rem * (q + 1)  # rows covered by the ceil-sized buckets
+        tile = np.where(
+            r < big,
+            r // np.maximum(q + 1, 1),
+            rem + (r - big) // np.maximum(q, 1),
+        ) + 1
+        return pa.table(
+            {"event_id": g["event_id"],
+             "user_id": g["user_id"],
+             "tile": pa.array(tile, type=pa.int64())}
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return grouped_runs(
+        ds, "user_id", ntile_runs, sort_cols=["user_id", "value", "event_id"]
+    )
+
+
+def value_stats_by_type(sf_dir: str) -> rd.Dataset:
+    """Distributed moments per event_type: (event_type, n, mean, stddev)
+    — sample stddev, both floats rounded to 4 (sum order differs between
+    engines). Single pass: per-batch (count, sum, sumsq) partials, one
+    tiny groupby, closed-form combine — the mergeable-moments shape that
+    never reshuffles the event stream."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {"event_type": b["event_type"],
+             "v": b["value"],
+             "v2": pa.array(v * v, type=pa.float64())}
+        )
+        g = t.group_by("event_type").aggregate(
+            [("v", "sum"), ("v2", "sum"),
+             ("v", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "pn": g["v_count"],
+             "ps": g["v_sum"], "pq": g["v2_sum"]}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["pn", "ps", "pq"])
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["sum(pn)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["sum(ps)"].to_numpy(zero_copy_only=False)
+        q = b["sum(pq)"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = np.maximum(q - n * mean * mean, 0.0) / np.maximum(n - 1, 1)
+        return pa.table(
+            {"event_type": b["event_type"],
+             "n": pa.array(n.astype(np.int64), pa.int64()),
+             "mean": pa.array(np.round(mean, 4), pa.float64()),
+             "stddev": pa.array(np.round(np.sqrt(var), 4), pa.float64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -69,6 +69,11 @@ CHECKED = [
     "latest_event_per_user",
     "funnel_conversions",
     "source_dedup_stats",
+    "shipping_priority",
+    "events_pivot",
+    "user_value_ntile",
+    "value_stats_by_type",
+    "term_postings",
 ]
 
 
