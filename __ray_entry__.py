@@ -209,7 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "size_groups": text.size_groups,
         "cascade_stats": text.cascade_stats,
         # --- dedup over documents ---
-        "minhash_neardup_docs": text.minhash_neardup_clusters,  # rows-only
+        "minhash_neardup_docs": text.minhash_neardup_clusters,  # SQL-checked
+        "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
         "doc_jaccard_search": text.doc_jaccard_search,
@@ -276,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "user_value_ntile": relational.user_value_ntile,
         "value_stats_by_type": relational.value_stats_by_type,
+        "revenue_running_by_date": relational.revenue_running_by_date,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
         # --- similarity search ---
@@ -494,12 +496,22 @@ def _sketch_oracles() -> dict[str, str]:
         "WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3"
     )
 
+    # dedup APPLY: same CC CTEs, then keep docs that are unclustered or
+    # their own cluster keeper (min-label == own id)
+    minhash_keep_sql = minhash_sql.replace(
+        "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",
+        ", cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid FROM r GROUP BY n) "
+        "SELECT d.doc_id, d.lang, d.source FROM documents d "
+        "LEFT JOIN cl USING (doc_id) WHERE cl.cid IS NULL OR cl.cid = d.doc_id",
+    )
+
     return {
         "simhash_near_pairs": simhash_sql,
         "fingerprints_docs": fingerprints_sql,
         "embedding_lsh_buckets": lsh_buckets_sql,
         "embedding_neardup_lsh": neardup_lsh_sql,
         "minhash_neardup_docs": minhash_sql,
+        "minhash_dedup_keep": minhash_keep_sql,
     }
 
 
@@ -948,6 +960,13 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntile": (
             "SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id)::BIGINT AS tile FROM events"
+        ),
+        # global prefix scan; cents accumulate as exact ints on both sides
+        "revenue_running_by_date": (
+            "SELECT o_orderkey, o_orderdate, "
+            "sum(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "OVER (ORDER BY o_orderdate, o_orderkey) / 100.0 AS cum_revenue "
+            "FROM orders"
         ),
         # mergeable moments; floats rounded to 4 (sum order differs)
         "value_stats_by_type": (

@@ -143,6 +143,7 @@ def run_bench(scope: str) -> dict:
             "latest_event_per_user", "funnel_conversions",
             "source_dedup_stats", "shipping_priority", "events_pivot",
             "user_value_ntile", "value_stats_by_type", "term_postings",
+            "minhash_dedup_keep", "revenue_running_by_date",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

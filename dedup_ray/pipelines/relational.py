@@ -2121,3 +2121,108 @@ def value_stats_by_type(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def revenue_running_by_date(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
+    """Global running revenue over orders in (o_orderdate, o_orderkey)
+    order WITHOUT a global sort barrier: (o_orderkey, o_orderdate,
+    cum_revenue) — the distributed prefix-scan primitive, range-partitioned
+    exactly like orders_global_rank but carrying SUMS instead of counts.
+
+    Three bounded passes: (1) stride-sample the date key, driver picks
+    splitters; (2) per-batch per-partition cent totals, driver exclusive-
+    prefix-sums to partition offsets (O(num_blocks x num_parts) ints move);
+    (3) ONE hash shuffle on partition id, local sort + cumsum + offset.
+    Revenue accumulates as exact int64 cents and divides once at the end,
+    so both engines emit bit-identical doubles. Equal dates share a
+    partition by construction (searchsorted on the date alone), so the
+    (date, orderkey) tiebreak is resolved inside one partition and the
+    scan is exact."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        step = max(1, len(v) // 32)
+        return pa.table({"v": pa.array(v[::step], pa.int64())})
+
+    samp_parts = [
+        t["v"].to_numpy(zero_copy_only=False)
+        for t in ray.get(
+            ds.map_batches(sample, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "v" in t.column_names
+    ]
+    empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "o_orderdate": pa.array([], pa.timestamp("us")),
+         "cum_revenue": pa.array([], pa.float64())}
+    )
+    if not samp_parts:
+        return rd.from_arrow(empty)
+    samp = np.sort(np.concatenate(samp_parts))
+    idx = (np.arange(1, num_parts) * len(samp)) // num_parts
+    splitters = np.unique(samp[idx])
+    n_parts = len(splitters) + 1
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        v = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pid = np.searchsorted(splitters, v, side="right").astype(np.int64)
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
+             "cents": pa.array(cents), "__pid__": pa.array(pid)}
+        )
+
+    keyed = ds.map_batches(add_pid, batch_format="pyarrow").materialize()
+
+    def pid_sums(b: pa.Table) -> pa.Table:
+        s = np.bincount(
+            b["__pid__"].to_numpy(zero_copy_only=False),
+            weights=b["cents"].to_numpy(zero_copy_only=False).astype(np.float64),
+            minlength=n_parts,
+        ).astype(np.int64)
+        return pa.table(
+            {"pid": pa.array(np.arange(n_parts, dtype=np.int64)),
+             "s": pa.array(s)}
+        )
+
+    totals = np.zeros(n_parts, dtype=np.int64)
+    for t in ray.get(
+        keyed.map_batches(pid_sums, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "s" in t.column_names:
+            np.add.at(
+                totals,
+                t["pid"].to_numpy(zero_copy_only=False),
+                t["s"].to_numpy(zero_copy_only=False),
+            )
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def scan_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        pid = g["__pid__"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        starts = run_starts(pid)
+        lens = np.diff(np.append(starts, len(pid)))
+        cum = np.cumsum(cents)
+        # restart the cumsum at each pid run, then add the global offset
+        base = np.repeat(cum[starts] - cents[starts], lens)
+        cumr = cum - base + offsets[pid]
+        return pa.table(
+            {"o_orderkey": g["o_orderkey"], "o_orderdate": g["o_orderdate"],
+             "cum_revenue": pa.array(
+                 cumr.astype(np.float64) / 100.0, pa.float64())}
+        )
+
+    return grouped_runs(
+        keyed, "__pid__", scan_runs,
+        sort_cols=["__pid__", "o_orderdate", "o_orderkey"],
+    )

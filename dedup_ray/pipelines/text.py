@@ -691,3 +691,49 @@ def doc_jaccard_search(
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         probe, batch_format="pyarrow"
     )
+
+
+def minhash_dedup_keep(
+    sf_dir: str, cfg: DedupConfig | None = None
+) -> rd.Dataset:
+    """Near-dup dedup APPLY — the surviving corpus: every document except
+    non-keeper members of MinHash-LSH clusters (keeper = min doc_id, the
+    same deterministic rule as dedup_keep_first): (doc_id, lang, source).
+
+    This is the operator a user actually runs to shrink a corpus; the
+    clustering (minhash_neardup_clusters) already keeps everything
+    distributed except the confirmed EDGE set. The drop set is bounded by
+    the duplicate count, so it broadcasts as one sorted int64 array and
+    each batch filters via np.searchsorted; at a duplicate volume too big
+    to broadcast, swap the membership probe for a hash anti-join
+    (stages/join.shuffle_join how='anti' shape) — the read side is
+    unchanged."""
+    import ray
+
+    cfg = cfg or DedupConfig()
+    cl = minhash_neardup_clusters(sf_dir, cfg)
+    drop = np.sort(
+        cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(
+            dtype=np.int64
+        )
+    )
+    ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d):
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            hit = d[pos] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        m = pa.array(~hit)
+        return pa.table(
+            {"doc_id": b["doc_id"].filter(m),
+             "lang": b["lang"].filter(m),
+             "source": b["source"].filter(m)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

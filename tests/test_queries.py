@@ -74,6 +74,8 @@ CHECKED = [
     "user_value_ntile",
     "value_stats_by_type",
     "term_postings",
+    "minhash_dedup_keep",
+    "revenue_running_by_date",
 ]
 
 
