@@ -211,8 +211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup over documents ---
         "minhash_neardup_docs": text.minhash_neardup_clusters,  # SQL-checked
         "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
+        "minhash_keep_longest": text.minhash_keep_longest,      # SQL-checked
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
+        "edit_distance_pairs": text.edit_distance_pairs,        # SQL-checked
         "doc_jaccard_search": text.doc_jaccard_search,
         "token_count_regex": text.token_count_regex,            # SQL-checked
         # --- text analysis ---
@@ -278,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ntile": relational.user_value_ntile,
         "value_stats_by_type": relational.value_stats_by_type,
         "revenue_running_by_date": relational.revenue_running_by_date,
+        "customer_order_dense_rank": relational.customer_order_dense_rank,
+        "revenue_share_by_segment": relational.revenue_share_by_segment,
+        "events_cube": relational.events_cube,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
         # --- similarity search ---
@@ -505,6 +510,30 @@ def _sketch_oracles() -> dict[str, str]:
         "LEFT JOIN cl USING (doc_id) WHERE cl.cid IS NULL OR cl.cid = d.doc_id",
     )
 
+    # edit-distance verify tier: same band-candidate CTEs, Levenshtein
+    # verify kept at rel_denom*dist <= max(len) — all-integer predicate
+    edit_sql = (
+        minhash_sql.split("edges AS")[0]
+        + "lev AS (SELECT ca, cb, levenshtein(ta.text, tb.text)::BIGINT AS d, "
+        "greatest(length(ta.text), length(tb.text)) AS ml "
+        "FROM cand JOIN documents ta ON ta.doc_id = ca "
+        "JOIN documents tb ON tb.doc_id = cb) "
+        "SELECT ca AS a, cb AS b, d AS edit_dist FROM lev WHERE 5*d <= ml"
+    )
+
+    # keeper-policy variant: keep the LONGEST member per cluster (tie: min
+    # doc_id); unclustered docs always survive
+    minhash_keep_longest_sql = minhash_sql.replace(
+        "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",
+        ", cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid FROM r GROUP BY n), "
+        "kp AS (SELECT doc_id FROM (SELECT cl.doc_id, row_number() OVER "
+        "(PARTITION BY cid ORDER BY d.n_chars DESC, cl.doc_id) AS rn "
+        "FROM cl JOIN documents d USING (doc_id)) WHERE rn = 1) "
+        "SELECT d.doc_id, d.lang, d.source FROM documents d "
+        "LEFT JOIN cl USING (doc_id) WHERE cl.cid IS NULL "
+        "OR d.doc_id IN (SELECT doc_id FROM kp)",
+    )
+
     return {
         "simhash_near_pairs": simhash_sql,
         "fingerprints_docs": fingerprints_sql,
@@ -512,6 +541,8 @@ def _sketch_oracles() -> dict[str, str]:
         "embedding_neardup_lsh": neardup_lsh_sql,
         "minhash_neardup_docs": minhash_sql,
         "minhash_dedup_keep": minhash_keep_sql,
+        "minhash_keep_longest": minhash_keep_longest_sql,
+        "edit_distance_pairs": edit_sql,
     }
 
 
@@ -960,6 +991,27 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntile": (
             "SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id)::BIGINT AS tile FROM events"
+        ),
+        "customer_order_dense_rank": (
+            "SELECT o_orderkey, o_custkey, dense_rank() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice)::BIGINT AS drank "
+            "FROM orders"
+        ),
+        # exact int cents on both sides; both divisions double/double
+        "revenue_share_by_segment": (
+            "WITH s AS (SELECT c_mktsegment, "
+            "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1) "
+            "SELECT c_mktsegment, CAST(c AS DOUBLE)/100.0 AS revenue, "
+            "CAST(c AS DOUBLE)/CAST((SELECT sum(c) FROM s) AS DOUBLE) AS share "
+            "FROM s"
+        ),
+        "events_cube": (
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(hour_bucket, -1)::BIGINT AS hour_bucket, "
+            "count(*)::BIGINT AS n_events FROM "
+            "(SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket "
+            "FROM events) GROUP BY CUBE(event_type, hour_bucket)"
         ),
         # global prefix scan; cents accumulate as exact ints on both sides
         "revenue_running_by_date": (

@@ -144,6 +144,9 @@ def run_bench(scope: str) -> dict:
             "source_dedup_stats", "shipping_priority", "events_pivot",
             "user_value_ntile", "value_stats_by_type", "term_postings",
             "minhash_dedup_keep", "revenue_running_by_date",
+            "edit_distance_pairs", "minhash_keep_longest",
+            "customer_order_dense_rank", "revenue_share_by_segment",
+            "events_cube",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -2226,3 +2226,181 @@ def revenue_running_by_date(sf_dir: str, num_parts: int = 64) -> rd.Dataset:
         keyed, "__pid__", scan_runs,
         sort_cols=["__pid__", "o_orderdate", "o_orderkey"],
     )
+
+
+def customer_order_dense_rank(sf_dir: str) -> rd.Dataset:
+    """Per-customer dense rank of orders by price: (o_orderkey, o_custkey,
+    drank) — ties share a rank, gaps close. ONE o_custkey shuffle; the
+    bucket kernel is a value-change cumsum rebased at run starts (no
+    per-group Python). Oracle: dense_rank() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def rank_runs(g: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("drank", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return schema.empty_table()
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        v = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        starts = run_starts(ck)
+        lens = np.diff(np.append(starts, len(ck)))
+        step = np.ones(len(ck), dtype=np.int64)
+        step[1:] = v[1:] != v[:-1]  # dense: advance only on a new value
+        step[starts] = 1
+        c = np.cumsum(step)
+        drank = c - np.repeat(c[starts] - 1, lens)
+        return pa.table(
+            {"o_orderkey": g["o_orderkey"], "o_custkey": g["o_custkey"],
+             "drank": pa.array(drank, type=pa.int64())}
+        )
+
+    return grouped_runs(
+        ds, "o_custkey", rank_runs,
+        sort_cols=["o_custkey", "o_totalprice"],
+    )
+
+
+def revenue_share_by_segment(sf_dir: str) -> rd.Dataset:
+    """Ratio-to-report: per market segment, total revenue and its share of
+    the global total — (c_mktsegment, revenue, share). Customer broadcasts
+    (dimension side), cents accumulate as exact int64 per-batch partials,
+    ONE tiny segment groupby merges them; the grand total folds over the
+    (<= segment-domain) agg rows. Both divisions are double/double in both
+    engines, so values hash bit-identically with no rounding."""
+    cust = read_view(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_arrow_refs()
+    ref = ray.put(cust)
+
+    class Probe:
+        def __init__(self, side_ref: ray.ObjectRef) -> None:
+            self.ref = side_ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                t = pa.concat_tables(ray.get(ray.get(self.ref))).combine_chunks()
+                keys = t["c_custkey"].to_numpy()
+                seg = t["c_mktsegment"].combine_chunks().dictionary_encode()
+                order = np.argsort(keys, kind="stable")
+                got = (keys[order],
+                       seg.indices.to_numpy().astype(np.int64)[order],
+                       seg.dictionary)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, codes, segments = self._side()
+            ck = b["o_custkey"].to_numpy()
+            if len(keys) == 0:
+                ck, b = ck[:0], b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(keys, ck), max(len(keys) - 1, 0))
+            hit = keys[pos] == ck
+            code = codes[pos[hit]]
+            cents = np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False)[hit] * 100
+            ).astype(np.int64)
+            pc_sum = np.bincount(code, weights=cents.astype(np.float64),
+                                 minlength=len(segments)).astype(np.int64)
+            nz = np.flatnonzero(pc_sum)
+            return pa.table(
+                {"c_mktsegment": segments.take(pa.array(nz, pa.int64())),
+                 "pcents": pa.array(pc_sum[nz], type=pa.int64())}
+            )
+
+    agg = (
+        read_view(f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_totalprice"])
+        .map_batches(Probe(ref), batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum("pcents")
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("c_mktsegment", pa.string()), ("revenue", pa.float64()),
+             ("share", pa.float64())]
+        )
+        if b.num_rows == 0 or "sum(pcents)" not in b.column_names:
+            return schema.empty_table()
+        c = b["sum(pcents)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        total = float(c.sum())
+        return pa.table(
+            {"c_mktsegment": b["c_mktsegment"],
+             "revenue": pa.array(c.astype(np.float64) / 100.0),
+             "share": pa.array(c.astype(np.float64) / total)}
+        )
+
+    return agg.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """CUBE aggregate: event counts at all four grouping levels —
+    (event_type, hour), per-type, per-hour, grand total — with 'ALL'/-1
+    sentinels: (event_type, hour_bucket, n_events). Same one-distributed-
+    pass shape as events_rollup; the three coarser levels re-aggregate the
+    bounded fine-level table. Oracle: DuckDB GROUP BY CUBE."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(pc.divide(ts_us, 10**6), 3600)
+        t = pa.table({"event_type": b["event_type"], "hour_bucket": hour})
+        g = t.group_by(["event_type", "hour_bucket"]).aggregate(
+            [("hour_bucket", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "hour_bucket": g["hour_bucket"],
+             "pn": g["hour_bucket_count"]}
+        )
+
+    fine = (
+        read_view(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .sum("pn")
+    )
+
+    def cube(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        hour = b["hour_bucket"].cast(pa.int64())
+        n = b["sum(pn)"].cast(pa.int64())
+        fine_t = pa.table(
+            {"event_type": et, "hour_bucket": hour, "n_events": n}
+        )
+        by_type = pa.table({"event_type": et, "n": n}).group_by(
+            "event_type"
+        ).aggregate([("n", "sum")])
+        lvl_type = pa.table(
+            {"event_type": by_type["event_type"],
+             "hour_bucket": pa.array(np.full(by_type.num_rows, -1), pa.int64()),
+             "n_events": by_type["n_sum"].cast(pa.int64())}
+        )
+        by_hour = pa.table({"hour_bucket": hour, "n": n}).group_by(
+            "hour_bucket"
+        ).aggregate([("n", "sum")])
+        lvl_hour = pa.table(
+            {"event_type": pa.array(["ALL"] * by_hour.num_rows),
+             "hour_bucket": by_hour["hour_bucket"],
+             "n_events": by_hour["n_sum"].cast(pa.int64())}
+        )
+        grand = pa.table(
+            {"event_type": pa.array(["ALL"]),
+             "hour_bucket": pa.array([-1], pa.int64()),
+             "n_events": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64())}
+        )
+        return pa.concat_tables([fine_t, lvl_type, lvl_hour, grand])
+
+    return fine.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=None
+    )

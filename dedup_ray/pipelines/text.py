@@ -272,11 +272,14 @@ def _pairs_from_runs(key_col: str, id_col: str):
     return pairs_fn
 
 
-def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering over documents: shingle -> minhash ->
-    band bucket groupby -> est-Jaccard verify -> union-find. Returns
-    (doc_id, cluster_id) — empty on an all-distinct corpus."""
-    cfg = cfg or DedupConfig()
+def _minhash_band_candidates(
+    sf_dir: str, cfg: DedupConfig
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Shared MinHash-LSH candidate generator: shingle -> minhash -> band
+    bucket groupby -> (a < b) candidate pairs. Returns (sigs, cand); cand
+    may contain cross-band duplicate pairs — verification is idempotent,
+    so callers either tolerate repeats (union-find) or dedup pairs
+    distributed (drop_sorted_dup_pairs)."""
     sigs = doc_signatures(sf_dir, cfg).materialize()
 
     def explode(b: pa.Table) -> pa.Table:
@@ -311,12 +314,22 @@ def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.
     )
 
     from dedup_ray.stages.grouped import grouped_runs
-    from dedup_ray.stages.join import attach_pair_attrs
 
     # candidate pairs stay a Dataset; cross-band duplicate pairs are NOT
     # deduped (a shuffle saved) — verification is idempotent and union-find
     # ignores repeated edges, mirroring the flagship trade (stages/lsh.py)
     cand = grouped_runs(buckets, "combo", _pairs_from_runs("combo", "doc_id"))
+    return sigs, cand
+
+
+def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering over documents: shingle -> minhash ->
+    band bucket groupby -> est-Jaccard verify -> union-find. Returns
+    (doc_id, cluster_id) — empty on an all-distinct corpus."""
+    cfg = cfg or DedupConfig()
+    sigs, cand = _minhash_band_candidates(sf_dir, cfg)
+
+    from dedup_ray.stages.join import attach_pair_attrs
 
     # distributed verify: attach each endpoint's signature to the pair rows
     # (broadcast lookup at this scale, hash-join at cluster scale) and apply
@@ -721,6 +734,156 @@ def minhash_dedup_keep(
 
     def keep(b: pa.Table) -> pa.Table:
         d = ray.get(ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d):
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            hit = d[pos] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        m = pa.array(~hit)
+        return pa.table(
+            {"doc_id": b["doc_id"].filter(m),
+             "lang": b["lang"].filter(m),
+             "source": b["source"].filter(m)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def edit_distance_pairs(
+    sf_dir: str, cfg: DedupConfig | None = None, rel_denom: int = 5
+) -> pd.DataFrame:
+    """Edit-similarity near-dup pairs: (a, b, edit_dist) for every MinHash-
+    LSH candidate pair whose exact Levenshtein distance satisfies
+    rel_denom * dist <= max(len_a, len_b) (default: distance <= 20% of the
+    longer text). Generalizes the reference's exact-equality verify tier
+    (/root/reference/src/hasher.rs:30-47) to bounded character edits.
+
+    Distributed shape mirrors minhash_neardup_clusters: band-bucket
+    grouped_runs candidates -> distributed pair dedup -> texts attached to
+    candidate PAIRS ONLY via attach_pair_attrs -> per-pair banded DP verify
+    (functions/editdist.levenshtein: numpy row scans, early exit above the
+    cap). Only confirmed pairs — bounded by the duplicate volume — reach
+    the driver; the text table never materializes."""
+    from dedup_ray.functions.editdist import levenshtein
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs, grouped_runs
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    import ray
+
+    cfg = cfg or DedupConfig()
+    _, cand = _minhash_band_candidates(sf_dir, cfg)
+    deduped = grouped_runs(
+        cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
+        sort_cols=["src_id", "dst_id"],
+    )
+    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"image_id": b["doc_id"], "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    withtext = attach_pair_attrs(deduped, texts, ["text"])
+
+    def vfy(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("edit_dist", pa.int64())]
+        )
+        if b.num_rows == 0 or "src_text" not in b.column_names:
+            return schema.empty_table()
+        ta = b["src_text"].to_pylist()
+        tb = b["dst_text"].to_pylist()
+        dists = np.empty(b.num_rows, dtype=np.int64)
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):  # candidate pairs only; DP is numpy
+            cap = max(len(ta[i]), len(tb[i])) // rel_denom
+            d = levenshtein(ta[i], tb[i], cap=cap)
+            if d <= cap:
+                keep[i], dists[i] = True, d
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "a": b["src_id"].filter(m),
+                "b": b["dst_id"].filter(m),
+                "edit_dist": pa.array(dists[keep], type=pa.int64()),
+            }
+        )
+
+    parts = [
+        t for t in ray.get(
+            withtext.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
+            .to_arrow_refs()
+        )
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not parts:
+        return pd.DataFrame(
+            columns=["a", "b", "edit_dist"]
+        ).astype("int64")
+    out = pa.concat_tables(parts).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+
+
+def minhash_keep_longest(
+    sf_dir: str, cfg: DedupConfig | None = None
+) -> rd.Dataset:
+    """Near-dup dedup APPLY with a QUALITY-priority keeper: per MinHash-LSH
+    cluster keep the LONGEST document (tie: min doc_id) instead of the min
+    id — the keeper rule as a pluggable policy, generalizing the
+    reference's shortest-path keeper (/root/reference/src/actions.rs:21-26,
+    which also ranks by a quality proxy, not by identity). Returns the
+    surviving corpus (doc_id, lang, source).
+
+    Cluster membership is bounded by the duplicate volume, so member
+    lengths are fetched with ONE streamed projection-pruned pass over
+    (doc_id, n_chars) filtered against the broadcast member set; keeper
+    selection is a driver-side sort of that bounded table; the final keep
+    filter is the same broadcast searchsorted probe as minhash_dedup_keep."""
+    import ray
+
+    cfg = cfg or DedupConfig()
+    cl = minhash_neardup_clusters(sf_dir, cfg)
+    members = np.sort(cl["doc_id"].to_numpy(dtype=np.int64))
+    mem_ref = ray.put(members)
+
+    def member_lens(b: pa.Table) -> pa.Table:
+        m = ray.get(mem_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(m):
+            pos = np.minimum(np.searchsorted(m, ids), len(m) - 1)
+            hit = pa.array(m[pos] == ids)
+        else:
+            hit = pa.array(np.zeros(len(ids), bool))
+        return pa.table(
+            {"doc_id": b["doc_id"].filter(hit),
+             "n_chars": b["n_chars"].filter(hit)}
+        )
+
+    len_tables = [
+        t for t in ray.get(
+            _docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(member_lens, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if len_tables:
+        lens = pa.concat_tables(len_tables).to_pandas()
+        merged = cl.merge(lens, on="doc_id")
+        merged = merged.sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+        )
+        keepers = merged.groupby("cluster_id", sort=False).head(1)["doc_id"]
+        drop = np.sort(
+            np.setdiff1d(members, keepers.to_numpy(dtype=np.int64))
+        )
+    else:
+        drop = np.array([], dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         if len(d):
             pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)

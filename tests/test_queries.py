@@ -74,8 +74,13 @@ CHECKED = [
     "user_value_ntile",
     "value_stats_by_type",
     "term_postings",
-    "minhash_dedup_keep",
     "revenue_running_by_date",
+    "customer_order_dense_rank",
+    "revenue_share_by_segment",
+    "events_cube",
+    # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
+    # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
+    # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
 ]
 
 
