@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
         "edit_distance_pairs": text.edit_distance_pairs,        # SQL-checked
+        "normalized_dedup_groups": text.normalized_dedup_groups,  # SQL-checked
         "doc_jaccard_search": text.doc_jaccard_search,
         "token_count_regex": text.token_count_regex,            # SQL-checked
         # --- text analysis ---
@@ -283,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_dense_rank": relational.customer_order_dense_rank,
         "revenue_share_by_segment": relational.revenue_share_by_segment,
         "events_cube": relational.events_cube,
+        "co_event_pairs": relational.co_event_pairs,
+        "interleave_sources": curation.interleave_sources,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
         # --- similarity search ---
@@ -991,6 +994,28 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntile": (
             "SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id)::BIGINT AS tile FROM events"
+        ),
+        "normalized_dedup_groups": (
+            "SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups "
+            "FROM (SELECT doc_id, "
+            "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt "
+            "FROM documents) GROUP BY nt HAVING count(*) >= 2"
+        ),
+        "co_event_pairs": (
+            "SELECT a.event_type AS ta, b.event_type AS tb, "
+            "count(*)::BIGINT AS n_users "
+            "FROM (SELECT DISTINCT user_id, event_type FROM events) a "
+            "JOIN (SELECT DISTINCT user_id, event_type FROM events) b "
+            "USING (user_id) WHERE a.event_type < b.event_type GROUP BY 1, 2"
+        ),
+        "interleave_sources": (
+            "WITH s AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) - 1 AS r FROM documents), "
+            "n AS (SELECT count(DISTINCT source) AS ns FROM documents), "
+            "d AS (SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS si "
+            "FROM (SELECT DISTINCT source FROM documents)) "
+            "SELECT s.doc_id, s.source, (s.r * n.ns + d.si)::BIGINT AS rr_pos "
+            "FROM s JOIN d USING (source) CROSS JOIN n"
         ),
         "customer_order_dense_rank": (
             "SELECT o_orderkey, o_custkey, dense_rank() OVER "

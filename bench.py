@@ -146,7 +146,8 @@ def run_bench(scope: str) -> dict:
             "minhash_dedup_keep", "revenue_running_by_date",
             "edit_distance_pairs", "minhash_keep_longest",
             "customer_order_dense_rank", "revenue_share_by_segment",
-            "events_cube",
+            "events_cube", "normalized_dedup_groups", "co_event_pairs",
+            "interleave_sources",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

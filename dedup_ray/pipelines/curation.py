@@ -796,3 +796,55 @@ def source_dedup_stats(sf_dir: str) -> rd.Dataset:
     return grouped_runs(
         pairs, "source", stats_runs, sort_cols=["source", "text"]
     )
+
+
+def interleave_sources(sf_dir: str) -> rd.Dataset:
+    """Deterministic round-robin source interleaving — the training-data
+    ORDERING primitive: (doc_id, source, rr_pos) where rr_pos lays the
+    corpus out as source0[0], source1[0], ..., source0[1], source1[1], ...
+    so a sequential reader sees sources evenly mixed without a global
+    shuffle. rr_pos = rank_within_source * n_sources + source_index, all
+    deterministic (rank ordered by doc_id, sources ordered by name).
+
+    ONE source shuffle assigns within-source ranks (run-local arange —
+    no per-group Python); the source domain is bounded, so the
+    source→index map comes from a tiny per-batch distinct pre-pass merged
+    on the driver and broadcast in the kernel closure."""
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def distinct_sources(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"].unique()})
+
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(distinct_sources, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "source" in t.column_names
+    ]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("rr_pos", pa.int64())]
+    )
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    names = sorted(set(pa.concat_tables(parts)["source"].to_pylist()))
+    src_idx = {s: i for i, s in enumerate(names)}
+    n_src = len(names)
+
+    def rank_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        starts = run_starts(src)
+        lens = np.diff(np.append(starts, len(src)))
+        rank = np.arange(len(src), dtype=np.int64) - np.repeat(starts, lens)
+        si = np.fromiter((src_idx[s] for s in src), dtype=np.int64,
+                         count=len(src))
+        return pa.table(
+            {"doc_id": g["doc_id"], "source": g["source"],
+             "rr_pos": pa.array(rank * n_src + si, type=pa.int64())}
+        )
+
+    return grouped_runs(docs, "source", rank_runs,
+                        sort_cols=["source", "doc_id"])

@@ -2404,3 +2404,77 @@ def events_cube(sf_dir: str) -> rd.Dataset:
     return fine.repartition(1).map_batches(
         cube, batch_format="pyarrow", batch_size=None
     )
+
+
+def co_event_pairs(sf_dir: str) -> rd.Dataset:
+    """Event-type co-occurrence: for every unordered type pair, how many
+    users performed BOTH — (ta, tb, n_users), ta < tb. The market-basket /
+    co-visitation primitive. Per-batch DISTINCT (user, type) partials
+    shrink the shuffle to the distinct-pair volume; ONE user shuffle; the
+    bucket kernel dedups within runs and emits triu pairs (bounded by the
+    type domain per user), pre-aggregated with Arrow group_by before the
+    final tiny pair groupby."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "event_type": b["event_type"]})
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g
+
+    pairs_schema = pa.schema(
+        [("ta", pa.string()), ("tb", pa.string()), ("pn", pa.int64())]
+    )
+
+    def pair_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pairs_schema.empty_table()
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        enc = g["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # dedup (user, type) repeats across batch partials: sorted by
+        # (user, type), keep first of each equal neighbor pair
+        keep = np.ones(len(users), dtype=bool)
+        keep[1:] = (users[1:] != users[:-1]) | (codes[1:] != codes[:-1])
+        users, codes = users[keep], codes[keep]
+        starts = run_starts(users)
+        bounds = np.append(starts, len(users))
+        out_a, out_b = [], []
+        for r in np.flatnonzero(np.diff(bounds) >= 2):
+            run = codes[bounds[r]: bounds[r + 1]]  # sorted, distinct
+            iu, ju = np.triu_indices(len(run), 1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+        if not out_a:
+            return pairs_schema.empty_table()
+        t = pa.table(
+            {"ca": pa.array(np.concatenate(out_a)),
+             "cb": pa.array(np.concatenate(out_b))}
+        )
+        agg = t.group_by(["ca", "cb"]).aggregate(
+            [("ca", "count", pc.CountOptions(mode="all"))]
+        )
+        dic = enc.dictionary
+        return pa.table(
+            {"ta": dic.take(agg["ca"]), "tb": dic.take(agg["cb"]),
+             "pn": agg["ca_count"].cast(pa.int64())}
+        )
+
+    distinct = read_view(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(distinct_partial, batch_format="pyarrow")
+    partial = grouped_runs(distinct, "user_id", pair_runs,
+                           sort_cols=["user_id", "event_type"])
+    agg = partial.groupby(["ta", "tb"]).sum("pn")
+
+    def final(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("ta", pa.string()), ("tb", pa.string()), ("n_users", pa.int64())]
+        )
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        return pa.table(
+            {"ta": b["ta"], "tb": b["tb"],
+             "n_users": b["sum(pn)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -900,3 +900,58 @@ def minhash_keep_longest(
     return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def normalized_dedup_groups(sf_dir: str) -> pa.Table:
+    """Duplicate groups by NORMALIZED text — casefolded, whitespace-
+    collapsed — the cascade's pluggable key function swapped for a
+    canonicalizing one (the §2.7 `group_by_hash(files, hash_fn)` extension
+    surface, /root/reference/src/hasher.rs:51-54): (rep_id, n_dups),
+    HAVING n>=2, rep = min doc_id. Catches re-encoded/reflowed copies that
+    exact_dedup_groups misses. All three normalization kernels are one RE2
+    / Arrow C++ pass per batch."""
+    schema = pa.schema([("rep_id", pa.int64()), ("n_dups", pa.int64())])
+
+    def add_norm_hash(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(b["text"], r"\s+", " ")
+            )
+        )
+        h = [
+            hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+            for t in norm.to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "text_hash": pa.array(h, type=pa.string())}
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_norm_hash, batch_format="pyarrow"
+    )
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def emit_runs(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["text_hash"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return schema.empty_table()
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
+        sizes = np.diff(bounds)
+        dup = sizes >= 2
+        return pa.table(
+            {
+                "rep_id": pa.array(ids[starts[dup]], type=pa.int64()),
+                "n_dups": pa.array(sizes[dup], type=pa.int64()),
+            }
+        )
+
+    out = grouped_runs(ds, "text_hash", emit_runs,
+                       sort_cols=["text_hash", "doc_id"])
+    import ray
+
+    tables = [t for t in ray.get(out.to_arrow_refs())
+              if t.num_rows and "rep_id" in t.column_names]
+    return pa.concat_tables(tables) if tables else schema.empty_table()

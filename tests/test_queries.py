@@ -78,6 +78,8 @@ CHECKED = [
     "customer_order_dense_rank",
     "revenue_share_by_segment",
     "events_cube",
+    "co_event_pairs",
+    "interleave_sources",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
@@ -196,3 +198,49 @@ def test_numeric_profile_empty_table(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_normalized_dedup_groups_planted(tmp_path, ray_session):
+    """Planted case/whitespace variants: normalized dedup must group them
+    (and match its own oracle), while exact dedup must NOT."""
+    import os
+
+    import duckdb
+
+    import __ray_entry__ as e
+    from dedup_ray.pipelines.text import exact_dedup_groups, normalized_dedup_groups
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3, 4, 5, 6], dtype="int64"),
+            "text": [
+                "Hello   World",
+                "hello world",
+                "  HELLO\tWORLD ",
+                "something else",
+                "Another doc",
+                "another\n doc",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": pd.Series([13, 11, 15, 14, 11, 12], dtype="int64"),
+        }
+    )
+    docs.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = normalized_dedup_groups(str(tmp_path)).to_pandas()
+    got = got.sort_values("rep_id").reset_index(drop=True)
+    assert got.to_dict("records") == [
+        {"rep_id": 1, "n_dups": 3},
+        {"rep_id": 5, "n_dups": 2},
+    ]
+    assert exact_dedup_groups(str(tmp_path)).num_rows == 0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(e.oracle_sql()["normalized_dedup_groups"]).df()
+    want = want.sort_values("rep_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
