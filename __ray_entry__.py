@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": relational.events_cube,
         "co_event_pairs": relational.co_event_pairs,
         "interleave_sources": curation.interleave_sources,
+        "stratified_split_docs": curation.stratified_split_docs,
+        "price_qty_corr": relational.price_qty_corr,
+        "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
         # --- similarity search ---
@@ -994,6 +997,47 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntile": (
             "SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id)::BIGINT AS tile FROM events"
+        ),
+        # per-stratum exact 10% quota; the all-integer (n+9)//10 is shared
+        # verbatim so no float ceil flips a boundary row
+        "stratified_split_docs": (
+            f"WITH {_smix_ctes('doc_id', 'documents')}, "
+            "j AS (SELECT d.doc_id, d.lang, d.source, hx.h FROM documents d "
+            "JOIN hx USING (doc_id)) "
+            "SELECT doc_id, CASE WHEN row_number() OVER "
+            "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
+            "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
+            "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        # all six moments exact HUGEINT; identical double conversions
+        "price_qty_corr": (
+            "WITH s AS (SELECT count(*)::HUGEINT AS n, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT))::HUGEINT AS sx, "
+            "sum(CAST(round(l_quantity) AS BIGINT))::HUGEINT AS sy, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round(l_quantity) AS BIGINT))::HUGEINT AS sxy, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round(l_extendedprice*100) AS BIGINT))::HUGEINT AS sxx, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * "
+            "CAST(round(l_quantity) AS BIGINT))::HUGEINT AS syy FROM lineitem) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) ELSE 0.0 END AS corr FROM s"
+        ),
+        # same token class as top_terms; top-50 picked (count desc, token)
+        "term_cooccurrence": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents), "
+            "tt AS (SELECT t FROM tok GROUP BY t "
+            "ORDER BY count(*) DESC, t LIMIT 50), "
+            "dt AS (SELECT DISTINCT doc_id, t FROM tok "
+            "WHERE t IN (SELECT t FROM tt)) "
+            "SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT AS n_docs "
+            "FROM dt a JOIN dt b USING (doc_id) "
+            "WHERE a.t < b.t GROUP BY 1, 2"
         ),
         "normalized_dedup_groups": (
             "SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups "

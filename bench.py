@@ -147,7 +147,8 @@ def run_bench(scope: str) -> dict:
             "edit_distance_pairs", "minhash_keep_longest",
             "customer_order_dense_rank", "revenue_share_by_segment",
             "events_cube", "normalized_dedup_groups", "co_event_pairs",
-            "interleave_sources",
+            "interleave_sources", "stratified_split_docs", "price_qty_corr",
+            "term_cooccurrence",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

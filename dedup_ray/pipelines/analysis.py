@@ -1105,3 +1105,106 @@ def term_postings(sf_dir: str, max_postings: int = 20) -> rd.Dataset:
         pairs, batch_format="pyarrow"
     )
     return grouped_runs(p, "term", postings_runs, sort_cols=["term", "doc_id"])
+
+
+def term_cooccurrence(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Co-occurrence of the top-k vocabulary terms within documents:
+    (ta, tb, n_docs), ta < tb — the PMI/word-vector building block. Two
+    bounded passes: (1) the top_terms df pre-pass (per-batch value_counts
+    partials, driver merge of the bounded vocab — no shuffle) picks the k
+    most frequent tokens deterministically (count desc, token asc);
+    (2) one streamed map generates each doc's distinct top-term pairs
+    IN PLACE (a doc never spans batches, so pairs need no shuffle —
+    bounded by k^2 per doc), pre-aggregated per batch with Arrow group_by;
+    a final tiny (ta, tb) groupby merges partials."""
+    import ray
+
+    from dedup_ray.stages.grouped import run_starts
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.ascii_split_whitespace(b["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "pn": vc.field("counts").cast(pa.int64())}
+        )
+
+    docs = _docs(sf_dir, columns=["text"])
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(vocab_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "token" in t.column_names
+    ]
+    out_schema = pa.schema(
+        [("ta", pa.string()), ("tb", pa.string()), ("n_docs", pa.int64())]
+    )
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    vocab = (
+        pa.concat_tables(parts).group_by("token").aggregate([("pn", "sum")])
+        .to_pandas()
+        .sort_values(["pn_sum", "token"], ascending=[False, True], kind="stable")
+        .head(k)
+    )
+    # membership probe wants a LEX-sorted array; code i = lex rank
+    top = np.sort(vocab["token"].to_numpy(dtype=object))
+    top_ref = ray.put(top)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        tt = ray.get(top_ref)
+        la = pc.ascii_split_whitespace(b["text"]).combine_chunks()
+        toks = la.values.to_numpy(zero_copy_only=False)
+        offs = la.offsets.to_numpy()
+        doc_idx = np.repeat(
+            np.arange(b.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        if len(toks) == 0 or len(tt) == 0:
+            return pa.schema(
+                [("ta", pa.string()), ("tb", pa.string()), ("pn", pa.int64())]
+            ).empty_table()
+        pos = np.minimum(np.searchsorted(tt, toks), len(tt) - 1)
+        hit = tt[pos] == toks
+        key = doc_idx[hit] * len(tt) + pos[hit]
+        key = np.unique(key)  # distinct (doc, code), sorted
+        d, c = key // len(tt), key % len(tt)
+        starts = run_starts(d)
+        bounds = np.append(starts, len(d))
+        out_a, out_b = [], []
+        for r in np.flatnonzero(np.diff(bounds) >= 2):
+            run = c[bounds[r]: bounds[r + 1]]  # lex-sorted codes
+            iu, ju = np.triu_indices(len(run), 1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+        if not out_a:
+            return pa.schema(
+                [("ta", pa.string()), ("tb", pa.string()), ("pn", pa.int64())]
+            ).empty_table()
+        t = pa.table(
+            {"ca": pa.array(np.concatenate(out_a), pa.int64()),
+             "cb": pa.array(np.concatenate(out_b), pa.int64())}
+        )
+        agg = t.group_by(["ca", "cb"]).aggregate(
+            [("ca", "count", pc.CountOptions(mode="all"))]
+        )
+        dic = pa.array(tt, type=pa.string())
+        return pa.table(
+            {"ta": dic.take(agg["ca"]), "tb": dic.take(agg["cb"]),
+             "pn": agg["ca_count"].cast(pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["ta", "tb"])
+        .sum("pn")
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return out_schema.empty_table()
+        return pa.table(
+            {"ta": b["ta"], "tb": b["tb"],
+             "n_docs": b["sum(pn)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

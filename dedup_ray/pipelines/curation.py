@@ -848,3 +848,45 @@ def interleave_sources(sf_dir: str) -> rd.Dataset:
 
     return grouped_runs(docs, "source", rank_runs,
                         sort_cols=["source", "doc_id"])
+
+
+def stratified_split_docs(sf_dir: str) -> rd.Dataset:
+    """Stratified train/val split with EXACT per-stratum proportions:
+    within every (lang, source) stratum, the ceil(10%) docs with the
+    smallest splitmix64(doc_id) go to 'val' — (doc_id, split). Unlike
+    hash_split_docs (global expected proportions), every stratum lands its
+    quota exactly, so rare (lang, source) cells are never starved out of
+    the held-out set.
+
+    ONE stratum shuffle; the bucket kernel ranks run-locally (arange minus
+    repeated run starts — no per-group Python); the val quota is the
+    all-integer (n + 9) // 10, shared verbatim with the oracle so no float
+    ceil can flip a boundary row."""
+    from dedup_ray.functions.hashing import splitmix64
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        strat = pc.binary_join_element_wise(b["lang"], b["source"], "\x1f")
+        return pa.table(
+            {"doc_id": b["doc_id"], "stratum": strat,
+             "h": pa.array(h, type=pa.uint64())}
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        add_keys, batch_format="pyarrow"
+    )
+    schema = pa.schema([("doc_id", pa.int64()), ("split", pa.string())])
+
+    def split_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        strat = np.asarray(g["stratum"].to_pylist(), dtype=object)
+        starts = run_starts(strat)
+        lens = np.diff(np.append(starts, len(strat)))
+        rank = np.arange(len(strat), dtype=np.int64) - np.repeat(starts, lens)
+        quota = np.repeat((lens + 9) // 10, lens)
+        split = np.where(rank < quota, "val", "train")
+        return pa.table({"doc_id": g["doc_id"], "split": pa.array(split)})
+
+    return grouped_runs(ds, "stratum", split_runs,
+                        sort_cols=["stratum", "h", "doc_id"])

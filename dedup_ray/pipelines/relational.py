@@ -2478,3 +2478,65 @@ def co_event_pairs(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def price_qty_corr(sf_dir: str) -> rd.Dataset:
+    """Pearson correlation of line price (exact cents) and quantity over
+    lineitem: one row (n, corr). All six moments accumulate as EXACT
+    integers — per-batch int64 partials chunk-summed so no intermediate
+    exceeds 2^63, folded driver-side as arbitrary-precision Python ints —
+    and the final formula performs the identical double conversions as the
+    HUGEINT SQL oracle, so the float hashes bit-identically. The shape is
+    one streamed projection-pruned pass; only six ints per chunk move."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        y = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        # chunk so each partial sum stays far below 2^63 (x*x <= ~1e14)
+        bounds = np.arange(0, len(x), 8192)
+        rows = {
+            "n": np.diff(np.append(bounds, len(x))).astype(np.int64),
+            "sx": np.add.reduceat(x, bounds) if len(x) else np.array([], np.int64),
+            "sy": np.add.reduceat(y, bounds) if len(x) else np.array([], np.int64),
+            "sxy": np.add.reduceat(x * y, bounds) if len(x) else np.array([], np.int64),
+            "sxx": np.add.reduceat(x * x, bounds) if len(x) else np.array([], np.int64),
+            "syy": np.add.reduceat(y * y, bounds) if len(x) else np.array([], np.int64),
+        }
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+
+    parts = [
+        t for t in ray.get(
+            read_view(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_extendedprice", "l_quantity"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "n" in t.column_names
+    ]
+    n = sx = sy = sxy = sxx = syy = 0
+    for t in parts:  # Python ints: exact at any magnitude
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        sx += sum(t["sx"].to_pylist())
+        sy += sum(t["sy"].to_pylist())
+        sxy += sum(t["sxy"].to_pylist())
+        sxx += sum(t["sxx"].to_pylist())
+        syy += sum(t["syy"].to_pylist())
+    import math
+
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = (
+        float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        if vx > 0 and vy > 0
+        else 0.0
+    )
+    return rd.from_arrow(
+        pa.table({"n": pa.array([n], pa.int64()),
+                  "corr": pa.array([corr], pa.float64())})
+    )

@@ -80,6 +80,9 @@ CHECKED = [
     "events_cube",
     "co_event_pairs",
     "interleave_sources",
+    "stratified_split_docs",
+    "price_qty_corr",
+    "term_cooccurrence",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
