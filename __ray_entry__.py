@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_sources": curation.interleave_sources,
         "stratified_split_docs": curation.stratified_split_docs,
         "price_qty_corr": relational.price_qty_corr,
+        "events_hourly_dense": relational.events_hourly_dense,
+        "orders_profile": relational.orders_profile,
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
@@ -1008,6 +1010,27 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        "events_hourly_dense": (
+            "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, "
+            "count(*)::BIGINT AS n FROM events GROUP BY 1), "
+            "ax AS (SELECT unnest(range((SELECT min(h) FROM c), "
+            "(SELECT max(h) FROM c) + 1)) AS hour_bucket) "
+            "SELECT hour_bucket, coalesce(n, 0)::BIGINT AS n_events "
+            "FROM ax LEFT JOIN c ON c.h = ax.hour_bucket"
+        ),
+        "orders_profile": (
+            "SELECT 'o_custkey' AS column, count(*)::BIGINT AS n, "
+            "(count(*) - count(o_custkey))::BIGINT AS n_null, "
+            "CAST(min(o_custkey) AS DOUBLE) AS vmin, "
+            "CAST(max(o_custkey) AS DOUBLE) AS vmax FROM orders "
+            "UNION ALL SELECT 'o_orderkey', count(*)::BIGINT, "
+            "(count(*) - count(o_orderkey))::BIGINT, "
+            "CAST(min(o_orderkey) AS DOUBLE), "
+            "CAST(max(o_orderkey) AS DOUBLE) FROM orders "
+            "UNION ALL SELECT 'o_totalprice', count(*)::BIGINT, "
+            "(count(*) - count(o_totalprice))::BIGINT, "
+            "min(o_totalprice), max(o_totalprice) FROM orders"
         ),
         # all six moments exact HUGEINT; identical double conversions
         "price_qty_corr": (

@@ -148,7 +148,7 @@ def run_bench(scope: str) -> dict:
             "customer_order_dense_rank", "revenue_share_by_segment",
             "events_cube", "normalized_dedup_groups", "co_event_pairs",
             "interleave_sources", "stratified_split_docs", "price_qty_corr",
-            "term_cooccurrence",
+            "term_cooccurrence", "events_hourly_dense", "orders_profile",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

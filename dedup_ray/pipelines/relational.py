@@ -2540,3 +2540,107 @@ def price_qty_corr(sf_dir: str) -> rd.Dataset:
         pa.table({"n": pa.array([n], pa.int64()),
                   "corr": pa.array([corr], pa.float64())})
     )
+
+
+def events_hourly_dense(sf_dir: str) -> rd.Dataset:
+    """Gap-filled hourly event counts: every hour between the corpus min
+    and max appears exactly once, zero-filled when no events landed in it —
+    (hour_bucket, n_events). The resample/gap-fill staple dashboards and
+    trainers need before windowed models.
+
+    The distributed part is the same bounded (hour, count) partial
+    aggregation as events_hourly; the dense axis is generated from the agg
+    table's own min/max (the hour DOMAIN is bounded — days x 24 — so the
+    fill is a single-block numpy fill, never a per-row scan of events)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(pc.divide(ts_us, 10**6), 3600)
+        t = pa.table({"hour_bucket": hour})
+        g = t.group_by("hour_bucket").aggregate(
+            [("hour_bucket", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"hour_bucket": g["hour_bucket"],
+             "pn": g["hour_bucket_count"]}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .sum("pn")
+    )
+
+    schema = pa.schema([("hour_bucket", pa.int64()), ("n_events", pa.int64())])
+
+    def densify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        h = b["hour_bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = b["sum(pn)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = int(h.min()), int(h.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[h - lo] = n
+        return pa.table(
+            {"hour_bucket": pa.array(np.arange(lo, hi + 1), pa.int64()),
+             "n_events": pa.array(dense, pa.int64())}
+        )
+
+    return agg.repartition(1).map_batches(
+        densify, batch_format="pyarrow", batch_size=None
+    )
+
+
+def orders_profile(sf_dir: str) -> rd.Dataset:
+    """Data-quality profile of the orders table's numeric columns: one row
+    per column — (column, n, n_null, vmin, vmax). The ingest-validation
+    staple run before a pipeline trusts a new drop. Per-batch partials
+    carry five scalars per column; the driver folds the bounded partial
+    table — a streamed single pass, no shuffle."""
+    import ray
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            arr = b[c]
+            names.append(c)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            valid = arr.drop_null()
+            if len(valid):
+                mins.append(float(pc.min(valid).as_py()))
+                maxs.append(float(pc.max(valid).as_py()))
+            else:
+                mins.append(np.inf)
+                maxs.append(-np.inf)
+        return pa.table(
+            {"column": pa.array(names), "n": pa.array(ns, pa.int64()),
+             "n_null": pa.array(nulls, pa.int64()),
+             "vmin": pa.array(mins, pa.float64()),
+             "vmax": pa.array(maxs, pa.float64())}
+        )
+
+    parts = [
+        t for t in ray.get(
+            read_view(f"{sf_dir}/orders.parquet", columns=cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "column" in t.column_names
+    ]
+    schema = pa.schema(
+        [("column", pa.string()), ("n", pa.int64()), ("n_null", pa.int64()),
+         ("vmin", pa.float64()), ("vmax", pa.float64())]
+    )
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    df = pa.concat_tables(parts).to_pandas()
+    out = df.groupby("column", sort=True).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        vmin=("vmin", "min"), vmax=("vmax", "max"),
+    ).reset_index()
+    return rd.from_arrow(pa.Table.from_pandas(out, schema=schema,
+                                              preserve_index=False))

@@ -83,6 +83,8 @@ CHECKED = [
     "stratified_split_docs",
     "price_qty_corr",
     "term_cooccurrence",
+    "events_hourly_dense",
+    "orders_profile",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
