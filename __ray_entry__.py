@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_event_pairs": relational.co_event_pairs,
         "interleave_sources": curation.interleave_sources,
         "stratified_split_docs": curation.stratified_split_docs,
+        "chunk_docs": curation.chunk_docs,
+        "above_avg_sources": curation.above_avg_sources,
         "price_qty_corr": relational.price_qty_corr,
         "events_hourly_dense": relational.events_hourly_dense,
         "orders_profile": relational.orders_profile,
@@ -999,6 +1001,23 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntile": (
             "SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id)::BIGINT AS tile FROM events"
+        ),
+        # all-integer chunk count shared verbatim; every doc >= 1 chunk
+        "chunk_docs": (
+            "WITH n AS (SELECT doc_id, text, CASE WHEN length(text) <= 200 "
+            "THEN 1 ELSE (length(text) - 200 + 149) // 150 + 1 END AS nc "
+            "FROM documents) "
+            "SELECT doc_id, i AS chunk_idx, "
+            "substr(text, (i * 150 + 1)::INT, 200) AS chunk_text "
+            "FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i)"
+        ),
+        # exact integer cross-multiplication; no float averages
+        "above_avg_sources": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS total_chars FROM documents "
+            "GROUP BY source HAVING sum(n_chars) * "
+            "(SELECT count(*) FROM documents) > "
+            "(SELECT sum(n_chars) FROM documents) * count(*)"
         ),
         # per-stratum exact 10% quota; the all-integer (n+9)//10 is shared
         # verbatim so no float ceil flips a boundary row

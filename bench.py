@@ -149,6 +149,7 @@ def run_bench(scope: str) -> dict:
             "events_cube", "normalized_dedup_groups", "co_event_pairs",
             "interleave_sources", "stratified_split_docs", "price_qty_corr",
             "term_cooccurrence", "events_hourly_dense", "orders_profile",
+            "chunk_docs", "above_avg_sources",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -890,3 +890,89 @@ def stratified_split_docs(sf_dir: str) -> rd.Dataset:
 
     return grouped_runs(ds, "stratum", split_runs,
                         sort_cols=["stratum", "h", "doc_id"])
+
+
+def chunk_docs(
+    sf_dir: str, size: int = 200, step: int = 150
+) -> rd.Dataset:
+    """Overlapping document chunking — the context-window preparation
+    staple: (doc_id, chunk_idx, chunk_text) where chunk i covers characters
+    [i*step, i*step + size); every doc emits at least one chunk. The
+    row-EXPANDING map shape (flat_map): output rows are bounded by total
+    corpus characters / step, and each batch expands independently inside
+    one streamed map — no shuffle, no state. The chunk count formula is
+    all-integer ((L - size + step - 1) // step + 1) and shared with the
+    oracle, so boundary docs split identically."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+         ("chunk_text", pa.string())]
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_txt = [], [], []
+        for did, t in zip(ids, texts):
+            t = t or ""
+            ln = len(t)
+            n = 1 if ln <= size else (ln - size + step - 1) // step + 1
+            for i in range(n):  # O(output chars); slice is one C memcpy
+                out_id.append(did)
+                out_idx.append(i)
+                out_txt.append(t[i * step: i * step + size])
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "chunk_idx": pa.array(out_idx, pa.int64()),
+             "chunk_text": pa.array(out_txt, pa.string())}
+        ) if out_id else schema.empty_table()
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def above_avg_sources(sf_dir: str) -> rd.Dataset:
+    """Sources whose mean document length beats the corpus mean:
+    (source, n_docs, total_chars) — nested-aggregate HAVING. Per-batch
+    (source, count, sum) partials, one tiny source groupby; the comparison
+    is the EXACT integer cross-multiplication sum_s * N > total * n_s, so
+    no float average can flip a boundary source (same trick as
+    above_avg_orders)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "n_chars": b["n_chars"]})
+        g = t.group_by("source").aggregate(
+            [("n_chars", "sum"),
+             ("n_chars", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"source": g["source"], "ps": g["n_chars_sum"].cast(pa.int64()),
+             "pn": g["n_chars_count"].cast(pa.int64())}
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["ps", "pn"])
+    )
+    schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("total_chars", pa.int64())]
+    )
+
+    def having(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(ps)" not in b.column_names:
+            return schema.empty_table()
+        s = b["sum(ps)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = b["sum(pn)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        total, big_n = int(s.sum()), int(n.sum())
+        keep = pa.array(s.astype(object) * big_n > total * n.astype(object))
+        return pa.table(
+            {"source": b["source"].filter(keep),
+             "n_docs": pa.array(n[np.asarray(keep)], pa.int64()),
+             "total_chars": pa.array(s[np.asarray(keep)], pa.int64())}
+        )
+
+    return agg.repartition(1).map_batches(
+        having, batch_format="pyarrow", batch_size=None
+    )
