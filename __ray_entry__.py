@@ -136,70 +136,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ric(os.path.join(out, "images.parquet"))
 
     def image_histogram_search(sf_dir: str):
-        import ray.data as rd
-
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import image_histogram_search as ihs
 
-        return ihs(rd.read_parquet(_corpus(sf_dir)))
+        return ihs(read_view(_corpus(sf_dir)))
 
     def image_feature_extract(sf_dir: str):
-        import ray.data as rd
-
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import image_features
 
-        return image_features(rd.read_parquet(_corpus(sf_dir)))
+        return image_features(read_view(_corpus(sf_dir)))
 
     def image_resize(sf_dir: str):
-        import ray.data as rd
-
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import resize_images
 
-        return resize_images(rd.read_parquet(_corpus(sf_dir)), max_side=8)
+        return resize_images(read_view(_corpus(sf_dir)), max_side=8)
 
     def audio_features(sf_dir: str):
-        import ray.data as rd
-
         from dedup_ray.sources.av_corpus import generate_clips
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import audio_feature_extract
 
         return audio_feature_extract(
-            rd.read_parquet(generate_clips("/tmp/dedup_ray_av"))
+            read_view(generate_clips("/tmp/dedup_ray_av"))
         ).select_columns(
             ["clip_id", "duration_s", "rms", "zcr"]
         )  # band_energy is list<float32> — keep the compare scalar-only
 
     def audio_similarity(sf_dir: str):
-        import ray.data as rd
-
         from dedup_ray.sources.av_corpus import generate_clips
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import (
             audio_feature_extract,
             audio_similarity_search,
         )
 
         feats = audio_feature_extract(
-            rd.read_parquet(generate_clips("/tmp/dedup_ray_av"))
+            read_view(generate_clips("/tmp/dedup_ray_av"))
         )
         return audio_similarity_search(feats)
 
     def video_neardup(sf_dir: str):
-        import ray.data as rd
-
         from dedup_ray.sources.av_corpus import generate_videos_with_dups
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import video_neardup_clusters
 
         return video_neardup_clusters(
-            rd.read_parquet(generate_videos_with_dups("/tmp/dedup_ray_av"))
+            read_view(generate_videos_with_dups("/tmp/dedup_ray_av"))
         )
 
     def video_frame_sample(sf_dir: str):
-        import ray.data as rd
-
         from dedup_ray.sources.av_corpus import generate_videos
+        from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import sample_video_frames
 
         return sample_video_frames(
-            rd.read_parquet(generate_videos("/tmp/dedup_ray_av")), every_n=10
+            read_view(generate_videos("/tmp/dedup_ray_av")), every_n=10
         ).select_columns(["video_id", "frame_idx"])  # bytes out of the compare
 
     return {
