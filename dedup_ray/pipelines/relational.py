@@ -2636,11 +2636,21 @@ def orders_profile(sf_dir: str) -> rd.Dataset:
          ("vmin", pa.float64()), ("vmax", pa.float64())]
     )
     if not parts:
-        return rd.from_arrow(schema.empty_table())
+        # empty read still profiles every column (n=0, NULL extrema) — the
+        # same degenerate row the SQL aggregate emits
+        parts = [pa.table(
+            {"column": pa.array(cols), "n": pa.array([0] * len(cols), pa.int64()),
+             "n_null": pa.array([0] * len(cols), pa.int64()),
+             "vmin": pa.array([np.inf] * len(cols), pa.float64()),
+             "vmax": pa.array([-np.inf] * len(cols), pa.float64())}
+        )]
     df = pa.concat_tables(parts).to_pandas()
     out = df.groupby("column", sort=True).agg(
         n=("n", "sum"), n_null=("n_null", "sum"),
         vmin=("vmin", "min"), vmax=("vmax", "max"),
     ).reset_index()
+    # all-null/empty columns: ±inf sentinels -> SQL-parity NULLs
+    out.loc[~np.isfinite(out["vmin"]), "vmin"] = np.nan
+    out.loc[~np.isfinite(out["vmax"]), "vmax"] = np.nan
     return rd.from_arrow(pa.Table.from_pandas(out, schema=schema,
                                               preserve_index=False))
