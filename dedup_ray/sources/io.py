@@ -45,6 +45,8 @@ def read_table(
     if isinstance(path, list):
         if predicate is not None:
             kwargs["filter"] = predicate
+        else:
+            _add_meta_free_schema(path[0] if path else None, columns, kwargs)
         return rd.read_parquet(path, columns=columns, **kwargs)
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "data"))):
         ds = rd.read_lance(path, columns=columns, **kwargs)  # pragma: no cover
@@ -63,7 +65,30 @@ def read_table(
         return ds.select_columns(columns) if columns else ds
     if predicate is not None:
         kwargs["filter"] = predicate
+    else:
+        _add_meta_free_schema(path, columns, kwargs)
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _add_meta_free_schema(path, columns, kwargs) -> None:
+    """Set an explicit metadata-free ``schema=`` for a parquet read (unless
+    the caller passed one): pandas-written files carry a `pandas` schema-
+    metadata blob whose dict makes pyarrow Schema.__hash__ raise inside
+    Ray's block concat ("Failed to hash the schemas" spam + a defeated
+    schema-dedup cache). Skipped under a predicate — the scanner's schema
+    must keep unprojected columns the filter references."""
+    if path is None or "schema" in kwargs:
+        return
+    import pyarrow.parquet as pq
+
+    try:
+        f = list_shards(path)[0] if isinstance(path, str) else path
+        schema = pq.read_schema(f).remove_metadata()
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        kwargs["schema"] = schema
+    except Exception:
+        pass  # unreadable footer / missing column: let the reader decide
 
 
 def list_shards(path: str) -> list[str]:
