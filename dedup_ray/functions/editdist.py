@@ -28,8 +28,26 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
         return 0
     xa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
     xb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    # trim the common prefix and suffix — distance-preserving (every
+    # optimal alignment maps equal flanks to each other), and near-dup
+    # pairs share most of their content, so the DP runs only on the
+    # differing middle
+    m = min(len(xa), len(xb))
+    if m:
+        neq = xa[:m] != xb[:m]
+        p = int(np.argmax(neq)) if neq.any() else m
+        xa, xb = xa[p:], xb[p:]
+        m = min(len(xa), len(xb))
+    if m:
+        neq = xa[len(xa) - m:] != xb[len(xb) - m:]
+        t = int(np.argmax(neq[::-1])) if neq.any() else m
+        if t:
+            xa, xb = xa[: len(xa) - t], xb[: len(xb) - t]
     if len(xb) > len(xa):  # iterate over the longer string's rows; the
         xa, xb = xb, xa  # vectorized axis is the shorter one
+    if len(xb) == 0:
+        d = len(xa)
+        return d if cap is None or d <= cap else cap + 1
     if cap is not None and len(xa) - len(xb) > cap:
         return cap + 1
     ar = np.arange(len(xb) + 1, dtype=np.int64)
