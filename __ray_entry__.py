@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_corr": relational.price_qty_corr,
         "events_hourly_dense": relational.events_hourly_dense,
         "orders_profile": relational.orders_profile,
+        "hourly_anomalies": relational.hourly_anomalies,
+        "revenue_rolling_7d": relational.revenue_rolling_7d,
+        "source_lang_purity": analysis.source_lang_purity,
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
@@ -1022,6 +1025,40 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        # dense calendar axis; exact cents, one division at the end
+        "revenue_rolling_7d": (
+            "WITH c AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) "
+            "AS d, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "ax AS (SELECT unnest(range((SELECT min(d) FROM c), "
+            "(SELECT max(d) FROM c) + 1)) AS day_bucket), "
+            "f AS (SELECT day_bucket, coalesce(cents, 0)::BIGINT AS cents "
+            "FROM ax LEFT JOIN c ON c.d = ax.day_bucket) "
+            "SELECT day_bucket, cents / 100.0 AS revenue, "
+            "(sum(cents) OVER (ORDER BY day_bucket "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) / 100.0 AS rev_7d "
+            "FROM f"
+        ),
+        # exact integer 3-sigma test, no float mean/stddev
+        "hourly_anomalies": (
+            "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS "
+            "hour_bucket, count(*)::BIGINT AS n_events FROM events GROUP BY 1), "
+            "s AS (SELECT count(*)::HUGEINT AS k, sum(n_events)::HUGEINT AS sm, "
+            "sum(n_events::HUGEINT * n_events)::HUGEINT AS q FROM c) "
+            "SELECT hour_bucket, n_events FROM c, s "
+            "WHERE (n_events*k - sm)*(n_events*k - sm) > 9*(k*q - sm*sm)"
+        ),
+        "source_lang_purity": (
+            "WITH c AS (SELECT source, lang, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY 1, 2), "
+            "t AS (SELECT source, sum(n)::BIGINT AS total FROM c GROUP BY 1), "
+            "m AS (SELECT source, lang AS top_lang, n AS top_n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY n DESC, lang) = 1) "
+            "SELECT m.source, top_lang, total AS n_docs, "
+            "CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE) AS purity "
+            "FROM m JOIN t USING (source)"
         ),
         "events_hourly_dense": (
             "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, "

@@ -149,7 +149,8 @@ def run_bench(scope: str) -> dict:
             "events_cube", "normalized_dedup_groups", "co_event_pairs",
             "interleave_sources", "stratified_split_docs", "price_qty_corr",
             "term_cooccurrence", "events_hourly_dense", "orders_profile",
-            "chunk_docs", "above_avg_sources",
+            "chunk_docs", "above_avg_sources", "hourly_anomalies",
+            "source_lang_purity", "revenue_rolling_7d",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -1208,3 +1208,58 @@ def term_cooccurrence(sf_dir: str, k: int = 50) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def source_lang_purity(sf_dir: str) -> rd.Dataset:
+    """Per-source language purity: the dominant language and its share —
+    (source, top_lang, n_docs, purity). The corpus-homogeneity signal a
+    mixing recipe needs before weighting sources. Per-batch (source, lang)
+    Arrow group_by partials shrink movement to the cross-domain; ONE tiny
+    groupby merges them; the single-block finish argmaxes per source
+    (tie: lexicographically first lang) and divides once — double/double
+    in both engines, bit-identical hashes."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "lang": b["lang"]})
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("lang", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"source": g["source"], "lang": g["lang"],
+             "pn": g["lang_count"].cast(pa.int64())}
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum("pn")
+    )
+    schema = pa.schema(
+        [("source", pa.string()), ("top_lang", pa.string()),
+         ("n_docs", pa.int64()), ("purity", pa.float64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        df = pa.table(
+            {"source": b["source"], "lang": b["lang"],
+             "n": b["sum(pn)"].cast(pa.int64())}
+        ).to_pandas()
+        df = df.sort_values(["source", "n", "lang"],
+                            ascending=[True, False, True], kind="stable")
+        top = df.groupby("source", sort=True).head(1).set_index("source")
+        total = df.groupby("source", sort=True)["n"].sum()
+        return pa.table(
+            {"source": pa.array(total.index, pa.string()),
+             "top_lang": pa.array(top.loc[total.index, "lang"], pa.string()),
+             "n_docs": pa.array(total.to_numpy(), pa.int64()),
+             "purity": pa.array(
+                 top.loc[total.index, "n"].to_numpy().astype(np.float64)
+                 / total.to_numpy().astype(np.float64), pa.float64())}
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

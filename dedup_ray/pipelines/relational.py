@@ -2654,3 +2654,107 @@ def orders_profile(sf_dir: str) -> rd.Dataset:
     out.loc[~np.isfinite(out["vmax"]), "vmax"] = np.nan
     return rd.from_arrow(pa.Table.from_pandas(out, schema=schema,
                                               preserve_index=False))
+
+
+def hourly_anomalies(sf_dir: str) -> rd.Dataset:
+    """Hours whose event count deviates more than 3 sigma from the hourly
+    mean: (hour_bucket, n_events) — volume-anomaly detection for ingest
+    monitoring. The distributed part is the bounded hourly partial
+    aggregation; the 3-sigma test is the EXACT integer inequality
+    (c*k - S)^2 > 9*(k*Q - S^2) over the single agg block (k hours, sum S,
+    sum-of-squares Q as Python ints), so no float mean/stddev can flip a
+    boundary hour — the same no-float-compare rule as above_avg_orders."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(pc.divide(ts_us, 10**6), 3600)
+        t = pa.table({"hour_bucket": hour})
+        g = t.group_by("hour_bucket").aggregate(
+            [("hour_bucket", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"hour_bucket": g["hour_bucket"], "pn": g["hour_bucket_count"]}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .sum("pn")
+    )
+    schema = pa.schema([("hour_bucket", pa.int64()), ("n_events", pa.int64())])
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        h = b["hour_bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b["sum(pn)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k, s = len(c), int(c.sum())
+        q = int((c.astype(object) * c.astype(object)).sum())
+        dev = c.astype(object) * k - s
+        keep = np.asarray(dev * dev > 9 * (k * q - s * s), dtype=bool)
+        return pa.table(
+            {"hour_bucket": pa.array(h[keep], pa.int64()),
+             "n_events": pa.array(c[keep], pa.int64())}
+        )
+
+    return agg.repartition(1).map_batches(
+        flag, batch_format="pyarrow", batch_size=None
+    )
+
+
+def revenue_rolling_7d(sf_dir: str) -> rd.Dataset:
+    """Rolling 7-day revenue over a gap-filled day axis: (day_bucket,
+    revenue, rev_7d) — the dashboard/time-series staple. Per-batch daily
+    cent partials (bounded by the date domain) merge in one tiny groupby;
+    the single-block finish densifies missing days to zero and computes the
+    trailing window as a cumsum difference — exact int64 cents throughout,
+    divided once, so doubles hash bit-identically. Day gaps matter: the
+    window is calendar ROWS over the DENSE axis, not 7 observed rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.divide(b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                      10**6),
+            86400,
+        )
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"day_bucket": day, "cents": pa.array(cents)})
+        g = t.group_by("day_bucket").aggregate([("cents", "sum")])
+        return pa.table(
+            {"day_bucket": g["day_bucket"], "pc": g["cents_sum"].cast(pa.int64())}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day_bucket")
+        .sum("pc")
+    )
+    schema = pa.schema(
+        [("day_bucket", pa.int64()), ("revenue", pa.float64()),
+         ("rev_7d", pa.float64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pc)" not in b.column_names:
+            return schema.empty_table()
+        d = b["day_bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b["sum(pc)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = int(d.min()), int(d.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[d - lo] = c
+        cum = np.concatenate([[0], np.cumsum(dense)])
+        roll = cum[1:] - cum[np.maximum(np.arange(len(dense)) - 6, 0)]
+        return pa.table(
+            {"day_bucket": pa.array(np.arange(lo, hi + 1), pa.int64()),
+             "revenue": pa.array(dense.astype(np.float64) / 100.0),
+             "rev_7d": pa.array(roll.astype(np.float64) / 100.0)}
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -87,6 +87,9 @@ CHECKED = [
     "orders_profile",
     "chunk_docs",
     "above_avg_sources",
+    "hourly_anomalies",
+    "source_lang_purity",
+    "revenue_rolling_7d",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
