@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": relational.hourly_anomalies,
         "revenue_rolling_7d": relational.revenue_rolling_7d,
         "source_lang_purity": analysis.source_lang_purity,
+        "pii_stats": curation.pii_stats,
+        "oov_rate": analysis.oov_rate,
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
@@ -1025,6 +1027,33 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        # both counts over RAW text (the redact oracle counts phones
+        # post-email-redaction; the census does not redact)
+        "pii_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS docs_with_pii, sum(ne)::BIGINT AS n_emails, "
+            "sum(np)::BIGINT AS n_phones FROM "
+            "(SELECT source, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS ne, "
+            "len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{6,}[0-9]'))::BIGINT AS np "
+            "FROM documents) GROUP BY source"
+        ),
+        "oov_rate": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS t "
+            "FROM documents), "
+            "tt AS (SELECT t FROM tok GROUP BY t "
+            "ORDER BY count(*) DESC, t LIMIT 50), "
+            "cnt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "sum(CASE WHEN t IN (SELECT t FROM tt) THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_in FROM tok GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(n_tokens - n_in, 0)::BIGINT AS n_oov, "
+            "CASE WHEN coalesce(n_tokens, 0) > 0 THEN "
+            "CAST(n_tokens - n_in AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
+            "ELSE 0.0 END AS rate FROM documents d LEFT JOIN cnt USING (doc_id)"
         ),
         # dense calendar axis; exact cents, one division at the end
         "revenue_rolling_7d": (

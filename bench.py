@@ -150,7 +150,8 @@ def run_bench(scope: str) -> dict:
             "interleave_sources", "stratified_split_docs", "price_qty_corr",
             "term_cooccurrence", "events_hourly_dense", "orders_profile",
             "chunk_docs", "above_avg_sources", "hourly_anomalies",
-            "source_lang_purity", "revenue_rolling_7d",
+            "source_lang_purity", "revenue_rolling_7d", "pii_stats",
+            "oov_rate",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -1263,3 +1263,82 @@ def source_lang_purity(sf_dir: str) -> rd.Dataset:
     return agg.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def oov_rate(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Out-of-vocabulary rate vs the top-k corpus vocabulary: per document,
+    (doc_id, n_tokens, n_oov, rate) — the tokenizer-coverage signal that
+    decides whether a vocab / BPE merge table fits a new corpus. Reuses
+    term_cooccurrence's bounded df pre-pass for the vocabulary (count desc,
+    token asc — deterministic); scoring is ONE streamed map with a
+    broadcast sorted vocab probed by np.searchsorted. rate is int/int
+    division on both engines."""
+    import ray
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.ascii_split_whitespace(b["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "pn": vc.field("counts").cast(pa.int64())}
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(vocab_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "token" in t.column_names
+    ]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_oov", pa.int64()), ("rate", pa.float64())]
+    )
+    if not parts:
+        top = np.array([], dtype=object)
+    else:
+        vocab = (
+            pa.concat_tables(parts).group_by("token").aggregate([("pn", "sum")])
+            .to_pandas()
+            .sort_values(["pn_sum", "token"], ascending=[False, True],
+                         kind="stable")
+            .head(k)
+        )
+        top = np.sort(vocab["token"].to_numpy(dtype=object))
+    top_ref = ray.put(top)
+
+    def score(b: pa.Table) -> pa.Table:
+        tt = ray.get(top_ref)
+        la = pc.ascii_split_whitespace(b["text"]).combine_chunks()
+        toks = la.values.to_numpy(zero_copy_only=False)
+        offs = la.offsets.to_numpy()
+        # '' edge artifacts of the splitter are not tokens
+        real = toks != ""
+        if len(tt) and len(toks):
+            pos = np.minimum(np.searchsorted(tt, toks), len(tt) - 1)
+            inv = tt[pos] == toks
+        else:
+            inv = np.zeros(len(toks), bool)
+        if len(toks):
+            # clamp: reduceat rejects a start index == len(arr) (trailing
+            # empty doc); empty slices also copy the next element — both
+            # cases zeroed via the `empty` mask below
+            idx = np.minimum(offs[:-1], len(toks) - 1)
+            n_tok = np.add.reduceat(real.astype(np.int64), idx)
+            n_in = np.add.reduceat((real & inv).astype(np.int64), idx)
+        else:
+            n_tok = np.zeros(b.num_rows, np.int64)
+            n_in = np.zeros(b.num_rows, np.int64)
+        empty = np.diff(offs) == 0
+        n_tok[empty] = 0
+        n_in[empty] = 0
+        n_oov = n_tok - n_in
+        rate = np.divide(n_oov, n_tok, out=np.zeros(len(n_tok)),
+                         where=n_tok > 0)
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_tokens": pa.array(n_tok, pa.int64()),
+             "n_oov": pa.array(n_oov, pa.int64()),
+             "rate": pa.array(rate, pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -976,3 +976,55 @@ def above_avg_sources(sf_dir: str) -> rd.Dataset:
     return agg.repartition(1).map_batches(
         having, batch_format="pyarrow", batch_size=None
     )
+
+
+def pii_stats(sf_dir: str) -> rd.Dataset:
+    """PII EXTRACTION census — the audit complement of pii_redact: per
+    source, how many documents contain any email / phone-shaped PII and
+    the total hit counts: (source, n_docs, docs_with_pii, n_emails,
+    n_phones). Drives the keep/redact/drop policy decision before a
+    release. Per-batch RE2 counts aggregate to (source,) partials; one
+    tiny source groupby merges."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"], "")
+        ne = pc.count_substring_regex(t, EMAIL_RE).cast(pa.int64())
+        np_ = pc.count_substring_regex(t, PHONE_RE).cast(pa.int64())
+        has = pc.or_(pc.greater(ne, 0), pc.greater(np_, 0)).cast(pa.int64())
+        tt = pa.table(
+            {"source": b["source"], "one": pa.array(np.ones(b.num_rows, np.int64)),
+             "has": has, "ne": ne, "np": np_}
+        )
+        g = tt.group_by("source").aggregate(
+            [("one", "sum"), ("has", "sum"), ("ne", "sum"), ("np", "sum")]
+        )
+        return pa.table(
+            {"source": g["source"], "pd": g["one_sum"].cast(pa.int64()),
+             "ph": g["has_sum"].cast(pa.int64()),
+             "pe": g["ne_sum"].cast(pa.int64()),
+             "pp": g["np_sum"].cast(pa.int64())}
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["pd", "ph", "pe", "pp"])
+    )
+    schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("docs_with_pii", pa.int64()), ("n_emails", pa.int64()),
+         ("n_phones", pa.int64())]
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pd)" not in b.column_names:
+            return schema.empty_table()
+        return pa.table(
+            {"source": b["source"], "n_docs": b["sum(pd)"].cast(pa.int64()),
+             "docs_with_pii": b["sum(ph)"].cast(pa.int64()),
+             "n_emails": b["sum(pe)"].cast(pa.int64()),
+             "n_phones": b["sum(pp)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

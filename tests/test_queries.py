@@ -90,6 +90,8 @@ CHECKED = [
     "hourly_anomalies",
     "source_lang_purity",
     "revenue_rolling_7d",
+    "pii_stats",
+    "oov_rate",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
@@ -254,3 +256,58 @@ def test_normalized_dedup_groups_planted(tmp_path, ray_session):
     want = con.sql(e.oracle_sql()["normalized_dedup_groups"]).df()
     want = want.sort_values("rep_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pii_stats_and_oov_planted(tmp_path, ray_session):
+    """Planted PII + OOV tokens: nonzero paths for both census operators,
+    matched against their own oracles on the planted corpus."""
+    import os
+
+    import duckdb
+
+    import __ray_entry__ as e
+    from dedup_ray.pipelines.analysis import oov_rate
+    from dedup_ray.pipelines.curation import pii_stats
+
+    texts = [
+        "contact me at alice@example.com or +1 (555) 123-4567 now",
+        "plain common words common words",
+        "xylophone quixotic zephyr",  # pure OOV vs a tiny top vocab
+        "bob@corp.io wrote common words",
+        "",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(1, 6), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["a", "a", "b", "b", "b"],
+            "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    docs.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = pii_stats(str(tmp_path)).to_pandas().sort_values("source")
+    assert int(got["docs_with_pii"].sum()) == 2  # docs 1 (email+phone) and 4
+    assert int(got["n_emails"].sum()) == 2
+    assert int(got["n_phones"].sum()) >= 1
+
+    rates = oov_rate(str(tmp_path), k=3).to_pandas().set_index("doc_id")
+    assert rates.loc[5, "n_tokens"] == 0 and rates.loc[5, "rate"] == 0.0
+    assert rates.loc[3, "rate"] == 1.0  # all three tokens out-of-vocab
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name, ray_df in (
+        ("pii_stats", got),
+        ("oov_rate", oov_rate(str(tmp_path), k=50).to_pandas()),
+    ):
+        want = con.sql(e.oracle_sql()[name]).df()
+        a = ray_df[sorted(ray_df.columns)].sort_values(
+            list(sorted(ray_df.columns))).reset_index(drop=True)
+        b = want[sorted(want.columns)].sort_values(
+            list(sorted(want.columns))).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
