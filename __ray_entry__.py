@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_purity": analysis.source_lang_purity,
         "pii_stats": curation.pii_stats,
         "oov_rate": analysis.oov_rate,
+        "repeat_orders_7d": relational.repeat_orders_7d,
+        "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
+        "proportional_sample": curation.proportional_sample,
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
@@ -551,6 +554,12 @@ def _sketch_oracles() -> dict[str, str]:
         "minhash_dedup_keep": minhash_keep_sql,
         "minhash_keep_longest": minhash_keep_longest_sql,
         "edit_distance_pairs": edit_sql,
+        "neardup_cluster_sizes": minhash_sql.replace(
+            "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",
+            ", cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid FROM r GROUP BY n) "
+            "SELECT cnt::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters "
+            "FROM (SELECT cid, count(*) AS cnt FROM cl GROUP BY cid) GROUP BY cnt",
+        ),
     }
 
 
@@ -1027,6 +1036,32 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        "repeat_orders_7d": (
+            "SELECT o_orderkey, o_custkey, gap_days FROM "
+            "(SELECT o_orderkey, o_custkey, datediff('day', "
+            "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey), o_orderdate)::BIGINT "
+            "AS gap_days FROM orders) "
+            "WHERE gap_days IS NOT NULL AND gap_days <= 7"
+        ),
+        # largest-remainder apportionment, all integer; tie rem DESC, source
+        "proportional_sample": (
+            f"WITH {_smix_ctes('doc_id', 'documents')}, "
+            "c AS (SELECT source, count(*)::BIGINT AS n FROM documents "
+            "GROUP BY 1), "
+            "t AS (SELECT sum(n)::BIGINT AS tot FROM c), "
+            "q AS (SELECT source, n, (100*n)//tot AS base, (100*n) % tot "
+            "AS rem FROM c, t), "
+            "r AS (SELECT sum(base)::BIGINT AS sb FROM q), "
+            "a AS (SELECT source, base + CASE WHEN row_number() OVER "
+            "(ORDER BY rem DESC, source) <= 100 - sb THEN 1 ELSE 0 END AS k "
+            "FROM q, r), "
+            "j AS (SELECT d.source, d.doc_id, hx.h FROM documents d "
+            "JOIN hx USING (doc_id)) "
+            "SELECT source, doc_id FROM j JOIN a USING (source) "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY h, doc_id) <= k"
         ),
         # both counts over RAW text (the redact oracle counts phones
         # post-email-redaction; the census does not redact)

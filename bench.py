@@ -151,7 +151,8 @@ def run_bench(scope: str) -> dict:
             "term_cooccurrence", "events_hourly_dense", "orders_profile",
             "chunk_docs", "above_avg_sources", "hourly_anomalies",
             "source_lang_purity", "revenue_rolling_7d", "pii_stats",
-            "oov_rate",
+            "oov_rate", "repeat_orders_7d", "proportional_sample",
+            "neardup_cluster_sizes",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -1028,3 +1028,80 @@ def pii_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def proportional_sample(sf_dir: str, total: int = 100) -> rd.Dataset:
+    """EXACT proportional stratified sample: ``total`` docs allocated
+    across sources by largest-remainder apportionment (quota_s =
+    total*n_s//N plus one extra for the largest remainders until the
+    total is exact), each source contributing its quota of smallest-
+    splitmix64 docs: (source, doc_id). Unlike sample_per_source (fixed k)
+    or mix_sources (expected proportions), the output size and per-source
+    allocation are both exact — the data-mixing recipe executor.
+
+    Source counts are a bounded driver-side pre-pass; the sample selection
+    is the same local-topk-prune + one grouped_runs ranking pass as
+    sample_per_source, with per-source quotas broadcast in the closure.
+    All apportionment arithmetic is integer, shared with the oracle."""
+    from dedup_ray.functions.hashing import splitmix64
+    from dedup_ray.stages.grouped import run_ranks
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"]})
+        g = t.group_by("source").aggregate(
+            [("source", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(["source", "pn"])
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(count_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "source" in t.column_names
+    ]
+    schema = pa.schema([("source", pa.string()), ("doc_id", pa.int64())])
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    cnt = (
+        pa.concat_tables(parts).group_by("source").aggregate([("pn", "sum")])
+        .to_pandas()
+    )
+    n = cnt["pn_sum"].to_numpy(np.int64)
+    tot = int(n.sum())
+    if tot == 0:
+        return rd.from_arrow(schema.empty_table())
+    base = (total * n) // tot
+    rem = (total * n) % tot
+    # largest remainder, tie broken by source name (matches the oracle)
+    order = sorted(range(len(cnt)),
+                   key=lambda i: (-int(rem[i]), cnt["source"].iloc[i]))
+    extra = max(0, min(total - int(base.sum()), len(cnt)))
+    quota = base.copy()
+    for i in order[:extra]:
+        quota[i] += 1
+    quotas = dict(zip(cnt["source"], (int(q) for q in quota)))
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        return b.append_column("h", pa.array(h, type=pa.uint64()))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("source", "ascending"), ("h", "ascending"),
+                          ("doc_id", "ascending")],
+        )
+        b = b.take(idx)
+        rank = run_ranks(b["source"].to_numpy(zero_copy_only=False))
+        kk = np.fromiter(
+            (quotas.get(s, 0) for s in b["source"].to_pylist()),
+            dtype=np.int64, count=b.num_rows,
+        )
+        return b.filter(pa.array(rank < kk))
+
+    ds = (
+        docs.map_batches(add_h, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+    )
+    out = grouped_runs(ds, "source", local_topk)
+    return out.select_columns(["source", "doc_id"])

@@ -2758,3 +2758,46 @@ def revenue_rolling_7d(sf_dir: str) -> rd.Dataset:
     return agg.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def repeat_orders_7d(sf_dir: str) -> rd.Dataset:
+    """Repeat-purchase detection: orders placed within 7 days of the same
+    customer's previous order — (o_orderkey, o_custkey, gap_days). The
+    retention/CDC primitive. ONE o_custkey shuffle; the kernel is a shifted
+    integer-day difference masked at run starts (the event_gaps shape on
+    the orders table). gap is exact integer days both sides."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("gap_days", pa.int64())]
+    )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        day = (
+            g["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        )
+        starts = run_starts(ck)
+        gap = np.empty(len(ck), dtype=np.int64)
+        gap[1:] = day[1:] - day[:-1]
+        first = np.zeros(len(ck), dtype=bool)
+        first[starts] = True
+        keep = (~first) & (gap <= 7)
+        return pa.table(
+            {"o_orderkey": g["o_orderkey"].filter(pa.array(keep)),
+             "o_custkey": g["o_custkey"].filter(pa.array(keep)),
+             "gap_days": pa.array(gap[keep], pa.int64())}
+        )
+
+    return grouped_runs(
+        ds, "o_custkey", gaps,
+        sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+    )

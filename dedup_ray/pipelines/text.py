@@ -955,3 +955,24 @@ def normalized_dedup_groups(sf_dir: str) -> pa.Table:
     tables = [t for t in ray.get(out.to_arrow_refs())
               if t.num_rows and "rep_id" in t.column_names]
     return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def neardup_cluster_sizes(
+    sf_dir: str, cfg: DedupConfig | None = None
+) -> pa.Table:
+    """Near-dup cluster size histogram: (cluster_size, n_clusters) — the
+    reference's DuplicateReport aggregate (/root/reference/src/output.rs:
+    39-73) over the MinHash-LSH clustering. The cluster table is already
+    bounded by the duplicate volume, so the histogram is a driver-side
+    value_counts over it; everything upstream stays distributed."""
+    cfg = cfg or DedupConfig()
+    cl = minhash_neardup_clusters(sf_dir, cfg)
+    schema = pa.schema([("cluster_size", pa.int64()), ("n_clusters", pa.int64())])
+    if not len(cl):
+        return schema.empty_table()
+    sizes = cl.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pa.table(
+        {"cluster_size": pa.array(hist.index.to_numpy(), pa.int64()),
+         "n_clusters": pa.array(hist.to_numpy(), pa.int64())}
+    )

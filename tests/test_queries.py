@@ -92,6 +92,8 @@ CHECKED = [
     "revenue_rolling_7d",
     "pii_stats",
     "oov_rate",
+    "repeat_orders_7d",
+    "proportional_sample",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
