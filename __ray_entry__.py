@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_exclusive_shingles": analysis.lang_exclusive_shingles,
         "bpe_merges": analysis.bpe_merges,              # rows-only (iterative learner)
         "lm_perplexity_scores": analysis.lm_perplexity_scores,  # rows-only (transcendental; pytest kernel replay)
+        "compression_ratio": analysis.compression_ratio,  # rows-only (zlib; pytest replay + separation)
+        "char_entropy": analysis.char_entropy,  # rows-only (log2; pytest extremes)
         "bpe_token_counts": analysis.bpe_token_counts,  # rows-only (trained-model apply)
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,

@@ -152,7 +152,7 @@ def run_bench(scope: str) -> dict:
             "chunk_docs", "above_avg_sources", "hourly_anomalies",
             "source_lang_purity", "revenue_rolling_7d", "pii_stats",
             "oov_rate", "repeat_orders_7d", "proportional_sample",
-            "neardup_cluster_sizes",
+            "neardup_cluster_sizes", "compression_ratio", "char_entropy",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -1342,3 +1342,74 @@ def oov_rate(sf_dir: str, k: int = 50) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def compression_ratio(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetitiveness signal: per document, the zlib
+    compression ratio — (doc_id, n_bytes, n_compressed, ratio). Highly
+    repetitive machine-generated text compresses far below fluent prose,
+    so pipelines threshold on this before training (Rae et al. 2021 §A1.2
+    use the analogous repetition filters). Pure streamed map; zlib level 6
+    is deterministic for a given library, and the ratio is int/int
+    division. Rows-only: compression is not SQL-expressible — pytest
+    checks monotone separation (repetitive << random) and a kernel replay."""
+    import zlib
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bytes", pa.int64()),
+         ("n_compressed", pa.int64()), ("ratio", pa.float64())]
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        raw = [t.encode() for t in b["text"].to_pylist()]
+        nb = np.fromiter((len(r) for r in raw), np.int64, count=len(raw))
+        nc = np.fromiter(
+            (len(zlib.compress(r, 6)) for r in raw), np.int64, count=len(raw)
+        )
+        ratio = np.divide(nc, nb, out=np.zeros(len(raw)), where=nb > 0)
+        return pa.table(
+            {"doc_id": ids, "n_bytes": pa.array(nb),
+             "n_compressed": pa.array(nc), "ratio": pa.array(ratio)}
+        ) if len(raw) else schema.empty_table()
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def char_entropy(sf_dir: str) -> rd.Dataset:
+    """Character-distribution Shannon entropy per document — (doc_id,
+    n_chars_used, entropy_bits). Near-zero entropy flags degenerate
+    single-character floods; unusually high entropy flags binary/garbage
+    pasted into text. One vectorized bincount over uint8 bytes per doc.
+    Rows-only (log2 is transcendental); pytest replays the kernel and
+    checks the planted extremes."""
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chars_used", pa.int64()),
+         ("entropy_bits", pa.float64())]
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        ids = b["doc_id"]
+        used = np.zeros(b.num_rows, np.int64)
+        ent = np.zeros(b.num_rows, np.float64)
+        for i, t in enumerate(b["text"].to_pylist()):
+            raw = np.frombuffer((t or "").encode(), np.uint8)
+            if raw.size == 0:
+                continue
+            counts = np.bincount(raw)
+            counts = counts[counts > 0]
+            p = counts / raw.size
+            used[i] = len(counts)
+            ent[i] = float(-(p * np.log2(p)).sum())
+        return pa.table(
+            {"doc_id": ids, "n_chars_used": pa.array(used),
+             "entropy_bits": pa.array(ent)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
