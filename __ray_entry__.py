@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
+        "orders_denormalized": relational.orders_denormalized,
+        "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
@@ -1038,6 +1040,26 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        "orders_denormalized": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, n_name "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        # df >= 2 keep set; docs with no kept tokens rebuild to ''
+        "remove_rare_tokens": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS ts "
+            "FROM documents), "
+            "df AS (SELECT t, count(DISTINCT doc_id) AS d FROM "
+            "(SELECT doc_id, unnest(ts) AS t FROM tok) GROUP BY t), "
+            "keep AS (SELECT t FROM df WHERE d >= 2), "
+            "ex AS (SELECT doc_id, i, ts[CAST(i AS INT)] AS t FROM tok, "
+            "LATERAL (SELECT unnest(range(1, len(ts)+1)) AS i)), "
+            "agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct "
+            "FROM ex WHERE t IN (SELECT t FROM keep) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(agg.ct, '') AS clean_text "
+            "FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         "repeat_orders_7d": (
             "SELECT o_orderkey, o_custkey, gap_days FROM "

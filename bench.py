@@ -153,6 +153,7 @@ def run_bench(scope: str) -> dict:
             "source_lang_purity", "revenue_rolling_7d", "pii_stats",
             "oov_rate", "repeat_orders_7d", "proportional_sample",
             "neardup_cluster_sizes", "compression_ratio", "char_entropy",
+            "orders_denormalized", "remove_rare_tokens",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -1105,3 +1105,84 @@ def proportional_sample(sf_dir: str, total: int = 100) -> rd.Dataset:
     )
     out = grouped_runs(ds, "source", local_topk)
     return out.select_columns(["source", "doc_id"])
+
+
+def remove_rare_tokens(sf_dir: str, min_df: int = 2) -> rd.Dataset:
+    """Vocabulary pruning — drop every token appearing in fewer than
+    ``min_df`` documents and rebuild the text (single-space joined):
+    (doc_id, clean_text). Hapax removal is the classic pre-tokenizer
+    noise filter (typos, serial numbers, boilerplate ids).
+
+    Two passes: (1) the bounded df pre-pass (per-batch DISTINCT-per-doc
+    token value_counts, driver merge — at an unbounded real vocabulary the
+    documented swap is a counting Bloom/most-frequent cutoff, same seam);
+    (2) one streamed rebuild: keep-mask via searchsorted against the
+    broadcast sorted keep-vocab, then ONE Arrow binary_join per batch over
+    a re-offset ListArray — no per-row Python string assembly."""
+    import ray
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        la = pc.ascii_split_whitespace(b["text"]).combine_chunks()
+        toks = la.values.to_numpy(zero_copy_only=False)
+        offs = la.offsets.to_numpy()
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        real = toks != ""
+        if not real.any():
+            return pa.schema(
+                [("token", pa.string()), ("pn", pa.int64())]
+            ).empty_table()
+        # distinct within doc: unique (doc, token) pairs
+        import pandas as pd
+
+        pairs = pd.DataFrame({"d": doc_idx[real], "t": toks[real]})
+        dist = pairs.drop_duplicates()
+        vc = dist["t"].value_counts()
+        return pa.table(
+            {"token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+             "pn": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "token" in t.column_names
+    ]
+    if parts:
+        df = (
+            pa.concat_tables(parts).group_by("token").aggregate([("pn", "sum")])
+            .to_pandas()
+        )
+        keep = np.sort(
+            df.loc[df["pn_sum"] >= min_df, "token"].to_numpy(dtype=object)
+        )
+    else:
+        keep = np.array([], dtype=object)
+    keep_ref = ray.put(keep)
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        kp = ray.get(keep_ref)
+        la = pc.ascii_split_whitespace(b["text"]).combine_chunks()
+        toks = la.values.to_numpy(zero_copy_only=False)
+        offs = la.offsets.to_numpy().astype(np.int64)
+        real = toks != ""
+        if len(kp) and len(toks):
+            pos = np.minimum(np.searchsorted(kp, toks), len(kp) - 1)
+            inv = kp[pos] == toks
+        else:
+            inv = np.zeros(len(toks), bool)
+        m = real & inv
+        cs = np.concatenate([[0], np.cumsum(m)])
+        new_offs = cs[offs]
+        kept = la.values.filter(pa.array(m))
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), kept
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"],
+             "clean_text": pc.binary_join(lst, " ")}
+        )
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")

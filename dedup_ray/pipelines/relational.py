@@ -2801,3 +2801,74 @@ def repeat_orders_7d(sf_dir: str) -> rd.Dataset:
         ds, "o_custkey", gaps,
         sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
     )
+
+
+def orders_denormalized(sf_dir: str) -> rd.Dataset:
+    """Star-schema denormalization — the feature-export staple: every
+    order flattened with its customer and nation attributes in ONE
+    streamed pass: (o_orderkey, o_totalprice, c_name, c_mktsegment,
+    n_name). Both dimension hops (customer, nation) are broadcast-probed
+    sorted arrays (ray.put once, np.searchsorted per batch) — the fact
+    table never shuffles, the exact pattern a 100-TB denormalize needs."""
+    import ray
+
+    cust = read_view(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    ).to_arrow_refs()
+    nat = read_view(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_arrow_refs()
+    cref, nref = ray.put(cust), ray.put(nat)
+
+    class Denorm:
+        def __init__(self, cr, nr) -> None:
+            self.cr, self.nr = cr, nr
+
+        def _side(self):
+            key = (self.cr.binary(), self.nr.binary())
+            got = _PROBE_CACHE.get(key)
+            if got is None:
+                ct = pa.concat_tables(ray.get(ray.get(self.cr))).combine_chunks()
+                nt = pa.concat_tables(ray.get(ray.get(self.nr))).combine_chunks()
+                ck = ct["c_custkey"].to_numpy()
+                order = np.argsort(ck, kind="stable")
+                nk = nt["n_nationkey"].to_numpy()
+                norder = np.argsort(nk, kind="stable")
+                got = (
+                    ck[order],
+                    ct["c_name"].take(pa.array(order)),
+                    ct["c_mktsegment"].take(pa.array(order)),
+                    ct["c_nationkey"].to_numpy()[order],
+                    nk[norder],
+                    nt["n_name"].take(pa.array(norder)),
+                )
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[key] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck, cname, cseg, cnat, nk, nname = self._side()
+            keys = b["o_custkey"].to_numpy()
+            if len(ck) == 0:
+                keys, b = keys[:0], b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(ck, keys), max(len(ck) - 1, 0))
+            hit = ck[pos] == keys  # inner join: drop FK misses
+            pos = pos[hit]
+            npos = np.minimum(
+                np.searchsorted(nk, cnat[pos]), max(len(nk) - 1, 0)
+            )
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+                    "o_totalprice": b["o_totalprice"].filter(pa.array(hit)),
+                    "c_name": cname.take(pa.array(pos)),
+                    "c_mktsegment": cseg.take(pa.array(pos)),
+                    "n_name": nname.take(pa.array(npos)),
+                }
+            )
+
+    return read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(Denorm(cref, nref), batch_format="pyarrow")
