@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
         "orders_denormalized": relational.orders_denormalized,
+        "user_lifetimes": relational.user_lifetimes,
+        "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
@@ -1040,6 +1042,17 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        "user_lifetimes": (
+            "SELECT user_id, count(*)::BIGINT AS n_events, "
+            "min(ts) AS first_ts, max(ts) AS last_ts, "
+            "(CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) - "
+            "CAST(floor(epoch(min(ts)) / 86400) AS BIGINT)) AS lifespan_days "
+            "FROM events GROUP BY user_id"
+        ),
+        "duplicate_event_keys": (
+            "SELECT user_id, ts, count(*)::BIGINT AS n FROM events "
+            "GROUP BY user_id, ts HAVING count(*) >= 2"
         ),
         "orders_denormalized": (
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, n_name "

@@ -153,7 +153,8 @@ def run_bench(scope: str) -> dict:
             "source_lang_purity", "revenue_rolling_7d", "pii_stats",
             "oov_rate", "repeat_orders_7d", "proportional_sample",
             "neardup_cluster_sizes", "compression_ratio", "char_entropy",
-            "orders_denormalized", "remove_rare_tokens",
+            "orders_denormalized", "remove_rare_tokens", "user_lifetimes",
+            "duplicate_event_keys",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -2872,3 +2872,102 @@ def orders_denormalized(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(Denorm(cref, nref), batch_format="pyarrow")
+
+
+def user_lifetimes(sf_dir: str) -> rd.Dataset:
+    """User lifetime table — (user_id, n_events, first_ts, last_ts,
+    lifespan_days): the per-entity activity summary every retention /
+    cohort analysis starts from. Per-batch (user, count, min, max)
+    partials shrink the shuffle to distinct users per block; one tiny user
+    groupby merges; lifespan is an exact integer floor-day difference."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "ts": b["ts"]})
+        g = t.group_by("user_id").aggregate(
+            [("ts", "count", pc.CountOptions(mode="all")),
+             ("ts", "min"), ("ts", "max")]
+        )
+        return pa.table(
+            {"user_id": g["user_id"], "pn": g["ts_count"].cast(pa.int64()),
+             "pmin": g["ts_min"], "pmax": g["ts_max"]}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("pn"),
+            ray.data.aggregate.Min("pmin"),
+            ray.data.aggregate.Max("pmax"),
+        )
+    )
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("first_ts", pa.timestamp("us")), ("last_ts", pa.timestamp("us")),
+         ("lifespan_days", pa.int64())]
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        first = b["min(pmin)"].cast(pa.timestamp("us"))
+        last = b["max(pmax)"].cast(pa.timestamp("us"))
+        fd = pc.divide(first.cast(pa.int64()), 86400 * 10**6)
+        ld = pc.divide(last.cast(pa.int64()), 86400 * 10**6)
+        return pa.table(
+            {"user_id": b["user_id"],
+             "n_events": b["sum(pn)"].cast(pa.int64()),
+             "first_ts": first, "last_ts": last,
+             "lifespan_days": pc.subtract(ld, fd).cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def duplicate_event_keys(sf_dir: str) -> pa.Table:
+    """Uniqueness assertion — the ingest data-quality check: (user_id, ts,
+    n) for every (user_id, ts) key appearing more than once. An exactly-
+    once pipeline expects zero rows; nonzero rows name the offending keys.
+    Per-batch composite-key count partials, one tiny groupby, HAVING>=2
+    dataset-side. Returns a pyarrow Table (violations are a small result
+    by contract) so a clean corpus still yields a schema-stable empty
+    result — Ray drops the schema of all-empty-block datasets (the
+    round-1 crash class)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "ts": b["ts"]})
+        g = t.group_by(["user_id", "ts"]).aggregate(
+            [("ts", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"user_id": g["user_id"], "ts": g["ts"],
+             "pn": g["ts_count"].cast(pa.int64())}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .sum("pn")
+    )
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("n", pa.int64())]
+    )
+
+    def having(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        n = b["sum(pn)"].cast(pa.int64())
+        m = pc.greater_equal(n, 2)
+        return pa.table(
+            {"user_id": b["user_id"].filter(m),
+             "ts": b["ts"].cast(pa.timestamp("us")).filter(m),
+             "n": n.filter(m)}
+        )
+
+    out = agg.map_batches(having, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs())
+              if t.num_rows and "user_id" in t.column_names]
+    return pa.concat_tables(tables) if tables else schema.empty_table()

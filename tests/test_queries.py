@@ -96,6 +96,7 @@ CHECKED = [
     "proportional_sample",
     "orders_denormalized",
     "remove_rare_tokens",
+    "user_lifetimes",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
@@ -315,3 +316,28 @@ def test_pii_stats_and_oov_planted(tmp_path, ray_session):
         b = want[sorted(want.columns)].sort_values(
             list(sorted(want.columns))).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_duplicate_event_keys_planted(tmp_path, ray_session):
+    """Planted duplicate (user_id, ts) keys must surface with counts."""
+    import os
+
+    from dedup_ray.pipelines.relational import duplicate_event_keys
+
+    ts = pd.to_datetime(
+        ["2026-01-01 10:00", "2026-01-01 10:00", "2026-01-01 10:00",
+         "2026-01-01 11:00", "2026-01-02 09:00"]
+    ).astype("datetime64[us]")
+    pd.DataFrame(
+        {
+            "event_id": pd.Series(range(5), dtype="int64"),
+            "user_id": pd.Series([7, 7, 7, 7, 8], dtype="int64"),
+            "event_type": ["a"] * 5,
+            "ts": ts,
+            "value": pd.Series([1.0] * 5, dtype="float64"),
+        }
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = duplicate_event_keys(str(tmp_path)).to_pandas()
+    assert got.to_dict("records") == [
+        {"user_id": 7, "ts": pd.Timestamp("2026-01-01 10:00"), "n": 3}
+    ]
