@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_scores": analysis.lm_perplexity_scores,  # rows-only (transcendental; pytest kernel replay)
         "compression_ratio": analysis.compression_ratio,  # rows-only (zlib; pytest replay + separation)
         "char_entropy": analysis.char_entropy,  # rows-only (log2; pytest extremes)
+        "self_repetition": analysis.self_repetition,  # rows-only (suffix search; pytest planted blocks)
         "bpe_token_counts": analysis.bpe_token_counts,  # rows-only (trained-model apply)
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,

@@ -154,7 +154,7 @@ def run_bench(scope: str) -> dict:
             "oov_rate", "repeat_orders_7d", "proportional_sample",
             "neardup_cluster_sizes", "compression_ratio", "char_entropy",
             "orders_denormalized", "remove_rare_tokens", "user_lifetimes",
-            "duplicate_event_keys",
+            "duplicate_event_keys", "self_repetition",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

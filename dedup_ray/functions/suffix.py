@@ -155,3 +155,42 @@ def lcs_len_many(
     """Batched ``lcs_len``: (key, a, b) -> (key, lcs), with the same
     ``min_len`` short-circuit (0 when below threshold)."""
     return [(k, lcs_len(a, b, min_len)) for k, a, b in pairs]
+
+
+def longest_repeated_substring(s: str, min_len: int = 1) -> int:
+    """Length of the longest substring occurring >= 2 times within ``s``
+    (0 if none of at least ``min_len``). Binary search over the answer
+    length with a vectorized polynomial rolling hash per step — feasibility
+    of length L is monotone, so O(n log n) total. Hash-equal position
+    groups are verified by direct substring comparison, so collisions can
+    never inflate the answer."""
+    n = len(s)
+    if n < 2 or min_len > n - 1:
+        return 0
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    B = np.uint64(1099511628211)
+    # prefix hashes H[i] = hash of s[:i] (natural uint64 wraparound)
+    H = np.zeros(n + 1, dtype=np.uint64)
+    for i in range(n):  # O(n) scalar pass; numpy cumulative mul-add has no kernel
+        H[i + 1] = H[i] * B + c[i]
+
+    def feasible(L: int) -> bool:
+        pw = np.uint64(pow(1099511628211, L, 1 << 64))
+        g = H[L:] - H[:-L] * pw  # hash of every L-gram
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        dup = np.flatnonzero(gs[1:] == gs[:-1])
+        for d in dup:  # verify hash-equal neighbors exactly
+            i, j = int(order[d]), int(order[d + 1])
+            if s[i:i + L] == s[j:j + L]:
+                return True
+        return False
+
+    lo, hi, best = min_len, n - 1, 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if feasible(mid):
+            best, lo = mid, mid + 1
+        else:
+            hi = mid - 1
+    return best

@@ -1413,3 +1413,41 @@ def char_entropy(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def self_repetition(sf_dir: str, min_len: int = 10) -> rd.Dataset:
+    """Within-document self-repetition — (doc_id, max_repeat_len,
+    repeat_ratio): the length of the longest substring occurring at least
+    twice inside the doc (0 if shorter than ``min_len``) and its share of
+    the text. Catches copy-paste loops and template spam that bigram
+    fractions miss (arbitrary-length verbatim blocks). Pure streamed map;
+    per-doc cost is O(n log n) binary-searched rolling hash
+    (functions/suffix.longest_repeated_substring, collision-verified).
+    Rows-only: suffix search is not SQL-expressible — pytest plants
+    repeated blocks and replays the kernel."""
+    from dedup_ray.functions.suffix import longest_repeated_substring
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("max_repeat_len", pa.int64()),
+         ("repeat_ratio", pa.float64())]
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        texts = b["text"].to_pylist()
+        ln = np.fromiter((len(t or "") for t in texts), np.int64,
+                         count=len(texts))
+        rep = np.fromiter(
+            (longest_repeated_substring(t or "", min_len) for t in texts),
+            np.int64, count=len(texts),
+        )
+        ratio = np.divide(rep, ln, out=np.zeros(len(texts)), where=ln > 0)
+        return pa.table(
+            {"doc_id": b["doc_id"], "max_repeat_len": pa.array(rep),
+             "repeat_ratio": pa.array(ratio)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -44,3 +44,32 @@ def test_char_entropy_extremes(tmp_path, ray_session):
     assert got.loc[1, "entropy_bits"] == 0.0 and got.loc[1, "n_chars_used"] == 1
     assert abs(got.loc[2, "entropy_bits"] - 3.0) < 1e-12  # 8 equiprobable chars
     assert got.loc[3, "entropy_bits"] == 0.0 and got.loc[3, "n_chars_used"] == 0
+
+
+def test_longest_repeated_substring_kernel():
+    from dedup_ray.functions.suffix import longest_repeated_substring as lrs
+
+    assert lrs("") == 0
+    assert lrs("ab") == 0
+    assert lrs("aa") == 1
+    assert lrs("banana") == 3  # "ana"
+    assert lrs("abcdefg") == 0
+    # planted 20-char block repeated with junk between
+    block = "THE-REPEATED-BLOCK-X"
+    s = "left " + block + " middle junk " + block + " right"
+    assert lrs(s) == len(block) + 2  # spaces flank both occurrences
+    assert lrs(s, min_len=30) == 0  # floor above the answer
+
+
+def test_self_repetition_operator(tmp_path, ray_session):
+    from dedup_ray.pipelines.analysis import self_repetition
+
+    block = "copy paste this exact sentence again. "
+    texts = [block * 5, "all words here are distinct tokens entirely", ""]
+    sf = _write_docs(tmp_path, texts)
+    got = self_repetition(sf).to_pandas().set_index("doc_id")
+    # block*5 repeats block*4 (offset by one block): length 4*len(block)
+    assert got.loc[1, "max_repeat_len"] == 4 * len(block)
+    assert got.loc[1, "repeat_ratio"] > 0.7
+    assert got.loc[2, "max_repeat_len"] < 10  # below min_len -> 0
+    assert got.loc[3, "max_repeat_len"] == 0
