@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proportional_sample": curation.proportional_sample,
         "orders_denormalized": relational.orders_denormalized,
         "user_lifetimes": relational.user_lifetimes,
+        "extreme_norm_vectors": ann.extreme_norm_vectors,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1043,6 +1044,12 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang, source ORDER BY h, doc_id) <= "
             "(count(*) OVER (PARTITION BY lang, source) + 9) // 10 "
             "THEN 'val' ELSE 'train' END AS split FROM j"
+        ),
+        # per-row norms are the same left-fold as lang_embedding_norms
+        "extreme_norm_vectors": (
+            "SELECT vec_id, sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * x))) AS norm FROM embeddings "
+            "ORDER BY norm DESC, vec_id LIMIT 10"
         ),
         "user_lifetimes": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

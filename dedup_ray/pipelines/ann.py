@@ -613,3 +613,33 @@ def ann_pq_topk(
     top = short.groupby("query_id", as_index=False).head(k).copy()
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True).astype("int64")
+
+
+def extreme_norm_vectors(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Embedding sanity screening: the k vectors with the largest L2 norm
+    — (vec_id, norm). Exploding norms flag broken encoders / unnormalized
+    shards before they poison ANN indexes. Norms collapse to one float64
+    per vector ON the scan (bit-identical left-fold, _seqfold_norms);
+    selection is the local-topk-prune + k-row sort-limit shape — the full
+    norm column never concentrates anywhere."""
+    import pyarrow.compute as pc
+
+    def to_norms(b: pa.Table) -> pa.Table:
+        ids, m = _mat(b)
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()),
+             "norm": pa.array(_seqfold_norms(m), type=pa.float64())}
+        )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("norm", "descending"), ("vec_id", "ascending")]
+        )
+        return b.take(idx[:k])
+
+    return (
+        _emb(sf_dir).map_batches(to_norms, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(["norm", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
