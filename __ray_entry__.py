@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_denormalized": relational.orders_denormalized,
         "user_lifetimes": relational.user_lifetimes,
         "extreme_norm_vectors": ann.extreme_norm_vectors,
+        "weekly_revenue_growth": relational.weekly_revenue_growth,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1134,6 +1135,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(n_tokens, 0) > 0 THEN "
             "CAST(n_tokens - n_in AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
             "ELSE 0.0 END AS rate FROM documents d LEFT JOIN cnt USING (doc_id)"
+        ),
+        # dense week axis; growth = int-derived double/double, first week 0
+        "weekly_revenue_growth": (
+            "WITH c AS (SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) "
+            "AS wk, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "ax AS (SELECT unnest(range((SELECT min(wk) FROM c), "
+            "(SELECT max(wk) FROM c) + 1)) AS week_bucket), "
+            "f AS (SELECT week_bucket, coalesce(cents, 0)::BIGINT AS cents "
+            "FROM ax LEFT JOIN c ON c.wk = ax.week_bucket) "
+            "SELECT week_bucket, CAST(cents AS DOUBLE) / 100.0 AS revenue, "
+            "CASE WHEN lag(cents) OVER (ORDER BY week_bucket) > 0 THEN "
+            "CAST(cents AS DOUBLE) / "
+            "CAST(lag(cents) OVER (ORDER BY week_bucket) AS DOUBLE) "
+            "ELSE 0.0 END AS growth FROM f"
         ),
         # dense calendar axis; exact cents, one division at the end
         "revenue_rolling_7d": (

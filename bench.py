@@ -155,7 +155,7 @@ def run_bench(scope: str) -> dict:
             "neardup_cluster_sizes", "compression_ratio", "char_entropy",
             "orders_denormalized", "remove_rare_tokens", "user_lifetimes",
             "duplicate_event_keys", "self_repetition",
-            "extreme_norm_vectors",
+            "extreme_norm_vectors", "weekly_revenue_growth",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -2971,3 +2971,63 @@ def duplicate_event_keys(sf_dir: str) -> pa.Table:
     tables = [t for t in ray.get(out.to_arrow_refs())
               if t.num_rows and "user_id" in t.column_names]
     return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
+    """Week-over-week revenue with growth ratio: (week_bucket, revenue,
+    growth) where growth = this week's cents / previous week's cents (0.0
+    for the first week) — the reporting staple. Weekly cent partials are
+    bounded by the date domain; the single-block finish shifts the dense
+    week axis. Both divisions are int-derived double/double, so values
+    hash bit-identically."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = pc.divide(
+            pc.divide(b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                      10**6),
+            604800,
+        )
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"week_bucket": week, "cents": pa.array(cents)})
+        g = t.group_by("week_bucket").aggregate([("cents", "sum")])
+        return pa.table(
+            {"week_bucket": g["week_bucket"],
+             "pc": g["cents_sum"].cast(pa.int64())}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("week_bucket")
+        .sum("pc")
+    )
+    schema = pa.schema(
+        [("week_bucket", pa.int64()), ("revenue", pa.float64()),
+         ("growth", pa.float64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pc)" not in b.column_names:
+            return schema.empty_table()
+        w = b["week_bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b["sum(pc)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = int(w.min()), int(w.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[w - lo] = c
+        prev = np.concatenate([[0], dense[:-1]])
+        growth = np.divide(
+            dense.astype(np.float64), prev.astype(np.float64),
+            out=np.zeros(len(dense)), where=prev > 0,
+        )
+        return pa.table(
+            {"week_bucket": pa.array(np.arange(lo, hi + 1), pa.int64()),
+             "revenue": pa.array(dense.astype(np.float64) / 100.0),
+             "growth": pa.array(growth, pa.float64())}
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
