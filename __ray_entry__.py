@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lifetimes": relational.user_lifetimes,
         "extreme_norm_vectors": ann.extreme_norm_vectors,
         "weekly_revenue_growth": relational.weekly_revenue_growth,
+        "lang_length_cume_dist": analysis.lang_length_cume_dist,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1051,6 +1052,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, sqrt(list_sum(list_transform(embedding, "
             "x -> CAST(x AS DOUBLE) * x))) AS norm FROM embeddings "
             "ORDER BY norm DESC, vec_id LIMIT 10"
+        ),
+        "lang_length_cume_dist": (
+            "SELECT doc_id, lang, cume_dist() OVER "
+            "(PARTITION BY lang ORDER BY n_chars) AS cume FROM documents"
         ),
         "user_lifetimes": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

@@ -1451,3 +1451,41 @@ def self_repetition(sf_dir: str, min_len: int = 10) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def lang_length_cume_dist(sf_dir: str) -> rd.Dataset:
+    """Per-language cumulative distribution of document length:
+    (doc_id, lang, cume) where cume = share of same-language docs with
+    length <= this doc's — the grouped percent-normalization window
+    (cume_dist PARTITION BY lang). ONE lang shuffle; within each lang run
+    the peer-group boundary is one searchsorted of the sorted values
+    against themselves; cume is int/int division, bit-identical to the
+    oracle."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("cume", pa.float64())]
+    )
+
+    def cume_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        lang = np.asarray(g["lang"].to_pylist(), dtype=object)
+        v = g["n_chars"].to_numpy(zero_copy_only=False)
+        starts = run_starts(lang)
+        bounds = np.append(starts, len(lang))
+        cume = np.empty(len(lang), dtype=np.float64)
+        for r in range(len(starts)):  # bounded by the lang domain per bucket
+            lo, hi = bounds[r], bounds[r + 1]
+            run = v[lo:hi]  # sorted ascending within the run
+            le = np.searchsorted(run, run, side="right")
+            cume[lo:hi] = le / (hi - lo)
+        return pa.table(
+            {"doc_id": g["doc_id"], "lang": g["lang"],
+             "cume": pa.array(cume)}
+        )
+
+    return grouped_runs(docs, "lang", cume_runs,
+                        sort_cols=["lang", "n_chars"])
