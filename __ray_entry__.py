@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extreme_norm_vectors": ann.extreme_norm_vectors,
         "weekly_revenue_growth": relational.weekly_revenue_growth,
         "lang_length_cume_dist": analysis.lang_length_cume_dist,
+        "retention_cohorts": relational.retention_cohorts,
+        "value_mad": relational.value_mad,
+        "median_price_by_priority": relational.median_price_by_priority,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1056,6 +1059,26 @@ def oracle_sql() -> dict[str, str]:
         "lang_length_cume_dist": (
             "SELECT doc_id, lang, cume_dist() OVER "
             "(PARTITION BY lang ORDER BY n_chars) AS cume FROM documents"
+        ),
+        "retention_cohorts": (
+            "WITH firsts AS (SELECT user_id, date_trunc('week', min(ts)) "
+            "AS cohort_week FROM events GROUP BY user_id) "
+            "SELECT f.cohort_week, "
+            "date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 "
+            "AS week_offset, count(DISTINCT e.user_id)::BIGINT AS n_users "
+            "FROM events e JOIN firsts f ON e.user_id = f.user_id "
+            "GROUP BY 1, 2"
+        ),
+        "value_mad": (
+            "WITH m AS (SELECT quantile_disc(value, 0.5) AS med, "
+            "count(*)::BIGINT AS n FROM events) "
+            "SELECT m.med AS median, (SELECT quantile_disc(abs(value - m.med), "
+            "0.5) FROM events) AS mad, m.n AS n_rows FROM m"
+        ),
+        "median_price_by_priority": (
+            "SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) "
+            "AS median_price, count(*)::BIGINT AS n_orders "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "user_lifetimes": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

@@ -156,7 +156,8 @@ def run_bench(scope: str) -> dict:
             "orders_denormalized", "remove_rare_tokens", "user_lifetimes",
             "duplicate_event_keys", "self_repetition",
             "extreme_norm_vectors", "weekly_revenue_growth",
-            "lang_length_cume_dist",
+            "lang_length_cume_dist", "retention_cohorts", "value_mad",
+            "median_price_by_priority",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

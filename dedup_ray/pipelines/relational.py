@@ -1659,6 +1659,68 @@ def user_value_moving_max(sf_dir: str, preceding: int = 3) -> rd.Dataset:
     )
 
 
+def _exact_median_scan(
+    ds: rd.Dataset, getv: Callable[[pa.Table], np.ndarray], k: int = 512
+) -> tuple[float, int] | None:
+    """Sketch-bounded EXACT median of ``getv(batch)`` over a streamed
+    dataset (see exact_value_median for the algorithm and scale notes).
+    Returns (median, n) with quantile_disc semantics (rank ceil(n/2),
+    1-based), or None on an empty input. Two streamed passes, NO shuffle;
+    the collected in-bracket slice is ≈ rank-error·n values."""
+    from dedup_ray.functions.sketch import QuantileSketch
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).add(getv(b))
+        rows = sk.to_rows()
+        if not rows:
+            return pa.table(
+                {"lvl": pa.array([], pa.int32()),
+                 "vals": pa.array([], pa.list_(pa.float64())),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"lvl": pa.array([r[0] for r in rows], type=pa.int32()),
+             "vals": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
+             "cnt": pa.array([b.num_rows] + [0] * (len(rows) - 1), pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return None
+    sk = QuantileSketch.from_rows([(r["lvl"], r["vals"]) for r in parts], k)
+    n = int(sum(r["cnt"] for r in parts))
+    if n == 0:
+        return None
+    target = max(1, -(-n // 2))  # rank ceil(n/2), 1-based
+
+    margin = 0.02
+    while True:
+        lo_q, hi_q = max(0.0, 0.5 - margin), min(1.0, 0.5 + margin)
+        lo, hi = sk.quantiles([lo_q, hi_q])
+        if lo_q == 0.0:
+            lo = -np.inf
+        if hi_q == 1.0:
+            hi = np.inf
+
+        def scan(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            v = getv(b)
+            inb = v[(v >= lo) & (v <= hi)]
+            return pa.table(
+                {"below": pa.array([int(np.count_nonzero(v < lo))], pa.int64()),
+                 "inb": pa.array([inb.tolist()], pa.list_(pa.float64()))}
+            )
+
+        rows2 = ds.map_batches(scan, batch_format="pyarrow").take_all()
+        below = sum(r["below"] for r in rows2)
+        collected = np.concatenate(
+            [np.asarray(r["inb"], np.float64) for r in rows2]
+        ) if rows2 else np.empty(0)
+        if below < target <= below + collected.size:
+            collected.sort()
+            return float(collected[target - below - 1]), n
+        margin *= 2.0  # sketch error exceeded the margin: widen and retry
+
+
 def exact_value_median(sf_dir: str, k: int = 512) -> pa.Table:
     """EXACT median of the continuous ``events.value`` column — an unbounded
     double domain where the (value, count) histogram would be as big as the
@@ -1678,65 +1740,49 @@ def exact_value_median(sf_dir: str, k: int = 512) -> pa.Table:
     selection inside the bracket instead of collecting it; the loop
     structure here IS that recursion's outer case. Oracle:
     quantile_disc(value, 0.5) — rank ceil(n/2), 1-based, same semantics."""
-    from dedup_ray.functions.sketch import QuantileSketch
-
     ds = read_view(f"{sf_dir}/events.parquet", columns=["value"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        sk = QuantileSketch(k).add(b["value"].to_numpy(zero_copy_only=False))
-        rows = sk.to_rows()
-        if not rows:
-            return pa.table(
-                {"lvl": pa.array([], pa.int32()),
-                 "vals": pa.array([], pa.list_(pa.float64())),
-                 "cnt": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {"lvl": pa.array([r[0] for r in rows], type=pa.int32()),
-             "vals": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
-             "cnt": pa.array([b.num_rows] + [0] * (len(rows) - 1), pa.int64())}
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    if not parts:
+    res = _exact_median_scan(
+        ds, lambda b: b["value"].to_numpy(zero_copy_only=False), k
+    )
+    if res is None:
         return pa.table(
             {"median": pa.array([], pa.float64()),
              "n_rows": pa.array([], pa.int64())}
         )
-    sk = QuantileSketch.from_rows([(r["lvl"], r["vals"]) for r in parts], k)
-    n = int(sum(r["cnt"] for r in parts))
-    target = max(1, -(-n // 2))  # rank ceil(n/2), 1-based
+    med, n = res
+    return pa.table(
+        {"median": pa.array([med], pa.float64()),
+         "n_rows": pa.array([n], pa.int64())}
+    )
 
-    margin = 0.02
-    while True:
-        lo_q, hi_q = max(0.0, 0.5 - margin), min(1.0, 0.5 + margin)
-        lo, hi = sk.quantiles([lo_q, hi_q])
-        if lo_q == 0.0:
-            lo = -np.inf
-        if hi_q == 1.0:
-            hi = np.inf
 
-        def scan(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            v = b["value"].to_numpy(zero_copy_only=False)
-            inb = v[(v >= lo) & (v <= hi)]
-            return pa.table(
-                {"below": pa.array([int(np.count_nonzero(v < lo))], pa.int64()),
-                 "inb": pa.array([inb.tolist()], pa.list_(pa.float64()))}
-            )
+def value_mad(sf_dir: str, k: int = 512) -> pa.Table:
+    """Median absolute deviation of ``events.value`` — the robust spread
+    statistic outlier policies are built on: (median, mad, n_rows). Two
+    sketch-bounded exact selections (see exact_value_median): pass set 1
+    selects the exact median m, pass set 2 the exact median of |value - m|
+    — both streamed, no shuffle, driver state O(k*log n). |v - m| is the
+    identical double op on both engines, so the result is bit-exact vs
+    the oracle."""
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["value"])
 
-        rows2 = ds.map_batches(scan, batch_format="pyarrow").take_all()
-        below = sum(r["below"] for r in rows2)
-        collected = np.concatenate(
-            [np.asarray(r["inb"], np.float64) for r in rows2]
-        ) if rows2 else np.empty(0)
-        if below < target <= below + collected.size:
-            collected.sort()
-            med = float(collected[target - below - 1])
-            return pa.table(
-                {"median": pa.array([med], pa.float64()),
-                 "n_rows": pa.array([n], pa.int64())}
-            )
-        margin *= 2.0  # sketch error exceeded the margin: widen and retry
+    def getv(b: pa.Table) -> np.ndarray:
+        return b["value"].to_numpy(zero_copy_only=False)
+
+    res = _exact_median_scan(ds, getv, k)
+    if res is None:
+        return pa.table(
+            {"median": pa.array([], pa.float64()),
+             "mad": pa.array([], pa.float64()),
+             "n_rows": pa.array([], pa.int64())}
+        )
+    med, n = res
+    dev, _ = _exact_median_scan(ds, lambda b: np.abs(getv(b) - med), k)
+    return pa.table(
+        {"median": pa.array([med], pa.float64()),
+         "mad": pa.array([dev], pa.float64()),
+         "n_rows": pa.array([n], pa.int64())}
+    )
 
 
 def events_window_dedup(sf_dir: str) -> rd.Dataset:
@@ -3030,4 +3076,105 @@ def weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
 
     return agg.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix — (cohort_week, week_offset, n_users):
+    users grouped by the Monday-start week of their FIRST event, counted
+    distinct in each subsequent week they were active. ONE user shuffle
+    (grouped_runs) makes each user's history local, so the first-event
+    week and the per-user distinct week set are both exact without a
+    second distinct shuffle; per-bucket (cohort, offset) partials are
+    bounded by weeks^2, so the final merge groupby is tiny. Week
+    truncation is exact integer day math (epoch day + 3 mod 7 = Monday
+    index), matching DuckDB's date_trunc('week', ts)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    events = read_view(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    partial_schema = pa.schema(
+        [("cohort_day", pa.int64()), ("week_offset", pa.int64()),
+         ("pn", pa.int64())]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return partial_schema.empty_table()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // (86_400 * 10**6)
+        week_day = day - (day + 3) % 7  # Monday of the event's week
+        starts = run_starts(u)
+        lens = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(week_day[starts], lens)  # sorted by ts in-run
+        offset = (week_day - cohort) // 7  # non-decreasing within a run
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (offset[1:] != offset[:-1])
+        comp = cohort[keep] * 20_000 + offset[keep]  # offset < 20k weeks
+        vals, counts = np.unique(comp, return_counts=True)
+        return pa.table(
+            {"cohort_day": pa.array(vals // 20_000),
+             "week_offset": pa.array(vals % 20_000),
+             "pn": pa.array(counts.astype(np.int64))}
+        )
+
+    partials = grouped_runs(events, "user_id", per_bucket,
+                            sort_cols=["user_id", "ts"])
+    agg = partials.groupby(["cohort_day", "week_offset"]).aggregate(
+        ray.data.aggregate.Sum("pn")
+    )
+    schema = pa.schema(
+        [("cohort_week", pa.timestamp("us")), ("week_offset", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        week = pc.multiply(b["cohort_day"].cast(pa.int64()), 86_400 * 10**6)
+        return pa.table(
+            {"cohort_week": week.cast(pa.timestamp("us")),
+             "week_offset": b["week_offset"].cast(pa.int64()),
+             "n_users": b["sum(pn)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def median_price_by_priority(sf_dir: str) -> rd.Dataset:
+    """Grouped EXACT median — (o_orderpriority, median_price, n_orders):
+    the per-segment robust center. ONE priority shuffle via grouped_runs
+    with sort_cols (priority, price), so each run arrives sorted and the
+    rank-ceil(n/2) element is a direct index — no per-group Python, one
+    vectorized gather per bucket. Colocating a whole group bounds memory
+    by the largest group; past that, swap each group's selection for the
+    sketch-bounded two-pass (_exact_median_scan) keyed by group — this
+    operator is the bounded-group-count case."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("median_price", pa.float64()),
+         ("n_orders", pa.int64())]
+    )
+
+    def med_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        prio = np.asarray(g["o_orderpriority"].to_pylist(), dtype=object)
+        v = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        starts = run_starts(prio)
+        lens = np.diff(np.append(starts, len(prio)))
+        idx = starts + (lens + 1) // 2 - 1  # rank ceil(n/2), 0-based
+        return pa.table(
+            {"o_orderpriority": pa.array(prio[starts]),
+             "median_price": pa.array(v[idx]),
+             "n_orders": pa.array(lens.astype(np.int64))}
+        )
+
+    return grouped_runs(
+        orders, "o_orderpriority", med_runs,
+        sort_cols=["o_orderpriority", "o_totalprice"],
     )

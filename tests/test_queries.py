@@ -100,6 +100,9 @@ CHECKED = [
     "extreme_norm_vectors",
     "weekly_revenue_growth",
     "lang_length_cume_dist",
+    "retention_cohorts",
+    "value_mad",
+    "median_price_by_priority",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
