@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cfs(_corpus(sf_dir))
 
+    def image_size_filter(sf_dir: str):
+        from dedup_ray.pipelines.neardup import image_size_filter as isf
+
+        return isf(_corpus(sf_dir))
+
     def caption_quality(sf_dir: str):
         from dedup_ray.pipelines.neardup import caption_quality as cq
 
@@ -304,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": relational.retention_cohorts,
         "value_mad": relational.value_mad,
         "median_price_by_priority": relational.median_price_by_priority,
+        "pareto_parts": relational.pareto_parts,
+        "price_histogram": relational.price_histogram,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -324,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
+        "image_size_filter": image_size_filter,
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
@@ -1079,6 +1087,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) "
             "AS median_price, count(*)::BIGINT AS n_orders "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "pareto_parts": (
+            "SELECT p_partkey, p_retailprice, p_size FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE "
+            "q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size "
+            "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)) "
+            "ORDER BY p_partkey"
+        ),
+        "price_histogram": (
+            "WITH mm AS (SELECT min(o_totalprice) AS lo, "
+            "max(o_totalprice) AS hi FROM orders) "
+            "SELECT least(CAST(floor((o_totalprice - mm.lo) * 20 / "
+            "(mm.hi - mm.lo)) AS BIGINT), 19) AS bin, "
+            "count(*)::BIGINT AS n_orders FROM orders, mm GROUP BY 1"
+        ),
+        "image_size_filter": (
+            "SELECT fmt, count(*)::BIGINT AS n_total, "
+            "sum(CASE WHEN CAST(w AS BIGINT) * h >= 4096 AND "
+            "greatest(w, h) <= 4 * least(w, h) THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_kept, count(*)::BIGINT - sum(CASE WHEN "
+            "CAST(w AS BIGINT) * h >= 4096 AND greatest(w, h) <= "
+            "4 * least(w, h) THEN 1 ELSE 0 END)::BIGINT AS n_dropped "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
+            "GROUP BY fmt"
         ),
         "user_lifetimes": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

@@ -157,7 +157,8 @@ def run_bench(scope: str) -> dict:
             "duplicate_event_keys", "self_repetition",
             "extreme_norm_vectors", "weekly_revenue_growth",
             "lang_length_cume_dist", "retention_cohorts", "value_mad",
-            "median_price_by_priority",
+            "median_price_by_priority", "pareto_parts", "price_histogram",
+            "image_size_filter",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

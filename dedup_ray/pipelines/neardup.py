@@ -531,3 +531,56 @@ def decontaminate_images(
         return pa.concat_tables(outs)
 
     return cols.map_batches(probe, batch_format="pyarrow")
+
+
+def image_size_filter(input_path: str) -> rd.Dataset:
+    """Metadata-only image quality gate — (fmt, n_total, n_kept,
+    n_dropped): how many images per format survive the standard pre-train
+    size policy (area >= 64x64 AND aspect ratio <= 4:1). The cheapest
+    curation tier: decisions come from the (w, h) columns alone, so the
+    read projects three columns and ``bytes`` never leaves storage — at
+    100 TB this pass costs megabytes per block, not the corpus. The
+    aspect test is integer cross-multiplication (max(w,h) <= 4*min(w,h)):
+    no float ratios to disagree over. Per-batch Arrow group_by partials
+    collapse each block to <= |formats| rows before the tiny fmt merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_table(input_path, columns=["fmt", "w", "h"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["w"].cast(pa.int64())
+        h = b["h"].cast(pa.int64())
+        area_ok = pc.greater_equal(pc.multiply(w, h), 4096)
+        hi = pc.max_element_wise(w, h)
+        lo = pc.min_element_wise(w, h)
+        aspect_ok = pc.less_equal(hi, pc.multiply(lo, 4))
+        keep = pc.and_(area_ok, aspect_ok).cast(pa.int64())
+        t = pa.table({"fmt": b["fmt"], "k": keep})
+        g = t.group_by("fmt").aggregate(
+            [("k", "count", pc.CountOptions(mode="all")), ("k", "sum")]
+        )
+        return pa.table(
+            {"fmt": g["fmt"], "pn": g["k_count"].cast(pa.int64()),
+             "pk": g["k_sum"].cast(pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("fmt").sum(
+        ["pn", "pk"]
+    )
+    schema = pa.schema(
+        [("fmt", pa.string()), ("n_total", pa.int64()),
+         ("n_kept", pa.int64()), ("n_dropped", pa.int64())]
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        n = b["sum(pn)"].cast(pa.int64())
+        k = b["sum(pk)"].cast(pa.int64())
+        return pa.table(
+            {"fmt": b["fmt"], "n_total": n, "n_kept": k,
+             "n_dropped": pc.subtract(n, k)}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

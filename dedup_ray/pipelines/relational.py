@@ -3178,3 +3178,117 @@ def median_price_by_priority(sf_dir: str) -> rd.Dataset:
         orders, "o_orderpriority", med_runs,
         sort_cols=["o_orderpriority", "o_totalprice"],
     )
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Keep mask of the 2D skyline (minimize price, maximize size) over
+    arrays SORTED by (price asc, size desc). A point is dominated iff an
+    earlier strictly-cheaper point has size >= its size, or a same-price
+    point has size > its size (the run head, since size sorts desc within
+    a price run). Vectorized: one run detection + one prefix max."""
+    from dedup_ray.stages.grouped import run_starts
+
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    starts = run_starts(price)
+    lens = np.diff(np.append(starts, n))
+    run_max = size[starts]  # size desc within a price run
+    # max size over all STRICTLY cheaper runs (-inf for the first run)
+    prev = np.concatenate([[-np.inf], np.maximum.accumulate(run_max)[:-1]])
+    dominated = (np.repeat(prev, lens) >= size) | (np.repeat(run_max, lens) > size)
+    return ~dominated
+
+
+def pareto_parts(sf_dir: str) -> pa.Table:
+    """Skyline / Pareto frontier of the part table — (p_partkey,
+    p_retailprice, p_size): parts where no other part is both cheaper-or-
+    equal AND larger-or-equal with at least one strict. The classic
+    multi-objective shortlist, built distributed: each batch reduces to
+    its LOCAL skyline (dominated-locally implies dominated-globally, so
+    the filter is lossless), and only those frontier fragments — bounded
+    by the distinct-price domain, in practice a sliver of the input —
+    reach the driver for the final merge with the same vectorized kernel.
+    Past driver scale the merge recurses (skyline-of-skylines is
+    associative); comparisons only, no float arithmetic to diverge."""
+    ds = read_view(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("p_retailprice", "ascending"),
+                          ("p_size", "descending")]
+        )
+        b = b.take(order)
+        keep = _skyline_mask(
+            b["p_retailprice"].to_numpy(zero_copy_only=False),
+            b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return b.filter(pa.array(keep))
+
+    frags = ds.map_batches(local_skyline, batch_format="pyarrow").take_all()
+    schema = pa.schema(
+        [("p_partkey", pa.int64()), ("p_retailprice", pa.float64()),
+         ("p_size", pa.int32())]
+    )
+    if not frags:
+        return schema.empty_table()
+    t = pa.Table.from_pylist(frags, schema=schema).sort_by(
+        [("p_retailprice", "ascending"), ("p_size", "descending")]
+    )
+    keep = _skyline_mask(
+        t["p_retailprice"].to_numpy(zero_copy_only=False),
+        t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    return t.filter(pa.array(keep)).sort_by("p_partkey")
+
+
+def price_histogram(sf_dir: str, nbins: int = 20) -> pa.Table:
+    """Equi-width histogram of order value — (bin, n_orders): the
+    distribution dashboard for a continuous double column. Pass 1 folds
+    per-batch min/max partials to two driver scalars; pass 2 folds
+    per-batch bincounts into one length-``nbins`` vector — both streamed,
+    no shuffle, and the bin expression floor((v-lo)*nbins/(hi-lo)) is the
+    identical double op sequence DuckDB evaluates, so edges land in the
+    same bin on both engines (v == hi clamps to the last bin)."""
+    ds = read_view(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def minmax(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    schema = pa.schema([("bin", pa.int64()), ("n_orders", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    width = hi - lo
+
+    def bincount(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        if width == 0.0:
+            bins = np.zeros(len(v), dtype=np.int64)
+        else:
+            bins = np.floor((v - lo) * nbins / width).astype(np.int64)
+            bins = np.minimum(bins, nbins - 1)
+        return pa.table(
+            {"bin_idx": pa.array(np.arange(nbins, dtype=np.int64)),
+             "cnt": pa.array(np.bincount(bins, minlength=nbins).astype(np.int64))}
+        )
+
+    counts = ds.map_batches(bincount, batch_format="pyarrow").take_all()
+    total = np.zeros(nbins, dtype=np.int64)
+    for r in counts:
+        total[r["bin_idx"]] += r["cnt"]
+    mask = total > 0
+    return pa.table(
+        {"bin": pa.array(np.flatnonzero(mask).astype(np.int64)),
+         "n_orders": pa.array(total[mask])}
+    )

@@ -103,6 +103,9 @@ CHECKED = [
     "retention_cohorts",
     "value_mad",
     "median_price_by_priority",
+    "pareto_parts",
+    "price_histogram",
+    "image_size_filter",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
