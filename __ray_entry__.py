@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_price_by_priority": relational.median_price_by_priority,
         "pareto_parts": relational.pareto_parts,
         "price_histogram": relational.price_histogram,
+        "cumulative_users_by_day": relational.cumulative_users_by_day,
+        "weighted_discount_by_flag": relational.weighted_discount_by_flag,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1101,6 +1103,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT least(CAST(floor((o_totalprice - mm.lo) * 20 / "
             "(mm.hi - mm.lo)) AS BIGINT), 19) AS bin, "
             "count(*)::BIGINT AS n_orders FROM orders, mm GROUP BY 1"
+        ),
+        "cumulative_users_by_day": (
+            "WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day "
+            "FROM events GROUP BY user_id), "
+            "c AS (SELECT day, count(*)::BIGINT AS n FROM f GROUP BY day) "
+            "SELECT day, sum(n) OVER (ORDER BY day)::BIGINT AS n_users_cum "
+            "FROM c"
+        ),
+        "weighted_discount_by_flag": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_discount * 100) AS BIGINT) * "
+            "CAST(l_quantity AS BIGINT)) AS DOUBLE) / "
+            "CAST(100 * sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) "
+            "AS avg_discount_weighted, count(*)::BIGINT AS n_items "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "image_size_filter": (
             "SELECT fmt, count(*)::BIGINT AS n_total, "

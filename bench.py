@@ -158,7 +158,8 @@ def run_bench(scope: str) -> dict:
             "extreme_norm_vectors", "weekly_revenue_growth",
             "lang_length_cume_dist", "retention_cohorts", "value_mad",
             "median_price_by_priority", "pareto_parts", "price_histogram",
-            "image_size_filter",
+            "image_size_filter", "cumulative_users_by_day",
+            "weighted_discount_by_flag",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -3292,3 +3292,119 @@ def price_histogram(sf_dir: str, nbins: int = 20) -> pa.Table:
         {"bin": pa.array(np.flatnonzero(mask).astype(np.int64)),
          "n_orders": pa.array(total[mask])}
     )
+
+
+def cumulative_users_by_day(sf_dir: str) -> rd.Dataset:
+    """Cumulative distinct users by day — (day, n_users_cum): the
+    classic growth curve. Distinct-so-far needs each user counted once,
+    on their FIRST day: per-batch (user, min day) Arrow partials shrink
+    the one user shuffle to distinct users per block; first-day counts
+    then collapse to the bounded day domain, where a single-block sorted
+    cumsum finishes (the day axis is thousands of rows at any corpus
+    size — past that, revenue_running_by_date's range-partitioned scan
+    is the swap). All-integer day floors; counts only."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(b["ts"].cast(pa.int64()), 86_400 * 10**6),
+            86_400 * 10**6,
+        )
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        g = t.group_by("user_id").aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "pmin": g["day_min"]})
+
+    firsts = (
+        read_view(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(ray.data.aggregate.Min("pmin"))
+    )
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "min(pmin)" not in b.column_names:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        t = pa.table({"day": b["min(pmin)"], "one": pa.array(
+            np.ones(b.num_rows, dtype=np.int64))})
+        g = t.group_by("day").aggregate([("one", "sum")])
+        return pa.table({"day": g["day"], "pn": g["one_sum"]})
+
+    agg = firsts.map_batches(day_counts, batch_format="pyarrow").groupby(
+        "day"
+    ).aggregate(ray.data.aggregate.Sum("pn"))
+    schema = pa.schema(
+        [("day", pa.timestamp("us")), ("n_users_cum", pa.int64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        b = b.sort_by("day")
+        cum = np.cumsum(b["sum(pn)"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"day": b["day"].cast(pa.timestamp("us")),
+             "n_users_cum": pa.array(cum.astype(np.int64))}
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def weighted_discount_by_flag(sf_dir: str) -> rd.Dataset:
+    """Quantity-weighted mean discount per return flag — (l_returnflag,
+    avg_discount_weighted, n_items): the weighted-average aggregate done
+    with EXACT integer moments. Discounts are 2-decimal and quantities
+    integral, so sum(round(d*100)*q) and sum(q) fold as int64 partials
+    (per-batch, before the tiny flag groupby) and ONE double division at
+    the end reproduces the oracle bit-exactly — no float sums whose
+    order could differ between engines."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = np.rint(d * 100.0).astype(np.int64)
+        t = pa.table(
+            {"l_returnflag": b["l_returnflag"],
+             "sw": pa.array(dc * q), "sq": pa.array(q),
+             "n": pa.array(np.ones(len(q), dtype=np.int64))}
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("sw", "sum"), ("sq", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {"l_returnflag": g["l_returnflag"], "psw": g["sw_sum"],
+             "psq": g["sq_sum"], "pn": g["n_sum"]}
+        )
+
+    agg = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_discount", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            ray.data.aggregate.Sum("psw"),
+            ray.data.aggregate.Sum("psq"),
+            ray.data.aggregate.Sum("pn"),
+        )
+    )
+    schema = pa.schema(
+        [("l_returnflag", pa.string()),
+         ("avg_discount_weighted", pa.float64()), ("n_items", pa.int64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(psw)" not in b.column_names:
+            return schema.empty_table()
+        sw = b["sum(psw)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = b["sum(psq)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wavg = sw.astype(np.float64) / (100 * sq).astype(np.float64)
+        return pa.table(
+            {"l_returnflag": b["l_returnflag"],
+             "avg_discount_weighted": pa.array(wavg),
+             "n_items": b["sum(pn)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
