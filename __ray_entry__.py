@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": relational.price_histogram,
         "cumulative_users_by_day": relational.cumulative_users_by_day,
         "weighted_discount_by_flag": relational.weighted_discount_by_flag,
+        "customer_revenue_gini": relational.customer_revenue_gini,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1118,6 +1119,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 * sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) "
             "AS avg_discount_weighted, count(*)::BIGINT AS n_items "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "customer_revenue_gini": (
+            "WITH r AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) "
+            "AS BIGINT))::BIGINT AS cents FROM orders GROUP BY o_custkey), "
+            "s AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk "
+            "FROM r), t AS (SELECT count(*)::BIGINT AS n, "
+            "sum(cents)::BIGINT AS tot FROM r) "
+            "SELECT CAST(sum((2 * s.rk - t.n - 1) * s.cents) AS DOUBLE) / "
+            "(CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)) AS gini, "
+            "t.n AS n_customers FROM s, t GROUP BY t.n, t.tot"
         ),
         "image_size_filter": (
             "SELECT fmt, count(*)::BIGINT AS n_total, "

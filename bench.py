@@ -159,7 +159,7 @@ def run_bench(scope: str) -> dict:
             "lang_length_cume_dist", "retention_cohorts", "value_mad",
             "median_price_by_priority", "pareto_parts", "price_histogram",
             "image_size_filter", "cumulative_users_by_day",
-            "weighted_discount_by_flag",
+            "weighted_discount_by_flag", "customer_revenue_gini",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

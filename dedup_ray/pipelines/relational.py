@@ -3408,3 +3408,129 @@ def weighted_discount_by_flag(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_revenue_gini(sf_dir: str, num_parts: int = 64) -> pa.Table:
+    """EXACT Gini coefficient of per-customer revenue — (gini,
+    n_customers): the inequality / concentration metric over the whole
+    key population, computed distributed with integer arithmetic.
+
+    Gini needs every customer's global revenue RANK — the terasort
+    recipe again (orders_global_rank): (1) per-customer exact cent
+    totals (partial-agg + one custkey shuffle, then pinned — O(customers)
+    rows, spillable); (2) stride-sample the cents key, driver picks
+    splitters (equal values land in ONE partition, so tie ranks stay
+    together — and the rank·value sum is tie-permutation-invariant
+    anyway); (3) exact per-partition counts give driver prefix offsets;
+    (4) ONE pid shuffle, local sort, ranks = offset + arange, and
+    chunked int64 partials of sum(rank·cents) / sum(cents) fold
+    driver-side as Python ints. gini = (2·S - (n+1)·tot) / (n·tot) with
+    the same two double casts and one multiply+divide as the SQL, so the
+    float hashes bit-identically. Per-element rank·cents stays below
+    2^63 for n·max_cents < 4.6e18 (any realistic corpus); past that the
+    kernel splits cents into 32-bit halves."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"o_custkey": b["o_custkey"], "c": pa.array(c)})
+        g = t.group_by("o_custkey").aggregate([("c", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "pc": g["c_sum"]})
+
+    percust = (
+        read_view(f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_totalprice"])
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(ray.data.aggregate.Sum("pc"))
+        .map_batches(
+            lambda b: pa.table({"cents": b["sum(pc)"].cast(pa.int64())})
+            if b.num_rows and "sum(pc)" in b.column_names
+            else pa.table({"cents": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    empty = pa.table({"gini": pa.array([], pa.float64()),
+                      "n_customers": pa.array([], pa.int64())})
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        step = max(1, len(v) // 32)
+        return pa.table({"v": pa.array(v[::step], pa.int64())})
+
+    samp = np.sort(np.concatenate(
+        [t["v"].to_numpy(zero_copy_only=False) for t in ray.get(
+            percust.map_batches(sample, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if t.num_rows] or [np.empty(0, np.int64)]
+    ))
+    if samp.size == 0:
+        return empty
+    splitters = np.unique(
+        samp[np.linspace(0, samp.size - 1, num_parts - 1).astype(np.int64)]
+    )
+
+    def pid_counts(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(splitters, v, side="right")
+        return pa.table(
+            {"pid": pa.array(np.arange(len(splitters) + 1, dtype=np.int64)),
+             "pn": pa.array(np.bincount(
+                 pid, minlength=len(splitters) + 1).astype(np.int64))}
+        )
+
+    counts = np.zeros(len(splitters) + 1, dtype=np.int64)
+    for t in ray.get(
+        percust.map_batches(pid_counts, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            counts[t["pid"].to_numpy(zero_copy_only=False)] += t[
+                "pn"].to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n = int(counts.sum())
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pid", pa.array(np.searchsorted(splitters, v, side="right"))
+        )
+
+    def rank_partials(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"ps": pa.array([], pa.int64()),
+                             "pt": pa.array([], pa.int64())})
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        starts = run_starts(pid)
+        lens = np.diff(np.append(starts, len(pid)))
+        # global 1-based rank: partition offset + position within the
+        # (pid, cents)-sorted run
+        base = np.repeat(offsets[pid[starts]] + 1 - starts, lens)
+        rk = base + np.arange(len(pid))
+        prod = rk * c
+        bounds = np.arange(0, len(c), 4096)
+        return pa.table(
+            {"ps": pa.array(np.add.reduceat(prod, bounds)),
+             "pt": pa.array(np.add.reduceat(c, bounds))}
+        )
+
+    parts = ray.get(
+        grouped_runs(
+            percust.map_batches(add_pid, batch_format="pyarrow"),
+            "pid", rank_partials, sort_cols=["pid", "cents"],
+        ).to_arrow_refs()
+    )
+    S = tot = 0
+    for t in parts:  # Python ints: exact at any magnitude
+        if t.num_rows and "ps" in t.column_names:
+            S += sum(t["ps"].to_pylist())
+            tot += sum(t["pt"].to_pylist())
+    if n == 0 or tot == 0:
+        return empty
+    num = 2 * S - (n + 1) * tot
+    gini = float(num) / (float(n) * float(tot))
+    return pa.table({"gini": pa.array([gini], pa.float64()),
+                     "n_customers": pa.array([n], pa.int64())})
