@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users_by_day": relational.cumulative_users_by_day,
         "weighted_discount_by_flag": relational.weighted_discount_by_flag,
         "customer_revenue_gini": relational.customer_revenue_gini,
+        "props_k_stats": relational.props_k_stats,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1129,6 +1130,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum((2 * s.rk - t.n - 1) * s.cents) AS DOUBLE) / "
             "(CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)) AS gini, "
             "t.n AS n_customers FROM s, t GROUP BY t.n, t.tot"
+        ),
+        "props_k_stats": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))::BIGINT "
+            "AS sum_k, min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))"
+            "::BIGINT AS min_k, max(CAST(regexp_extract(props, '[0-9]+') "
+            "AS BIGINT))::BIGINT AS max_k FROM events GROUP BY event_type"
         ),
         "image_size_filter": (
             "SELECT fmt, count(*)::BIGINT AS n_total, "

@@ -3534,3 +3534,55 @@ def customer_revenue_gini(sf_dir: str, num_parts: int = 64) -> pa.Table:
     gini = float(num) / (float(n) * float(tot))
     return pa.table({"gini": pa.array([gini], pa.float64()),
                      "n_customers": pa.array([n], pa.int64())})
+
+
+def props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured payload parse + aggregate — (event_type, n, sum_k,
+    min_k, max_k): pull the numeric field out of the JSON ``props`` column
+    and profile it per event type. The parse is ONE vectorized RE2 kernel
+    (pc.extract_regex) inside the scan task — no per-row Python, and the
+    same regex class DuckDB's regexp_extract runs, so both engines see
+    identical integers. Per-batch partials collapse each block to the
+    event-type domain before the tiny merge; exact int64 sums."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], pattern=r"(?P<k>[0-9]+)")
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "count", pc.CountOptions(mode="all")),
+             ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return pa.table(
+            {"event_type": g["event_type"],
+             "pn": g["k_count"].cast(pa.int64()), "ps": g["k_sum"],
+             "pmin": g["k_min"], "pmax": g["k_max"]}
+        )
+
+    agg = (
+        read_view(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("pn"), ray.data.aggregate.Sum("ps"),
+            ray.data.aggregate.Min("pmin"), ray.data.aggregate.Max("pmax"),
+        )
+    )
+    schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("sum_k", pa.int64()), ("min_k", pa.int64()), ("max_k", pa.int64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return schema.empty_table()
+        return pa.table(
+            {"event_type": b["event_type"],
+             "n": b["sum(pn)"].cast(pa.int64()),
+             "sum_k": b["sum(ps)"].cast(pa.int64()),
+             "min_k": b["min(pmin)"].cast(pa.int64()),
+             "max_k": b["max(pmax)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
