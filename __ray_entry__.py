@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_keep_longest": text.minhash_keep_longest,      # SQL-checked
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
+        "containment_pairs": text.containment_pairs,            # SQL-checked
         "edit_distance_pairs": text.edit_distance_pairs,        # SQL-checked
         "normalized_dedup_groups": text.normalized_dedup_groups,  # SQL-checked
         "doc_jaccard_search": text.doc_jaccard_search,
@@ -623,6 +624,18 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(a.toks, b.toks)) > 0 AND "
             "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"
+        ),
+        # asymmetric containment: 5*inter >= 4*min — all-integer test,
+        # no float ratios; tokenless docs excluded (containment undefined)
+        "containment_pairs": (
+            "WITH s AS (SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_distinct(regexp_split_to_array(trim(text), '\\s+')) END AS toks "
+            "FROM documents) "
+            "SELECT a.doc_id AS a, b.doc_id AS b FROM s a CROSS JOIN s b "
+            "WHERE a.doc_id < b.doc_id AND len(a.toks) > 0 AND len(b.toks) > 0 "
+            "AND 5 * len(list_intersect(a.toks, b.toks)) >= "
+            "4 * least(len(a.toks), len(b.toks))"
         ),
         # token class matches top_terms' split set; tokenless docs excluded
         # on both sides (Jaccard undefined); jacc = one int/int division,

@@ -171,12 +171,14 @@ def longest_repeated_substring(s: str, min_len: int = 1) -> int:
     B = np.uint64(1099511628211)
     # prefix hashes H[i] = hash of s[:i] (natural uint64 wraparound)
     H = np.zeros(n + 1, dtype=np.uint64)
-    for i in range(n):  # O(n) scalar pass; numpy cumulative mul-add has no kernel
-        H[i + 1] = H[i] * B + c[i]
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound IS the hash
+        for i in range(n):  # O(n) scalar pass; no cumulative mul-add kernel
+            H[i + 1] = H[i] * B + c[i]
 
     def feasible(L: int) -> bool:
         pw = np.uint64(pow(1099511628211, L, 1 << 64))
-        g = H[L:] - H[:-L] * pw  # hash of every L-gram
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound IS the hash
+            g = H[L:] - H[:-L] * pw  # hash of every L-gram
         order = np.argsort(g, kind="stable")
         gs = g[order]
         dup = np.flatnonzero(gs[1:] == gs[:-1])

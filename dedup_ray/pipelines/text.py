@@ -976,3 +976,162 @@ def neardup_cluster_sizes(
         {"cluster_size": pa.array(hist.index.to_numpy(), pa.int64()),
          "n_clusters": pa.array(hist.to_numpy(), pa.int64())}
     )
+
+
+def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """EXACT token containment near-dup pairs: all (a < b) where
+    |A∩B| >= threshold·min(|A|,|B|) — the ASYMMETRIC partial-duplicate
+    detector (quotes, boilerplate, doc-inside-doc) that Jaccard misses
+    when sizes differ. Returns (a, b) sorted.
+
+    Lossless distributed candidates, a containment twist on the Bayardo
+    prefix filter: order tokens rarest-first (shuffle-free df pre-pass,
+    rank table broadcast once); every doc posts ALL its token ids
+    (inverted-index side, linear in corpus tokens) with a flag marking
+    the first L = |d| - ceil(t·|d|) + 1 of them (prefix side). If A is
+    the smaller of a qualifying pair, at most (1-t)·|A| of A's tokens
+    miss B, so one of A's L prefix tokens IS in B — the pair meets in
+    that token's group. Pair generation pairs prefix-flagged members
+    with all members; verification is exact sorted-int intersection with
+    the all-integer test k·inter >= k·t·min (no float ratios). The
+    index side is the scale knob: rarest-first keeps groups small, and
+    hot (common) tokens are prefix-flagged only in near-all-common docs."""
+    import ray
+    from dedup_ray.stages.grouped import (drop_sorted_dup_pairs, grouped_runs,
+                                          run_starts)
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        toks = [sorted(set((t or "").split())) for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"],
+             "grams": pa.array(toks, type=pa.list_(pa.string()))}
+        )
+
+    sets_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    ).materialize()  # consumed twice: df pre-pass + explode/attrs
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        vals = b["grams"].combine_chunks().flatten()
+        if len(vals) == 0:
+            return pa.schema([("tok", pa.string()), ("n", pa.int64())]).empty_table()
+        t = pa.table({"tok": vals}).group_by("tok").aggregate([("tok", "count")])
+        return t.rename_columns(["tok", "n"])
+
+    parts = [
+        t for t in ray.get(
+            sets_ds.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "tok" in t.column_names
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["a", "b"]).astype("int64")
+    merged = pa.concat_tables(parts).group_by("tok").aggregate([("n", "sum")])
+    mdf = merged.to_pandas().sort_values(["n_sum", "tok"]).reset_index(drop=True)
+    rank = {t: i for i, t in enumerate(mdf["tok"])}
+    rank_ref = ray.put(rank)
+
+    def explode_flagged(b: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        out_tok, out_doc, out_pfx = [], [], []
+        for doc, grams in zip(b["doc_id"].to_pylist(), b["grams"].to_pylist()):
+            ids = sorted(r[g] for g in grams)
+            ld = len(ids)
+            if ld == 0:
+                continue
+            L = ld - int(np.ceil(threshold * ld - 1e-9)) + 1
+            out_tok.extend(ids)
+            out_doc.extend([doc] * ld)
+            out_pfx.extend([True] * L + [False] * (ld - L))
+        return pa.table(
+            {"tok": pa.array(out_tok, type=pa.int64()),
+             "doc_id": pa.array(out_doc, type=pa.int64()),
+             "pfx": pa.array(out_pfx, type=pa.bool_())}
+        )
+
+    def flagged_pairs(g: pa.Table) -> pa.Table:
+        keys = g["tok"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        pfx = g["pfx"].to_numpy(zero_copy_only=False)
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
+        out_a, out_b = [], []
+        for r in np.flatnonzero(np.diff(bounds) >= 2):
+            lo, hi = bounds[r], bounds[r + 1]
+            order = np.argsort(ids[lo:hi])
+            run = ids[lo:hi][order]
+            rp = pfx[lo:hi][order]
+            iu, ju = np.triu_indices(len(run), 1)
+            m = rp[iu] | rp[ju]  # at least one side posted a prefix token
+            out_a.append(run[iu][m])
+            out_b.append(run[ju][m])
+        if not out_a:
+            return pa.schema(
+                [("src_id", pa.int64()), ("dst_id", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {"src_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+             "dst_id": pa.array(np.concatenate(out_b), type=pa.int64())}
+        )
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        ids = [sorted(r[g] for g in grams) for grams in b["grams"].to_pylist()]
+        return pa.table(
+            {"image_id": b["doc_id"],
+             "tok_ids": pa.array(ids, type=pa.list_(pa.int64()))}
+        )
+
+    exploded = sets_ds.map_batches(explode_flagged, batch_format="pyarrow")
+    cand = grouped_runs(exploded, "tok", flagged_pairs)
+    deduped = grouped_runs(
+        cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
+        sort_cols=["src_id", "dst_id"],
+    )
+    withsets = attach_pair_attrs(
+        deduped, sets_ds.map_batches(to_ids, batch_format="pyarrow"),
+        ["tok_ids"],
+    )
+    # threshold as an exact rational k_num/k_den for the integer test
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+
+    def vfy(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if b.num_rows == 0 or "src_tok_ids" not in b.column_names:
+            return schema.empty_table()
+        la = b["src_tok_ids"].combine_chunks()
+        lb = b["dst_tok_ids"].combine_chunks()
+        va, oa = la.values.to_numpy(zero_copy_only=False), la.offsets.to_numpy()
+        vb, ob = lb.values.to_numpy(zero_copy_only=False), lb.offsets.to_numpy()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):  # candidates only
+            A = va[oa[i]: oa[i + 1]]
+            B = vb[ob[i]: ob[i + 1]]
+            if A.size == 0 or B.size == 0:
+                continue
+            if A.size > B.size:
+                A, B = B, A
+            idx = np.searchsorted(B, A)
+            idx[idx >= B.size] = B.size - 1
+            inter = int(np.count_nonzero(B[idx] == A))
+            if frac.denominator * inter >= frac.numerator * A.size:
+                keep[i] = True
+        return pa.table(
+            {"a": b["src_id"].filter(pa.array(keep)),
+             "b": b["dst_id"].filter(pa.array(keep))}
+        )
+
+    parts = [
+        t for t in ray.get(
+            withsets.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
+            .to_arrow_refs()
+        )
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["a", "b"]).astype("int64")
+    out = pa.concat_tables(parts).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")

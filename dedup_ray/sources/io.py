@@ -23,6 +23,27 @@ except ImportError:
     HAVE_LANCE = False
 
 
+class _SchemaHashNoise(__import__("logging").Filter):
+    """Drop Ray's "Failed to hash the schemas (for deduplication)" line.
+
+    It fires whenever a read's blocks still carry pandas schema metadata
+    (whose dict makes pyarrow Schema.__hash__ raise) — benign: Ray just
+    skips a dedup fast path and unifies the schemas anyway. Reads WITHOUT
+    a predicate avoid it structurally via _add_meta_free_schema; predicate
+    reads cannot pass an explicit schema (see _add_meta_free_schema), so
+    the cosmetic line is filtered here instead. The worker-side logger is
+    configured per-process, hence the filter installs at import time (the
+    module imports inside every Ray task that reads)."""
+
+    def filter(self, record) -> bool:  # pragma: no cover - trivial
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+__import__("logging").getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoise())
+
+
 def read_table(
     path: str | list[str],
     columns: list[str] | None = None,
@@ -75,8 +96,11 @@ def _add_meta_free_schema(path, columns, kwargs) -> None:
     the caller passed one): pandas-written files carry a `pandas` schema-
     metadata blob whose dict makes pyarrow Schema.__hash__ raise inside
     Ray's block concat ("Failed to hash the schemas" spam + a defeated
-    schema-dedup cache). Skipped under a predicate — the scanner's schema
-    must keep unprojected columns the filter references."""
+    schema-dedup cache). Skipped under a predicate: Ray coerces each
+    projected batch with the SAME schema it hands the fragment scanner,
+    so any explicit schema either breaks a filter on an unprojected
+    column (narrowed) or the coercion itself (full) — those reads instead
+    rely on the module-level log filter + read_view's post-read strip."""
     if path is None or "schema" in kwargs:
         return
     import pyarrow.parquet as pq
@@ -117,11 +141,9 @@ def read_view(path: str, columns: list[str] | None = None, **kwargs) -> rd.Datas
 
     Use for externally-written tables (the driver's testdata is written by
     pandas)."""
-    # an explicit schema narrowed to `columns` would reject predicates that
-    # reference unprojected columns (the scanner needs them in its schema);
-    # with a predicate, fall back to the post-read metadata strip so parquet
-    # matches the JSONL/CSV behavior: filter sees all columns, output only
-    # the projected ones
+    # no explicit schema under a predicate (Ray's batch coercion would
+    # reject it — see _add_meta_free_schema): those reads fall back to the
+    # post-read strip + the module-level log filter
     if not HAVE_LANCE and "schema" not in kwargs and kwargs.get("predicate") is None:
         import pyarrow.parquet as pq
 
