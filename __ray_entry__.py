@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_discount_by_flag": relational.weighted_discount_by_flag,
         "customer_revenue_gini": relational.customer_revenue_gini,
         "props_k_stats": relational.props_k_stats,
+        "upsert_docs": curation.upsert_docs,
         "duplicate_event_keys": relational.duplicate_event_keys,
         "remove_rare_tokens": curation.remove_rare_tokens,
         "term_cooccurrence": analysis.term_cooccurrence,
@@ -1150,6 +1151,17 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_k, min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))"
             "::BIGINT AS min_k, max(CAST(regexp_extract(props, '[0-9]+') "
             "AS BIGINT))::BIGINT AS max_k FROM events GROUP BY event_type"
+        ),
+        "upsert_docs": (
+            "WITH upd AS (SELECT doc_id, upper(text) AS text FROM documents "
+            "WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3), "
+            "del AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 3), "
+            "ins AS (SELECT doc_id + 100000 AS doc_id, text, source "
+            "FROM documents WHERE doc_id % 13 = 5) "
+            "SELECT d.doc_id, COALESCE(u.text, d.text) AS text, d.source "
+            "FROM documents d LEFT JOIN upd u ON u.doc_id = d.doc_id "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM del) "
+            "UNION ALL SELECT doc_id, text, source FROM ins"
         ),
         "image_size_filter": (
             "SELECT fmt, count(*)::BIGINT AS n_total, "

@@ -160,7 +160,7 @@ def run_bench(scope: str) -> dict:
             "median_price_by_priority", "pareto_parts", "price_histogram",
             "image_size_filter", "cumulative_users_by_day",
             "weighted_discount_by_flag", "customer_revenue_gini",
-            "props_k_stats", "containment_pairs",
+            "props_k_stats", "containment_pairs", "upsert_docs",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

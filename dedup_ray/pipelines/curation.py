@@ -1186,3 +1186,89 @@ def remove_rare_tokens(sf_dir: str, min_df: int = 2) -> rd.Dataset:
         )
 
     return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+def upsert_docs(sf_dir: str) -> rd.Dataset:
+    """MERGE / upsert — apply a deterministic change feed (inserts,
+    updates, deletes) onto the document table and return the merged
+    snapshot (doc_id, text, source): the warehouse MERGE INTO and the
+    CDC-apply step of every incremental corpus refresh.
+
+    The change feed derives from the base (update text->upper where
+    id%7==0, delete where id%11==3, insert id+100000 where id%13==5) so
+    both engines see the identical feed without side files. Shape: tag
+    base rows side=0 and change rows side=1, union, ONE doc_id shuffle;
+    inside each id run precedence is vectorized masks — delete kills the
+    run, update's payload wins over base, inserts pass through. Each
+    side moves exactly once (diff_snapshots' shape with a writer's
+    semantics)."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def with_changes(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        base = pa.table(
+            {"doc_id": b["doc_id"], "text": b["text"],
+             "source": b["source"],
+             "side": pa.array(np.zeros(len(ids), dtype=np.int8)),
+             "op": pa.array(["keep"] * len(ids), type=pa.string())}
+        )
+        upd_m = (ids % 7 == 0) & (ids % 11 != 3)
+        del_m = ids % 11 == 3
+        ins_m = ids % 13 == 5
+        upd = b.filter(pa.array(upd_m))
+        dels = b.filter(pa.array(del_m))
+        ins = b.filter(pa.array(ins_m))
+        changes = pa.table(
+            {"doc_id": pa.array(
+                np.concatenate([
+                    upd["doc_id"].to_numpy(zero_copy_only=False),
+                    dels["doc_id"].to_numpy(zero_copy_only=False),
+                    ins["doc_id"].to_numpy(zero_copy_only=False) + 100_000,
+                ]).astype(np.int64)),
+             "text": pa.concat_arrays([
+                 pc.utf8_upper(upd["text"]).combine_chunks(),
+                 pa.array([""] * dels.num_rows, type=pa.string()),
+                 ins["text"].combine_chunks(),
+             ]),
+             "source": pa.concat_arrays([
+                 upd["source"].combine_chunks(),
+                 dels["source"].combine_chunks(),
+                 ins["source"].combine_chunks(),
+             ]),
+             "side": pa.array(
+                 np.ones(upd.num_rows + dels.num_rows + ins.num_rows,
+                         dtype=np.int8)),
+             "op": pa.array(
+                 ["update"] * upd.num_rows + ["delete"] * dels.num_rows
+                 + ["insert"] * ins.num_rows, type=pa.string())}
+        )
+        return pa.concat_tables([base, changes])
+
+    tagged = docs.map_batches(with_changes, batch_format="pyarrow")
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("source", pa.string())]
+    )
+
+    def merge_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        op = np.asarray(g["op"].to_pylist(), dtype=object)
+        starts = run_starts(ids)
+        lens = np.diff(np.append(starts, len(ids)))
+        rid = np.repeat(np.arange(len(starts)), lens)
+        run_deleted = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(run_deleted, rid, op == "delete")
+        run_updated = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(run_updated, rid, op == "update")
+        # keep: base row unless its run is deleted or updated; the update/
+        # insert change row itself unless the run is deleted
+        is_change = op != "keep"
+        keep = ~run_deleted[rid] & np.where(
+            is_change, op != "delete", ~run_updated[rid]
+        )
+        return g.select(["doc_id", "text", "source"]).filter(pa.array(keep))
+
+    return grouped_runs(tagged, "doc_id", merge_runs,
+                        sort_cols=["doc_id", "side"])

@@ -111,6 +111,7 @@ CHECKED = [
     "customer_revenue_gini",
     "props_k_stats",
     "containment_pairs",
+    "upsert_docs",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
