@@ -37,6 +37,7 @@ def empty_sf(tmp_path):
             "o_custkey": pd.Series([], dtype="int64"),
             "o_totalprice": pd.Series([], dtype="float64"),
             "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series([], dtype="object"),
         }
     ).to_parquet(os.path.join(str(tmp_path), "orders.parquet"))
     pd.DataFrame(
@@ -44,6 +45,8 @@ def empty_sf(tmp_path):
             "l_orderkey": pd.Series([], dtype="int64"),
             "l_quantity": pd.Series([], dtype="float64"),
             "l_extendedprice": pd.Series([], dtype="float64"),
+            "l_discount": pd.Series([], dtype="float64"),
+            "l_returnflag": pd.Series([], dtype="object"),
         }
     ).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
     return str(tmp_path)
@@ -102,3 +105,42 @@ def test_term_cooccurrence_empty(empty_sf, ray_session):
     from dedup_ray.pipelines.analysis import term_cooccurrence
 
     assert term_cooccurrence(empty_sf).count() == 0
+
+
+def test_session5_operators_empty(empty_sf, ray_session):
+    from dedup_ray.pipelines.curation import upsert_docs
+    from dedup_ray.pipelines.relational import (
+        cumulative_users_by_day,
+        customer_revenue_gini,
+        median_price_by_priority,
+        pareto_parts,
+        price_histogram,
+        retention_cohorts,
+        value_mad,
+        weighted_discount_by_flag,
+    )
+
+    assert retention_cohorts(empty_sf).count() == 0
+    assert cumulative_users_by_day(empty_sf).count() == 0
+    assert value_mad(empty_sf).num_rows == 0
+    assert median_price_by_priority(empty_sf).count() == 0
+    assert price_histogram(empty_sf).num_rows == 0
+    assert customer_revenue_gini(empty_sf).num_rows == 0
+    assert weighted_discount_by_flag(empty_sf).count() == 0
+    assert upsert_docs(empty_sf).count() == 0
+
+
+def test_pareto_empty_part_table(tmp_path, ray_session):
+    import pandas as pd
+    import os
+
+    from dedup_ray.pipelines.relational import pareto_parts
+
+    pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_retailprice": pd.Series([], dtype="float64"),
+            "p_size": pd.Series([], dtype="int32"),
+        }
+    ).to_parquet(os.path.join(str(tmp_path), "part.parquet"))
+    assert pareto_parts(str(tmp_path)).num_rows == 0
