@@ -322,6 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": analysis.term_cooccurrence,
         "term_postings": analysis.term_postings,
         "source_dedup_stats": curation.source_dedup_stats,
+        "custdist": relational.custdist,
+        "priority_return_counts": relational.priority_return_counts,
+        "promo_revenue_pct": relational.promo_revenue_pct,
+        "small_qty_part_revenue": relational.small_qty_part_revenue,
+        "large_volume_orders": relational.large_volume_orders,
+        "rich_no_urgent_customers": relational.rich_no_urgent_customers,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -1162,6 +1168,64 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN upd u ON u.doc_id = d.doc_id "
             "WHERE d.doc_id NOT IN (SELECT doc_id FROM del) "
             "UNION ALL SELECT doc_id, text, source FROM ins"
+        ),
+        # Q13 two-level aggregate; zero-order customers via LEFT JOIN
+        "custdist": (
+            "WITH c AS (SELECT c_custkey, count(o_orderkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT n_orders::BIGINT AS n_orders, count(*)::BIGINT AS n_custs "
+            "FROM c GROUP BY n_orders"
+        ),
+        # Q12 conditional aggregation over the orderkey join
+        "priority_return_counts": (
+            "SELECT o_orderpriority, "
+            "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_returned, "
+            "sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_other "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        # Q14: revenue as exact integer ten-thousandths; the 100.0*p/t
+        # double op sequence is shared verbatim with the Ray side
+        "promo_revenue_pct": (
+            "WITH j AS (SELECT "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT) AS r, p_type "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+            "s AS (SELECT sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) "
+            "AS p, sum(r) AS t FROM j) "
+            "SELECT p / 10000.0 AS promo_revenue, t / 10000.0 AS total_revenue, "
+            "(100.0 * CAST(p AS DOUBLE)) / CAST(t AS DOUBLE) AS promo_pct FROM s"
+        ),
+        # Q17: 5*qc*n < sum(qc) is the exact-integer form of q < 0.2*avg(q)
+        "small_qty_part_revenue": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(round(l_quantity*100) AS BIGINT) AS qc, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) AS ec FROM lineitem), "
+            "w AS (SELECT qc, ec, sum(qc) OVER (PARTITION BY l_partkey) AS s, "
+            "count(*) OVER (PARTITION BY l_partkey) AS n FROM l) "
+            "SELECT count(*)::BIGINT AS n_rows, sum(ec) / 100.0 "
+            "AS small_qty_revenue FROM w WHERE 5 * qc * n < s"
+        ),
+        # Q18: HAVING on exact qty cents, join back to the order row
+        "large_volume_orders": (
+            "SELECT o_orderkey, o_totalprice, sum_qty FROM orders JOIN "
+            "(SELECT l_orderkey, "
+            "sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000) "
+            "ON o_orderkey = l_orderkey"
+        ),
+        # Q22 shape: exact integer above-average test + NOT IN anti-join
+        "rich_no_urgent_customers": (
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE CAST(round(c_acctbal*100) AS BIGINT) * "
+            "(SELECT count(*) FROM customer) > "
+            "(SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer) "
+            "AND c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
         ),
         "image_size_filter": (
             "SELECT fmt, count(*)::BIGINT AS n_total, "

@@ -161,6 +161,9 @@ def run_bench(scope: str) -> dict:
             "image_size_filter", "cumulative_users_by_day",
             "weighted_discount_by_flag", "customer_revenue_gini",
             "props_k_stats", "containment_pairs", "upsert_docs",
+            "custdist", "priority_return_counts", "promo_revenue_pct",
+            "small_qty_part_revenue", "large_volume_orders",
+            "rich_no_urgent_customers",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

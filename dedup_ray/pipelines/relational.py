@@ -3586,3 +3586,391 @@ def props_k_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def custdist(sf_dir: str) -> pa.Table:
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly n orders, INCLUDING zero-order customers —
+    the two-level aggregate (aggregate of an aggregate). Level 1 is the
+    usual per-batch partial count + ONE custkey shuffle; level 2
+    re-aggregates the per-customer table (already collapsed to one row
+    per customer) down to the tiny histogram in another partial+shuffle
+    pass, so no level ever sees more than O(customers) rows and the
+    driver only touches the bounded histogram. The zero bucket comes
+    from total_customers - customers_seen (a metadata-cheap count) —
+    no LEFT JOIN of the full dimension is materialized. Bounded result
+    -> pa.Table: (n_orders, n_custs), ascending n_orders."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate(
+            [("o_custkey", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table({"o_custkey": g["o_custkey"], "pn": g["o_custkey_count"]})
+
+    per_cust = (
+        read_view(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("pn")
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return pa.table({"n_orders": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64())})
+        t = pa.table({"n_orders": b["sum(pn)"].cast(pa.int64())})
+        g = t.group_by("n_orders").aggregate(
+            [("n_orders", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"n_orders": g["n_orders"], "pc": g["n_orders_count"].cast(pa.int64())}
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_orders")
+        .sum("pc")
+    )
+    rows = hist.take_all()  # bounded: one row per distinct order count
+    n_total = read_view(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    n_orders = [int(r["n_orders"]) for r in rows]
+    n_custs = [int(r["sum(pc)"]) for r in rows]
+    zero = int(n_total) - sum(n_custs)
+    if zero > 0:
+        n_orders.append(0)
+        n_custs.append(zero)
+    order = np.argsort(np.asarray(n_orders, dtype=np.int64)) if n_orders else []
+    return pa.table(
+        {
+            "n_orders": pa.array([n_orders[i] for i in order], pa.int64()),
+            "n_custs": pa.array([n_custs[i] for i in order], pa.int64()),
+        }
+    )
+
+
+def priority_return_counts(sf_dir: str) -> rd.Dataset:
+    """Conditional aggregation over a big-big join (TPC-H Q12 shape): per
+    order priority, lineitems returned (flag 'R') vs not — the
+    CASE-WHEN-inside-SUM pattern. ONE co-partitioning shuffle
+    (stages/join.shuffle_join); both conditional counts are computed as
+    0/1 integer columns and pre-reduced per bucket before the 5-row
+    final groupby: (o_orderpriority, n_returned, n_other)."""
+    from dedup_ray.stages.join import shuffle_join
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    joined = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "r": r,
+                "o": pc.subtract(pa.scalar(1, pa.int64()), r),
+            }
+        )
+        g = t.group_by("o_orderpriority").aggregate([("r", "sum"), ("o", "sum")])
+        return pa.table(
+            {"o_orderpriority": g["o_orderpriority"], "pr": g["r_sum"],
+             "po": g["o_sum"]}
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["pr", "po"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_returned": b["sum(pr)"].cast(pa.int64()),
+                "n_other": b["sum(po)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def promo_revenue_pct(sf_dir: str) -> pa.Table:
+    """Conditional revenue share (TPC-H Q14 shape): percent of total
+    revenue coming from PROMO-type parts. The part dimension is broadcast
+    ONCE (ray.put of sorted partkey + is-promo arrays, per-process cached
+    probe); revenue folds as EXACT integer ten-thousandths
+    (cents x (1-d) cents) per batch, the per-batch int64 partials are
+    folded driver-side as Python ints (overflow-proof at any scale) and
+    the single 100.0 * p / t double op sequence matches the oracle
+    bit-exactly: 1 row (promo_revenue, total_revenue, promo_pct)."""
+    side = pa.concat_tables(
+        ray.get(
+            read_view(
+                f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    keys = side["p_partkey"].to_numpy()
+    promo = pc.equal(side["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], promo[order].astype(np.int64)))
+
+    class Partial:
+        def __init__(self, side_ref: ray.ObjectRef) -> None:
+            self.ref = side_ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, promo = self._side()
+            pk = b["l_partkey"].to_numpy()
+            ec = np.rint(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            dc = np.rint(
+                (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+            ).astype(np.int64)
+            r = ec * dc
+            if len(keys) == 0:
+                r = r[:0]
+                pk = pk[:0]
+            pos = np.minimum(np.searchsorted(keys, pk), max(len(keys) - 1, 0))
+            hit = keys[pos] == pk  # inner join: drop FK misses
+            is_promo = np.zeros(len(pk), dtype=np.int64)
+            is_promo[hit] = promo[pos[hit]]
+            r = r * hit  # unmatched lineitems contribute nothing
+            return pa.table(
+                {
+                    "pp": pa.array([int((r * is_promo).sum())], pa.int64()),
+                    "pt": pa.array([int(r.sum())], pa.int64()),
+                }
+            )
+
+    parts = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(Partial(ref), batch_format="pyarrow")
+        .take_all()
+    )  # bounded: one tiny row per input batch
+    p = sum(int(row["pp"]) for row in parts)
+    t = sum(int(row["pt"]) for row in parts)
+    pct = (100.0 * float(p)) / float(t) if t else 0.0
+    return pa.table(
+        {
+            "promo_revenue": pa.array([p / 10000.0], pa.float64()),
+            "total_revenue": pa.array([t / 10000.0], pa.float64()),
+            "promo_pct": pa.array([pct], pa.float64()),
+        }
+    )
+
+
+def small_qty_part_revenue(sf_dir: str) -> pa.Table:
+    """Fraction-of-group-average correlated filter (TPC-H Q17 shape):
+    revenue of lineitems whose quantity is below 20% of their part's
+    average quantity. ONE partkey shuffle (grouped_runs) makes every
+    part's rows local and sorted; per-run sums via np.add.reduceat give
+    the EXACT integer test 5*qc*n < sum_qc (equivalent to
+    q < 0.2*avg(q), no float averages that could flip with summation
+    order), and each bucket emits a single (n, revenue-cents) partial
+    folded driver-side as Python ints: 1 row (n_rows,
+    small_qty_revenue)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "qc": pa.array(
+                    np.rint(
+                        b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+                "ec": pa.array(
+                    np.rint(
+                        b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(to_ints, batch_format="pyarrow")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        keys = t["l_partkey"].to_numpy()
+        qc = t["qc"].to_numpy()
+        ec = t["ec"].to_numpy()
+        starts = run_starts(keys)
+        sums = np.add.reduceat(qc, starts)
+        lens = np.diff(np.append(starts, len(keys)))
+        s = np.repeat(sums, lens)
+        n = np.repeat(lens, lens).astype(np.int64)
+        mask = 5 * qc * n < s
+        return pa.table(
+            {
+                "pn": pa.array([int(mask.sum())], pa.int64()),
+                "pe": pa.array([int(ec[mask].sum())], pa.int64()),
+            }
+        )
+
+    parts = grouped_runs(ds, "l_partkey", bucket).take_all()  # <= num_buckets rows
+    n = sum(int(r["pn"]) for r in parts)
+    e = sum(int(r["pe"]) for r in parts)
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "small_qty_revenue": pa.array([e / 100.0], pa.float64()),
+        }
+    )
+
+
+def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> rd.Dataset:
+    """HAVING-threshold join-back (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds min_qty, with the order row joined back in.
+    Per-batch partial qty-cents sums + ONE orderkey shuffle produce the
+    per-order totals; the HAVING filter leaves only the rare qualifying
+    keys (a threshold this high qualifies a vanishing fraction of orders
+    by construction — that selectivity, not luck, is what bounds the
+    driver collect), which broadcast as a sorted probe into a second
+    orders scan. The fact table never shuffles:
+    (o_orderkey, o_totalprice, sum_qty)."""
+    thresh_cents = int(round(min_qty * 100))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "qc": pa.array(
+                    np.rint(
+                        b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("qc", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "pq": g["qc_sum"]})
+
+    totals = (
+        read_view(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("pq")
+    )
+
+    def having(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pq)" not in b.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "qc": pa.array([], pa.int64())})
+        keep = pc.greater(b["sum(pq)"], thresh_cents)
+        b = b.filter(keep)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "qc": b["sum(pq)"].cast(pa.int64())}
+        )
+
+    hot = pa.concat_tables(
+        ray.get(totals.map_batches(having, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    keys = hot["l_orderkey"].to_numpy()
+    qcs = hot["qc"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], qcs[order]))
+
+    class Probe:
+        def __init__(self, side_ref: ray.ObjectRef) -> None:
+            self.ref = side_ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, qcs = self._side()
+            ok = b["o_orderkey"].to_numpy()
+            if len(keys) == 0:
+                ok = ok[:0]
+                b = b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(keys, ok), max(len(keys) - 1, 0))
+            hit = keys[pos] == ok
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+                    "o_totalprice": b["o_totalprice"].filter(pa.array(hit)),
+                    "sum_qty": pa.array(qcs[pos[hit]] / 100.0, pa.float64()),
+                }
+            )
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return orders.map_batches(Probe(ref), batch_format="pyarrow")
+
+
+def rich_no_urgent_customers(sf_dir: str) -> rd.Dataset:
+    """Scalar-subquery threshold + anti-join (TPC-H Q22 shape): customers
+    with an above-average account balance who never placed a 1-URGENT
+    order. Pass 1 folds (sum of balance cents, count) as Python-int
+    partials — the above-average test is the EXACT integer
+    cross-multiplication cents*n > total (no float average). The filtered
+    customer side then anti-joins the per-batch-deduped urgent custkeys
+    in ONE co-partitioning shuffle (stages/join.shuffle_join 'anti'):
+    (c_custkey, c_acctbal)."""
+    from dedup_ray.stages.join import shuffle_join
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ps": pa.array([int(cents.sum())], pa.int64()),
+                "pn": pa.array([len(cents)], pa.int64()),
+            }
+        )
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    parts = (
+        read_view(cust_path, columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    total = sum(int(r["ps"]) for r in parts)
+    n = sum(int(r["pn"]) for r in parts)
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return b.filter(pa.array(cents * n > total))
+
+    rich_custs = read_view(cust_path, columns=["c_custkey", "c_acctbal"]).map_batches(
+        rich, batch_format="pyarrow"
+    )
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        return pa.table({"o_custkey": pc.unique(keys)})
+
+    urgent = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(urgent_keys, batch_format="pyarrow")
+    return shuffle_join(
+        rich_custs, urgent, on="c_custkey", right_on="o_custkey", how="anti"
+    )

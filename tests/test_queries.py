@@ -112,6 +112,12 @@ CHECKED = [
     "props_k_stats",
     "containment_pairs",
     "upsert_docs",
+    "custdist",
+    "priority_return_counts",
+    "promo_revenue_pct",
+    "small_qty_part_revenue",
+    "large_volume_orders",
+    "rich_no_urgent_customers",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
