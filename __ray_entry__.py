@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_part_revenue": relational.small_qty_part_revenue,
         "large_volume_orders": relational.large_volume_orders,
         "rich_no_urgent_customers": relational.rich_no_urgent_customers,
+        "users_all_types": relational.users_all_types,
+        "pareto_customers_80pct": relational.pareto_customers_80pct,
+        "event_value_outliers": relational.event_value_outliers,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
@@ -1226,6 +1229,36 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer) "
             "AND c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        # relational division: users who performed EVERY event type
+        "users_all_types": (
+            "SELECT user_id FROM events GROUP BY user_id "
+            "HAVING count(DISTINCT event_type) = "
+            "(SELECT count(DISTINCT event_type) FROM events)"
+        ),
+        # 80/20 coverage count: exact integer 5*(cum-cents) < 4*tot test,
+        # tie-permutation-invariant so no custkey tiebreak is needed
+        "pareto_customers_80pct": (
+            "WITH c AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY o_custkey), "
+            "w AS (SELECT cents, sum(cents) OVER "
+            "(ORDER BY cents DESC, o_custkey) AS cum, "
+            "sum(cents) OVER () AS tot FROM c) "
+            "SELECT (count(*) FILTER (WHERE 5*(cum-cents) < 4*tot))::BIGINT "
+            "AS n_top_customers, count(*)::BIGINT AS n_customers FROM w"
+        ),
+        # per-type 3-sigma outliers: HUGEINT keeps the exact-integer test
+        # overflow-free; the Ray side prefilters in float64 and re-checks
+        # border rows with Python ints
+        "event_value_outliers": (
+            "WITH e AS (SELECT event_id, user_id, event_type, value, "
+            "CAST(round(value*100) AS HUGEINT) AS c FROM events), "
+            "s AS (SELECT event_type, count(*) AS n, sum(c) AS S, "
+            "sum(c*c) AS Q FROM e GROUP BY event_type) "
+            "SELECT event_id, user_id, event_type, value "
+            "FROM e JOIN s USING (event_type) "
+            "WHERE (c*n - S)*(c*n - S) > 9*(n*Q - S*S)"
         ),
         "image_size_filter": (
             "SELECT fmt, count(*)::BIGINT AS n_total, "

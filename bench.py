@@ -163,7 +163,8 @@ def run_bench(scope: str) -> dict:
             "props_k_stats", "containment_pairs", "upsert_docs",
             "custdist", "priority_return_counts", "promo_revenue_pct",
             "small_qty_part_revenue", "large_volume_orders",
-            "rich_no_urgent_customers",
+            "rich_no_urgent_customers", "users_all_types",
+            "pareto_customers_80pct", "event_value_outliers",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -3974,3 +3974,272 @@ def rich_no_urgent_customers(sf_dir: str) -> rd.Dataset:
     return shuffle_join(
         rich_custs, urgent, on="c_custkey", right_on="o_custkey", how="anti"
     )
+
+
+def users_all_types(sf_dir: str) -> rd.Dataset:
+    """Relational division (the 'suppliers who supply ALL parts' SQL
+    shape): users who performed EVERY event type present in the corpus.
+    Pass 1 collapses to the distinct-type domain (bounded, driver-side).
+    Pass 2 dedups (user, type) pairs per batch, shuffles ONCE on user
+    (grouped_runs), and counts distinct types per user with vectorized
+    change detection on the (user, type)-sorted runs — a user qualifies
+    iff the count equals the domain size: (user_id)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    path = f"{sf_dir}/events.parquet"
+    types: set[str] = set()
+    for t in ray.get(
+        read_view(path, columns=["event_type"])
+        .map_batches(
+            lambda b: pa.table({"t": pc.unique(b["event_type"])}),
+            batch_format="pyarrow",
+        )
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            types.update(t["t"].to_pylist())
+    n_types = len(types)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return (
+            pa.table({"user_id": b["user_id"], "event_type": b["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+
+    pairs = read_view(path, columns=["user_id", "event_type"]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+
+    def divide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy()
+        ty = t["event_type"].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        # sorted by (user, type): a pair is new if either component changes
+        new_pair = np.ones(len(u), dtype=np.int64)
+        new_pair[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        starts = run_starts(u)
+        per_user = np.add.reduceat(new_pair, starts)
+        keep = per_user == n_types
+        return pa.table({"user_id": pa.array(u[starts][keep], pa.int64())})
+
+    return grouped_runs(
+        pairs, "user_id", divide, sort_cols=["user_id", "event_type"]
+    )
+
+
+def pareto_customers_80pct(sf_dir: str, num_parts: int = 64) -> pa.Table:
+    """Concentration-coverage threshold (the '80/20' question): how many
+    top customers cover 80% of total revenue. Needs every customer's
+    global position in revenue-DESC order plus a running total — the
+    terasort recipe (customer_revenue_gini): per-customer exact cent
+    totals (one custkey shuffle), driver splitters from a stride sample,
+    exact per-partition revenue sums give driver prefix offsets, then
+    ONE pid shuffle where each partition counts its qualifying rows
+    locally: a customer is needed while the revenue BEFORE them is
+    under 80% — the EXACT integer test 5*(cum-cents) < 4*tot, which is
+    tie-permutation-invariant, so the count is deterministic without a
+    custkey tiebreak. 1 row: (n_top_customers, n_customers). int64
+    prefix sums are exact below 4.6e18 total cents (any realistic
+    corpus); past that the partials split into 32-bit halves."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"o_custkey": b["o_custkey"], "c": pa.array(c)})
+        g = t.group_by("o_custkey").aggregate([("c", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "pc": g["c_sum"]})
+
+    percust = (
+        read_view(f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_totalprice"])
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(ray.data.aggregate.Sum("pc"))
+        .map_batches(
+            lambda b: pa.table({"cents": b["sum(pc)"].cast(pa.int64())})
+            if b.num_rows and "sum(pc)" in b.column_names
+            else pa.table({"cents": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        step = max(1, len(v) // 32)
+        return pa.table({"v": pa.array(-v[::step], pa.int64())})
+
+    samp = np.sort(np.concatenate(
+        [t["v"].to_numpy(zero_copy_only=False) for t in ray.get(
+            percust.map_batches(sample, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows] or [np.empty(0, np.int64)]
+    ))
+    if samp.size == 0:
+        return pa.table({"n_top_customers": pa.array([0], pa.int64()),
+                         "n_customers": pa.array([0], pa.int64())})
+    splitters = np.unique(
+        samp[np.linspace(0, samp.size - 1, num_parts - 1).astype(np.int64)]
+    )
+
+    # exact per-partition counts and revenue sums -> driver prefix offsets
+    # (int64 Arrow partials, folded as Python ints below)
+    def pid_partials_exact(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(splitters, -v, side="right")
+        t = pa.table({"pid": pa.array(pid), "c": pa.array(v),
+                      "one": pa.array(np.ones(len(v), dtype=np.int64))})
+        g = t.group_by("pid").aggregate([("c", "sum"), ("one", "sum")])
+        return pa.table({"pid": g["pid"], "ps": g["c_sum"], "pn": g["one_sum"]})
+
+    npart = len(splitters) + 1
+    counts = np.zeros(npart, dtype=np.int64)
+    sums = [0] * npart  # Python ints: exact at any magnitude
+    for t in ray.get(
+        percust.map_batches(pid_partials_exact, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            for pid, ps, pn in zip(t["pid"].to_pylist(), t["ps"].to_pylist(),
+                                   t["pn"].to_pylist()):
+                sums[pid] += ps
+                counts[pid] += pn
+    tot = sum(sums)
+    n = int(counts.sum())
+    rev_before, acc = [], 0
+    for s in sums:  # Python-int prefix: exact at any magnitude
+        rev_before.append(acc)
+        acc += s
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pid", pa.array(np.searchsorted(splitters, -v, side="right"))
+        )
+
+    def count_needed(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"pk": pa.array([], pa.int64())})
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        starts = run_starts(pid)
+        total = 0
+        for i, s0 in enumerate(starts):
+            s1 = starts[i + 1] if i + 1 < len(starts) else len(pid)
+            run = c[s0:s1][::-1]  # sorted asc by cents -> reverse for desc
+            cum_before = int(rev_before[pid[s0]]) + np.concatenate(
+                [[0], np.cumsum(run)[:-1]]
+            )
+            total += int((5 * cum_before < 4 * tot).sum())
+        return pa.table({"pk": pa.array([total], pa.int64())})
+
+    parts = ray.get(
+        grouped_runs(
+            percust.map_batches(add_pid, batch_format="pyarrow"),
+            "pid", count_needed, sort_cols=["pid", "cents"],
+        ).to_arrow_refs()
+    )
+    k = sum(
+        sum(t["pk"].to_pylist()) for t in parts
+        if t.num_rows and "pk" in t.column_names
+    )
+    return pa.table({"n_top_customers": pa.array([int(k)], pa.int64()),
+                     "n_customers": pa.array([n], pa.int64())})
+
+
+def event_value_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-type 3-sigma row-level outlier detection (training-data outlier
+    removal): events whose value deviates from their type's mean by more
+    than 3 standard deviations. The test is EXACT INTEGER —
+    (c*n - S)^2 > 9*(n*Q - S^2) over cents c and per-type moments
+    (n, S, Q) folded driver-side as Python ints — so no float mean/stddev
+    whose rounding could flip a borderline row. At scale the products
+    overflow int64, so each batch runs a float64 prefilter with a 1e-9
+    relative guard band and only the (rare) border rows re-check in
+    exact Python-int arithmetic. Oracle side uses HUGEINT for the same
+    test. (event_id, user_id, event_type, value) — values pass through
+    unrecomputed."""
+    path = f"{sf_dir}/events.parquet"
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        t = pa.table(
+            {"event_type": b["event_type"], "c": pa.array(c),
+             "q": pa.array(c * c),
+             "one": pa.array(np.ones(len(c), dtype=np.int64))}
+        )
+        g = t.group_by("event_type").aggregate(
+            [("c", "sum"), ("q", "sum"), ("one", "sum")]
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "ps": g["c_sum"],
+             "pq": g["q_sum"], "pn": g["one_sum"]}
+        )
+
+    moments: dict[str, list[int]] = {}
+    for t in ray.get(
+        read_view(path, columns=["event_type", "value"])
+        .map_batches(moment_partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            for ty, ps, pq, pn in zip(
+                t["event_type"].to_pylist(), t["ps"].to_pylist(),
+                t["pq"].to_pylist(), t["pn"].to_pylist()
+            ):
+                m = moments.setdefault(ty, [0, 0, 0])
+                m[0] += pn
+                m[1] += ps
+                m[2] += pq
+    ref = ray.put(moments)
+
+    class Filter:
+        def __init__(self, side_ref: ray.ObjectRef) -> None:
+            self.ref = side_ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mom = self._side()
+            c = np.rint(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            enc = b["event_type"].combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vocab = enc.dictionary.to_pylist()
+            keep = np.zeros(len(c), dtype=bool)
+            for code, ty in enumerate(vocab):
+                m = mom.get(ty)
+                if m is None:
+                    continue
+                n_i, s_i, q_i = m
+                idx = np.nonzero(codes == code)[0]
+                cf = c[idx].astype(np.float64)
+                lhs = (cf * float(n_i) - float(s_i)) ** 2
+                rhs = 9.0 * (float(n_i) * float(q_i) - float(s_i) ** 2)
+                scale = np.maximum(np.maximum(np.abs(lhs), abs(rhs)), 1.0)
+                sure_out = lhs - rhs > 1e-9 * scale
+                border = np.abs(lhs - rhs) <= 1e-9 * scale
+                dec = sure_out.copy()
+                for j in np.nonzero(border)[0]:  # rare: exact Python ints
+                    ci = int(c[idx[j]])
+                    dec[j] = (ci * n_i - s_i) ** 2 > 9 * (n_i * q_i - s_i * s_i)
+                keep[idx[dec]] = True
+            return b.filter(pa.array(keep))
+
+    return read_view(
+        path, columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(Filter(ref), batch_format="pyarrow")
