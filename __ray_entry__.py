@@ -125,6 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cdi(_corpus(sf_dir))
 
+    def caption_keep_best_image(sf_dir: str):
+        from dedup_ray.pipelines.neardup import caption_keep_best_image as ckb
+
+        return ckb(_corpus(sf_dir))
+
     def rotation_invariant_clusters(sf_dir: str):
         """Orbit-exact dedup over a corpus with PLANTED rotated/flipped
         duplicates (sources/corpus.py rot_dups mix; cached separately from
@@ -349,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_size_filter": image_size_filter,
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
+        "caption_keep_best_image": caption_keep_best_image,
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
@@ -903,6 +909,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
             "GROUP BY caption "
             "HAVING count(*) >= 2 AND count(DISTINCT bytes) >= 2"
+        ),
+        # keeper policy: one image per non-empty caption, largest encoded
+        # file wins (tie: min image_id); empty-caption rows pass through
+        "caption_keep_best_image": (
+            "WITH r AS (SELECT image_id, w::BIGINT AS w, h::BIGINT AS h, "
+            "octet_length(bytes)::BIGINT AS n_bytes, caption, "
+            "row_number() OVER (PARTITION BY caption "
+            "ORDER BY octet_length(bytes) DESC, image_id) AS rn "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')) "
+            "SELECT image_id, w, h, n_bytes FROM r "
+            "WHERE caption = '' OR rn = 1"
         ),
         # exact cents arithmetic on both sides: cents*n > sum(cents) never
         # flips with summation order the way a float avg can

@@ -584,3 +584,68 @@ def image_size_filter(input_path: str) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def caption_keep_best_image(input_path: str) -> rd.Dataset:
+    """Caption-duplicate keeper with a QUALITY policy — one image survives
+    per non-empty caption: the largest encoded file (most bits retained,
+    the standard keep-least-compressed curation rule), tie-broken by min
+    image_id; empty-caption rows are not duplicates of each other and
+    pass through (the flagship's empty-caption convention,
+    stages/signatures.py). Returns (image_id, w, h, n_bytes).
+
+    File lengths come from Arrow's binary_length kernel — offset
+    arithmetic, no decode — and ``bytes`` is dropped in the scan task, so only
+    (id, caption, ints) ever shuffle. ONE caption shuffle (grouped_runs
+    sorted by [caption, -n_bytes, image_id]) makes each group's winner
+    its run head — no per-group Python, no driver materialization."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedup_ray.stages.grouped import grouped_runs
+
+    ds = read_table(input_path, columns=["image_id", "caption", "bytes", "w", "h"])
+
+    def lengths(b: pa.Table) -> pa.Table:
+        n = pc.binary_length(b["bytes"]).cast(pa.int64())
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "caption": b["caption"],
+                "w": b["w"].cast(pa.int64()),
+                "h": b["h"].cast(pa.int64()),
+                "n_bytes": n,
+                "neg_bytes": pc.negate(n),
+            }
+        )
+
+    slim = ds.map_batches(lengths, batch_format="pyarrow")
+    out_cols = ["image_id", "w", "h", "n_bytes"]
+    empties = slim.map_batches(
+        lambda b: b.filter(pc.equal(b["caption"], "")).select(out_cols),
+        batch_format="pyarrow",
+    )
+    dups = slim.map_batches(
+        lambda b: b.filter(pc.not_equal(b["caption"], "")),
+        batch_format="pyarrow",
+    )
+
+    def keep_head(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("image_id", pa.string()), ("w", pa.int64()),
+                 ("h", pa.int64()), ("n_bytes", pa.int64())]
+            ).empty_table()
+        col = t["caption"].combine_chunks()
+        neq = pc.not_equal(
+            col.slice(1), col.slice(0, len(col) - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        return t.take(pa.array(starts)).select(out_cols)
+
+    kept = grouped_runs(
+        dups, "caption", keep_head,
+        sort_cols=["caption", "neg_bytes", "image_id"],
+    )
+    return kept.union(empties)
