@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ckb(_corpus(sf_dir))
 
+    def aspect_bucket_batches(sf_dir: str):
+        from dedup_ray.pipelines.neardup import aspect_bucket_batches as abb
+
+        return abb(_corpus(sf_dir))
+
     def rotation_invariant_clusters(sf_dir: str):
         """Orbit-exact dedup over a corpus with PLANTED rotated/flipped
         duplicates (sources/corpus.py rot_dups mix; cached separately from
@@ -355,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
         "caption_keep_best_image": caption_keep_best_image,
+        "aspect_bucket_batches": aspect_bucket_batches,
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
@@ -366,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_neardup_clusters": video_neardup,  # rows-only (pytest vs planted gt)
         # --- corpus curation (SQL-checked unless noted) ---
         "decontaminate_docs": curation.decontaminate_docs,
+        "decontaminate_docs_fuzzy": text.decontaminate_docs_fuzzy,
         "cap_per_source": curation.cap_per_source,
         "normalize_text": curation.normalize_text,
         "pii_redact": curation.pii_redact,
@@ -593,6 +600,17 @@ def _sketch_oracles() -> dict[str, str]:
         "embedding_lsh_buckets": lsh_buckets_sql,
         "embedding_neardup_lsh": neardup_lsh_sql,
         "minhash_neardup_docs": minhash_sql,
+        # fuzzy decontamination: same band-candidate + est-Jaccard CTEs,
+        # keep train x eval edges only, emit the distinct train side
+        "decontaminate_docs_fuzzy": (
+            minhash_sql.split("nodes AS")[0]
+            + "flagged AS (SELECT DISTINCT CASE WHEN da.source = 'src0' "
+            "THEN cb ELSE ca END AS doc_id "
+            "FROM edges JOIN documents da ON da.doc_id = ca "
+            "JOIN documents db ON db.doc_id = cb "
+            "WHERE (da.source = 'src0') <> (db.source = 'src0')) "
+            "SELECT doc_id FROM flagged"
+        ),
         "minhash_dedup_keep": minhash_keep_sql,
         "minhash_keep_longest": minhash_keep_longest_sql,
         "edit_distance_pairs": edit_sql,
@@ -909,6 +927,19 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
             "GROUP BY caption "
             "HAVING count(*) >= 2 AND count(DISTINCT bytes) >= 2"
+        ),
+        # aspect-bucketed training batches: integer cross-multiplied class,
+        # partition-local numbering (numeric id % parts), fixed batch size
+        "aspect_bucket_batches": (
+            "WITH m AS (SELECT image_id, "
+            "CASE WHEN 3*CAST(h AS BIGINT) > 4*w THEN 'tall' "
+            "WHEN 3*CAST(w AS BIGINT) > 4*h THEN 'wide' "
+            "ELSE 'square' END AS bucket, "
+            "CAST(substr(image_id, 5) AS BIGINT) % 8 AS part "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')) "
+            "SELECT image_id, bucket, part, "
+            "CAST((row_number() OVER (PARTITION BY bucket, part "
+            "ORDER BY image_id) - 1) // 32 AS BIGINT) AS batch_id FROM m"
         ),
         # keeper policy: one image per non-empty caption, largest encoded
         # file wins (tie: min image_id); empty-caption rows pass through

@@ -165,7 +165,8 @@ def run_bench(scope: str) -> dict:
             "small_qty_part_revenue", "large_volume_orders",
             "rich_no_urgent_customers", "users_all_types",
             "pareto_customers_80pct", "event_value_outliers",
-            "caption_keep_best_image",
+            "caption_keep_best_image", "aspect_bucket_batches",
+            "decontaminate_docs_fuzzy",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -649,3 +649,65 @@ def caption_keep_best_image(input_path: str) -> rd.Dataset:
         sort_cols=["caption", "neg_bytes", "image_id"],
     )
     return kept.union(empties)
+
+
+def aspect_bucket_batches(
+    input_path: str, batch_size: int = 32, num_parts: int = 8
+) -> rd.Dataset:
+    """Aspect-ratio-bucketed training batches — the image-side analog of
+    sequence packing (pipelines/curation.pack_sequences): vision training
+    groups same-shape images so a batch resizes to one canvas. Each image
+    is classed tall / wide / square by INTEGER cross-multiplication
+    (3h > 4w etc. — no float ratios), routed to a deterministic partition
+    (numeric id % num_parts, so batch assembly is partition-local and
+    embarrassingly parallel at cluster scale — num_parts is the
+    parallelism knob), and numbered into fixed-size batches in id order
+    within (bucket, part). Metadata-only: the read projects (image_id,
+    w, h); pixels never move. Returns (image_id, bucket, part, batch_id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedup_ray.stages.grouped import grouped_runs, run_ranks
+
+    ds = read_table(input_path, columns=["image_id", "w", "h"])
+    names = pa.array(["tall", "wide", "square"], pa.string())
+
+    def classify(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = np.full(len(w), 2, dtype=np.int64)  # square
+        code[3 * h > 4 * w] = 0  # tall
+        code[3 * w > 4 * h] = 1  # wide
+        nid = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 4, 99), pa.int64())
+        pt = nid.to_numpy(zero_copy_only=False) % num_parts
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "code": pa.array(code),
+                "part": pa.array(pt),
+                "gkey": pa.array(code * num_parts + pt),
+            }
+        )
+
+    def number(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("image_id", pa.string()), ("bucket", pa.string()),
+                 ("part", pa.int64()), ("batch_id", pa.int64())]
+            ).empty_table()
+        g = t["gkey"].to_numpy(zero_copy_only=False)
+        rk = run_ranks(g)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "bucket": names.take(t["code"]),
+                "part": t["part"],
+                "batch_id": pa.array(rk // batch_size),
+            }
+        )
+
+    return grouped_runs(
+        ds.map_batches(classify, batch_format="pyarrow"),
+        "gkey", number, sort_cols=["gkey", "image_id"],
+    )

@@ -1135,3 +1135,68 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         return pd.DataFrame(columns=["a", "b"]).astype("int64")
     out = pa.concat_tables(parts).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+
+
+def decontaminate_docs_fuzzy(
+    sf_dir: str, eval_source: str = "src0", cfg: DedupConfig | None = None
+) -> rd.Dataset:
+    """FUZZY benchmark decontamination — the near-dup upgrade of
+    decontaminate_docs (exact shingle overlap): flag training docs whose
+    MinHash-estimated Jaccard similarity to ANY eval-source doc clears the
+    dedup threshold, catching paraphrased / lightly-edited benchmark
+    leakage that exact n-gram matching misses. Returns distinct (doc_id)
+    of contaminated TRAINING docs (the eval side is never flagged).
+
+    Scale shape: reuses the distributed MinHash-LSH candidate generator
+    (_minhash_band_candidates — shingle -> sign -> band groupby) over the
+    WHOLE corpus, attaches signatures and the source tag to candidate
+    pairs (broadcast at this scale, hash-join at cluster scale), verifies
+    est-Jaccard vectorized, keeps only train x eval pairs, and dedups the
+    flagged ids with one tiny groupby. No driver ever sees signatures."""
+    cfg = cfg or DedupConfig()
+    sigs, cand = _minhash_band_candidates(sf_dir, cfg)
+
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    attrs = sigs.map_batches(
+        lambda b: pa.table(
+            {"image_id": b["doc_id"], "minhash_sig": b["minhash_sig"]}
+        ),
+        batch_format="pyarrow",
+    )
+    withsig = attach_pair_attrs(cand, attrs, ["minhash_sig"])
+    src_attrs = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        lambda b: pa.table({"image_id": b["doc_id"], "source": b["source"]}),
+        batch_format="pyarrow",
+    )
+    withsrc = attach_pair_attrs(withsig, src_attrs, ["source"])
+
+    def vfy(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.signatures import sigs_from_arrow
+
+        if b.num_rows == 0 or "src_minhash_sig" not in b.column_names:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        sa = sigs_from_arrow(b["src_minhash_sig"])
+        sb = sigs_from_arrow(b["dst_minhash_sig"])
+        sim = (sa == sb).mean(axis=1) >= cfg.jaccard_threshold
+        se = pc.equal(b["src_source"], eval_source).to_numpy(
+            zero_copy_only=False
+        )
+        de = pc.equal(b["dst_source"], eval_source).to_numpy(
+            zero_copy_only=False
+        )
+        keep = sim & (se ^ de)  # exactly one endpoint is the eval set
+        flagged = np.where(se, b["dst_id"].to_numpy(zero_copy_only=False),
+                           b["src_id"].to_numpy(zero_copy_only=False))[keep]
+        return pa.table({"doc_id": pa.array(np.unique(flagged), pa.int64())})
+
+    schema = pa.schema([("doc_id", pa.int64())])
+    agg = withsrc.map_batches(vfy, batch_format="pyarrow").groupby(
+        "doc_id"
+    ).count()
+    return agg.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())})
+        if b.num_rows and "doc_id" in b.column_names
+        else schema.empty_table(),
+        batch_format="pyarrow",
+    )

@@ -122,6 +122,7 @@ CHECKED = [
     "pareto_customers_80pct",
     "event_value_outliers",
     "caption_keep_best_image",
+    "aspect_bucket_batches",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
