@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": relational.large_volume_orders,
         "rich_no_urgent_customers": relational.rich_no_urgent_customers,
         "users_all_types": relational.users_all_types,
+        "key_skew_stats": relational.key_skew_stats,
         "pareto_customers_80pct": relational.pareto_customers_80pct,
         "event_value_outliers": relational.event_value_outliers,
         # --- similarity search ---
@@ -349,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_buckets": ann.lsh_buckets,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         "lang_embedding_norms": ann.lang_embedding_norms,
+        "embedding_dim_minmax": ann.embedding_dim_minmax,
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (k-means cells are non-SQL)
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
@@ -1277,6 +1279,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer) "
             "AND c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        # skew doctor: exact integer count/sum/max, one shared division
+        "key_skew_stats": (
+            "WITH c AS (SELECT count(*) AS n FROM events GROUP BY user_id) "
+            "SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows, "
+            "max(n)::BIGINT AS max_rows_per_key, "
+            "CAST(max(n) AS DOUBLE) / sum(n) AS top1_share FROM c"
+        ),
+        # per-dimension min/max: order-independent, so float compare is
+        # exact with no rounding
+        "embedding_dim_minmax": (
+            "SELECT j - 1 AS dim, "
+            "min(CAST(embedding[j] AS DOUBLE)) AS min_v, "
+            "max(CAST(embedding[j] AS DOUBLE)) AS max_v "
+            "FROM embeddings CROSS JOIN "
+            "(SELECT unnest(range(1, 65)) AS j) dims GROUP BY j"
         ),
         # relational division: users who performed EVERY event type
         "users_all_types": (

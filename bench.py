@@ -166,7 +166,8 @@ def run_bench(scope: str) -> dict:
             "rich_no_urgent_customers", "users_all_types",
             "pareto_customers_80pct", "event_value_outliers",
             "caption_keep_best_image", "aspect_bucket_batches",
-            "decontaminate_docs_fuzzy",
+            "decontaminate_docs_fuzzy", "key_skew_stats",
+            "embedding_dim_minmax",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -643,3 +643,46 @@ def extreme_norm_vectors(sf_dir: str, k: int = 10) -> rd.Dataset:
         .sort(["norm", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def embedding_dim_minmax(sf_dir: str) -> pa.Table:
+    """Per-dimension embedding range profile — (dim, min_v, max_v): the
+    sanity scan that catches dead dimensions, clipped activations and
+    scale drift before they poison an index build. min/max are
+    order-independent, so float compare is exact across engines (unlike
+    means — no rounding dance needed). Each batch collapses its (n, d)
+    matrix to ONE 64-row partial (a d-sized reduction, not a shuffle);
+    the driver folds the tiny partials. Bounded result -> pa.Table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, m = _mat(b)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "pmin": pa.array([], pa.float64()),
+                             "pmax": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "pmin": pa.array(m.min(axis=0)),
+                "pmax": pa.array(m.max(axis=0)),
+            }
+        )
+
+    lo: dict[int, float] = {}
+    hi: dict[int, float] = {}
+    for t in ray.get(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            for d, mn, mx in zip(t["dim"].to_pylist(), t["pmin"].to_pylist(),
+                                 t["pmax"].to_pylist()):
+                lo[d] = mn if d not in lo else min(lo[d], mn)
+                hi[d] = mx if d not in hi else max(hi[d], mx)
+    dims = sorted(lo)
+    return pa.table(
+        {
+            "dim": pa.array(dims, pa.int64()),
+            "min_v": pa.array([lo[d] for d in dims], pa.float64()),
+            "max_v": pa.array([hi[d] for d in dims], pa.float64()),
+        }
+    )

@@ -4243,3 +4243,56 @@ def event_value_outliers(sf_dir: str) -> rd.Dataset:
     return read_view(
         path, columns=["event_id", "user_id", "event_type", "value"]
     ).map_batches(Filter(ref), batch_format="pyarrow")
+
+
+def key_skew_stats(sf_dir: str) -> pa.Table:
+    """Key-skew diagnosis for a shuffle key (here events.user_id) — the
+    engine's own skew doctor (north-rule skew pattern): 1 row
+    (n_keys, n_rows, max_rows_per_key, top1_share). Two passes, both
+    bounded: per-batch partial counts + ONE key shuffle give per-key
+    totals; a second per-batch partial collapses those to (count, sum,
+    max) triples folded driver-side as Python ints. top1_share is the
+    single CAST(max AS DOUBLE)/total division the oracle also runs."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate(
+            [("user_id", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table({"user_id": g["user_id"], "pn": g["user_id_count"]})
+
+    perkey = (
+        read_view(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("pn")
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "ps": pa.array([], pa.int64()),
+                             "pm": pa.array([], pa.int64())})
+        n = b["sum(pn)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"pk": pa.array([len(n)], pa.int64()),
+             "ps": pa.array([int(n.sum())], pa.int64()),
+             "pm": pa.array([int(n.max())], pa.int64())}
+        )
+
+    k = s = m = 0
+    for t in ray.get(
+        perkey.map_batches(fold, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "pk" in t.column_names:
+            k += sum(t["pk"].to_pylist())
+            s += sum(t["ps"].to_pylist())
+            m = max(m, max(t["pm"].to_pylist() or [0]))
+    share = float(m) / float(s) if s else 0.0
+    return pa.table(
+        {
+            "n_keys": pa.array([k], pa.int64()),
+            "n_rows": pa.array([s], pa.int64()),
+            "max_rows_per_key": pa.array([m], pa.int64()),
+            "top1_share": pa.array([share], pa.float64()),
+        }
+    )
