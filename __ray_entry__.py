@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_no_urgent_customers": relational.rich_no_urgent_customers,
         "users_all_types": relational.users_all_types,
         "key_skew_stats": relational.key_skew_stats,
+        "top_return_customers": relational.top_return_customers,
+        "docs_checksum": curation.docs_checksum,
         "pareto_customers_80pct": relational.pareto_customers_80pct,
         "event_value_outliers": relational.event_value_outliers,
         # --- similarity search ---
@@ -1279,6 +1281,26 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer) "
             "AND c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        # Q10: returned revenue as exact int ten-thousandths; integer
+        # top-k cut (tie: custkey) is deterministic; one shared division
+        "top_return_customers": (
+            "WITH j AS (SELECT o_custkey, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT) AS r "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE l_returnflag = 'R'), "
+            "c AS (SELECT o_custkey, sum(r) AS rc FROM j GROUP BY o_custkey "
+            "ORDER BY rc DESC, o_custkey LIMIT 20) "
+            "SELECT c_custkey, c_name, rc / 10000.0 AS revenue "
+            "FROM c JOIN customer ON c_custkey = o_custkey"
+        ),
+        # order-independent fingerprint: md5_number_upper == Python's
+        # little-endian first-8-bytes md5; sum mod 2^61-1 commutes
+        "docs_checksum": (
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "CAST(sum(CAST(md5_number_upper(text) AS HUGEINT)) "
+            "% 2305843009213693951 AS BIGINT) AS checksum FROM documents"
         ),
         # skew doctor: exact integer count/sum/max, one shared division
         "key_skew_stats": (

@@ -167,7 +167,8 @@ def run_bench(scope: str) -> dict:
             "pareto_customers_80pct", "event_value_outliers",
             "caption_keep_best_image", "aspect_bucket_batches",
             "decontaminate_docs_fuzzy", "key_skew_stats",
-            "embedding_dim_minmax",
+            "embedding_dim_minmax", "docs_checksum",
+            "top_return_customers",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

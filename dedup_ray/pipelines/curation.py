@@ -1272,3 +1272,47 @@ def upsert_docs(sf_dir: str) -> rd.Dataset:
 
     return grouped_runs(tagged, "doc_id", merge_runs,
                         sort_cols=["doc_id", "side"])
+
+
+_CKSUM_P61 = (1 << 61) - 1  # Mersenne prime: order-independent fold domain
+
+
+def docs_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent dataset fingerprint — 1 row (n_rows, checksum):
+    the cheap anti-entropy check that two copies / two engines / a
+    before-and-after-migration pair hold the SAME logical rows without
+    shipping either side (pairs with diff_snapshots, which finds WHICH
+    rows differ). checksum = sum of per-row md5-derived 64-bit values
+    mod 2^61-1 — addition commutes, so row order, partitioning and
+    engine parallelism cannot change it. Per-batch (count, sum) partials
+    fold driver-side as Python ints; DuckDB's md5_number_upper() is
+    bit-identical to Python's little-endian first-8-bytes md5."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        acc = 0
+        for t in texts:
+            acc += int.from_bytes(
+                hashlib.md5((t or "").encode()).digest()[:8], "little"
+            )
+        return pa.table(
+            {"pn": pa.array([len(texts)], pa.int64()),
+             "ps_hi": pa.array([acc >> 62], pa.int64()),
+             "ps_lo": pa.array([acc & ((1 << 62) - 1)], pa.int64())}
+        )
+
+    n = s = 0
+    for t in ray.get(
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            n += sum(t["pn"].to_pylist())
+            s += sum((hi << 62) + lo for hi, lo in
+                     zip(t["ps_hi"].to_pylist(), t["ps_lo"].to_pylist()))
+    return pa.table(
+        {"n_rows": pa.array([n], pa.int64()),
+         "checksum": pa.array([s % _CKSUM_P61], pa.int64())}
+    )

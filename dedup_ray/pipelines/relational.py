@@ -4296,3 +4296,101 @@ def key_skew_stats(sf_dir: str) -> pa.Table:
             "top1_share": pa.array([share], pa.float64()),
         }
     )
+
+
+def top_return_customers(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """TPC-H Q10 shape: customers ranked by revenue they RETURNED
+    (returnflag 'R') — top k with the customer row joined back:
+    (c_custkey, c_name, revenue). Composition: filter at the lineitem
+    scan, ONE orderkey shuffle_join to reach o_custkey, per-custkey
+    exact ten-thousandth-cents partials + one custkey shuffle, local
+    top-k per block on the integer revenue (ties broken by custkey, so
+    the cut is deterministic), tiny sort-limit, and a broadcast probe
+    of the k winners into the customer scan. Revenue is one int/double
+    division shared with the oracle."""
+    from dedup_ray.stages.join import shuffle_join
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        ec = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"], "r": pa.array(ec * dc)})
+
+    orders = read_view(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    joined = shuffle_join(
+        orders, items.map_batches(returned, batch_format="pyarrow"),
+        on="o_orderkey", right_on="l_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("r", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "pr": g["r_sum"]})
+
+    percust = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("pr")
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pr)" not in b.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "rc": pa.array([], pa.int64())})
+        t = pa.table(
+            {"o_custkey": b["o_custkey"], "rc": b["sum(pr)"].cast(pa.int64())}
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("rc", "descending"), ("o_custkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    top = (
+        percust.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["rc", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    rows = top.take_all()  # k rows
+    keys = np.array([r["o_custkey"] for r in rows], dtype=np.int64)
+    rcs = np.array([r["rc"] for r in rows], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], rcs[order]))
+
+    class Probe:
+        def __init__(self, side_ref: ray.ObjectRef) -> None:
+            self.ref = side_ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, rcs = self._side()
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                ck = ck[:0]
+                b = b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(keys, ck), max(len(keys) - 1, 0))
+            hit = keys[pos] == ck
+            return pa.table(
+                {
+                    "c_custkey": b["c_custkey"].filter(pa.array(hit)),
+                    "c_name": b["c_name"].filter(pa.array(hit)),
+                    "revenue": pa.array(rcs[pos[hit]] / 10000.0, pa.float64()),
+                }
+            )
+
+    cust = read_view(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return cust.map_batches(Probe(ref), batch_format="pyarrow")
