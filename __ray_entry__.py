@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_embedding_norms": ann.lang_embedding_norms,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (k-means cells are non-SQL)
+        "kmeans_global_train": ann.kmeans_global_train,  # rows-only (iterative; pytest determinism+monotonicity)
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,

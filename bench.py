@@ -168,7 +168,7 @@ def run_bench(scope: str) -> dict:
             "caption_keep_best_image", "aspect_bucket_batches",
             "decontaminate_docs_fuzzy", "key_skew_stats",
             "embedding_dim_minmax", "docs_checksum",
-            "top_return_customers",
+            "top_return_customers", "kmeans_global_train",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

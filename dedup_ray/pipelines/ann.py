@@ -686,3 +686,103 @@ def embedding_dim_minmax(sf_dir: str) -> pa.Table:
             "max_v": pa.array([hi[d] for d in dims], pa.float64()),
         }
     )
+
+
+def kmeans_global_train(
+    sf_dir: str, k: int = 8, iters: int = 5
+) -> pa.Table:
+    """DISTRIBUTED Lloyd k-means over the full embedding table — the
+    iterative-algorithm capability done Ray-Data-style, complementing the
+    driver-sample training used by IVF/SemDeDup (ann.py:135-177): every
+    iteration is one streaming pass where each batch computes nearest
+    centroids (one matmul) and collapses to a (k, d) partial-sum + count
+    block; the driver folds k×d floats per batch — never rows. Centroids
+    are broadcast per iteration via ray.put. Deterministic: seeded
+    stride-sample init and a block-index-ordered fold (to_arrow_refs
+    preserves block order), so two runs produce identical centroids.
+    Returns (cluster_id, n_vecs, inertia) — inertia is the mean squared
+    distance of members, the convergence metric (monotone non-increasing
+    across iterations; tests/test_ann.py asserts it). Rows-only: float
+    partial sums are order-sensitive, so no SQL oracle — determinism and
+    monotonicity are the checked contract."""
+    emb = _emb(sf_dir).materialize()  # consumed once per iteration
+
+    # seeded deterministic init: first k vectors of the first block
+    first = ray.get(emb.to_arrow_refs()[0])
+    _, m0 = _mat(first)
+    cents = m0[:k].copy()
+    if cents.shape[0] < k:  # degenerate tiny input: pad by repetition
+        reps = int(np.ceil(k / max(cents.shape[0], 1)))
+        cents = np.tile(cents, (reps, 1))[:k] if cents.size else np.zeros(
+            (k, first.num_columns), dtype=np.float64
+        )
+
+    def make_pass(cref: "ray.ObjectRef"):
+        def assign(b: pa.Table) -> pa.Table:
+            c = _PASS_CACHE.get(cref.binary())
+            if c is None:
+                c = ray.get(cref)
+                _PASS_CACHE.clear()
+                _PASS_CACHE[cref.binary()] = c
+            _, m = _mat(b)
+            if m.size == 0:
+                return pa.table(
+                    {"cluster_id": pa.array([], pa.int64()),
+                     "pn": pa.array([], pa.int64()),
+                     "pin": pa.array([], pa.float64()),
+                     "psum": pa.array([], pa.list_(pa.float64()))}
+                )
+            # nearest centroid: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * m @ c.T
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            dmin = d2[np.arange(len(a)), a]
+            sums = np.zeros((c.shape[0], m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            inert = np.bincount(
+                a, weights=np.maximum(dmin, 0.0), minlength=c.shape[0]
+            )
+            return pa.table(
+                {"cluster_id": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                 "pn": pa.array(cnt),
+                 "pin": pa.array(inert),
+                 "psum": pa.array(list(sums))}
+            )
+
+        return assign
+
+    for it in range(iters):
+        cref = ray.put(cents)
+        parts = ray.get(
+            emb.map_batches(make_pass(cref), batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        sums = np.zeros_like(cents)
+        cnt = np.zeros(cents.shape[0], dtype=np.int64)
+        inert = np.zeros(cents.shape[0], dtype=np.float64)
+        for t in parts:  # block order: deterministic fold
+            if t.num_rows == 0:
+                continue
+            ks = t["cluster_id"].to_numpy(zero_copy_only=False)
+            cnt[ks] += t["pn"].to_numpy(zero_copy_only=False)
+            inert[ks] += t["pin"].to_numpy(zero_copy_only=False)
+            ps = t["psum"].combine_chunks()
+            flat = ps.flatten().to_numpy(zero_copy_only=False)
+            sums[ks] += flat.reshape(len(ks), -1)
+        nz = cnt > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / cnt[nz][:, None]
+        cents = new
+    mean_in = np.where(cnt > 0, inert / np.maximum(cnt, 1), 0.0)
+    return pa.table(
+        {"cluster_id": pa.array(np.arange(cents.shape[0], dtype=np.int64)),
+         "n_vecs": pa.array(cnt),
+         "inertia": pa.array(mean_in)}
+    )
+
+
+_PASS_CACHE: dict[bytes, np.ndarray] = {}

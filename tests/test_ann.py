@@ -135,3 +135,30 @@ def test_ann_pq_full_shortlist_degenerates_to_exact():
     full = ann_pq_topk(SF, k=5, n_queries=3, rerank=200)  # 1000 > corpus
     f = set(map(tuple, full[["query_id", "neighbor_id"]].values))
     assert f == exact
+
+
+def test_kmeans_global_train_deterministic_and_converging():
+    """Distributed Lloyd contract: (1) two runs are bit-identical (seeded
+    init + block-ordered fold); (2) total inertia is non-increasing as
+    iterations grow; (3) every vector is assigned (counts sum to corpus)."""
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.ann import kmeans_global_train
+
+    a = kmeans_global_train(SF, k=4, iters=3)
+    b = kmeans_global_train(SF, k=4, iters=3)
+    assert a.equals(b)
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert sum(a["n_vecs"].to_pylist()) == n
+
+    def total_inertia(t):
+        return sum(
+            i * c for i, c in zip(t["inertia"].to_pylist(), t["n_vecs"].to_pylist())
+        )
+
+    prev = None
+    for iters in (1, 2, 4):
+        cur = total_inertia(kmeans_global_train(SF, k=4, iters=iters))
+        if prev is not None:
+            assert cur <= prev + 1e-9, (iters, cur, prev)
+        prev = cur
