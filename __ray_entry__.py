@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": relational.sliding_window_counts,
         "range_join_price_bands": relational.range_join_price_bands,
         "order_revenue_join": relational.order_revenue_join,
+        "order_revenue_join_salted": relational.order_revenue_join_salted,
         "customer_order_counts": relational.customer_order_counts,
         "bulk_order_priorities": relational.bulk_order_priorities,
         "quiet_order_priorities": relational.quiet_order_priorities,
@@ -904,6 +905,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY band"
         ),
         "order_revenue_join": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        # salted variant: SAME oracle — wrong pair multiplicity under
+        # salting would break the value hash
+        "order_revenue_join_salted": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_items, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
             "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "

@@ -169,6 +169,7 @@ def run_bench(scope: str) -> dict:
             "decontaminate_docs_fuzzy", "key_skew_stats",
             "embedding_dim_minmax", "docs_checksum",
             "top_return_customers", "kmeans_global_train",
+            "order_revenue_join_salted",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

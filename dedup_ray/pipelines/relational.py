@@ -4394,3 +4394,53 @@ def top_return_customers(sf_dir: str, k: int = 20) -> rd.Dataset:
 
     cust = read_view(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     return cust.map_batches(Probe(ref), batch_format="pyarrow")
+
+
+def order_revenue_join_salted(sf_dir: str, salt: int = 4) -> rd.Dataset:
+    """order_revenue_join with HOT-KEY SALTING engaged (salt=4): left rows
+    round-robin across salt sub-keys, right rows replicate to all — the
+    north-rule skew mitigation exercised END TO END in the correctness
+    gate, not just in unit tests: the oracle is the identical SQL as the
+    unsalted query, so a wrong pair multiplicity (the failure mode
+    salting risks) breaks the value hash immediately."""
+    from dedup_ray.stages.join import shuffle_join
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = shuffle_join(
+        orders, items, on="o_orderkey", right_on="l_orderkey", salt=salt
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ("rev", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"o_orderpriority": g["o_orderpriority"], "pn": g["rev_count"],
+             "pr": g["rev_sum"]}
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["pn", "pr"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["sum(pn)"].cast(pa.int64()),
+                "revenue": pc.round(b["sum(pr)"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -127,6 +127,7 @@ CHECKED = [
     "embedding_dim_minmax",
     "docs_checksum",
     "top_return_customers",
+    "order_revenue_join_salted",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
