@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_all_types": relational.users_all_types,
         "key_skew_stats": relational.key_skew_stats,
         "top_return_customers": relational.top_return_customers,
+        "price_qty_histogram2d": relational.price_qty_histogram2d,
+        "rate_limit_events": relational.rate_limit_events,
+        "top_supplier_revenue": relational.top_supplier_revenue,
         "docs_checksum": curation.docs_checksum,
         "pareto_customers_80pct": relational.pareto_customers_80pct,
         "event_value_outliers": relational.event_value_outliers,
@@ -1311,6 +1314,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_rows, "
             "CAST(sum(CAST(md5_number_upper(text) AS HUGEINT)) "
             "% 2305843009213693951 AS BIGINT) AS checksum FROM documents"
+        ),
+        # 2-D histogram: exact integer cents bins
+        "price_qty_histogram2d": (
+            "SELECT CAST(round(l_extendedprice*100) AS BIGINT) // 1000000 "
+            "AS price_bin, "
+            "CAST(round(l_quantity*100) AS BIGINT) // 1000 AS qty_bin, "
+            "count(*)::BIGINT AS n FROM lineitem GROUP BY 1, 2"
+        ),
+        # rate limiter: earliest k per (user, hour), ties by event_id
+        "rate_limit_events": (
+            "SELECT event_id, user_id, ts FROM ("
+            "SELECT event_id, user_id, ts, row_number() OVER ("
+            "PARTITION BY user_id, epoch_us(ts) // 3600000000 "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn <= 1"
+        ),
+        # Q15: max-equality semi-join (ties preserved), exact int revenue
+        "top_supplier_revenue": (
+            "WITH s AS (SELECT l_suppkey, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT)) AS rc "
+            "FROM lineitem GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, rc / 10000.0 AS total_revenue "
+            "FROM s JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE rc = (SELECT max(rc) FROM s)"
         ),
         # skew doctor: exact integer count/sum/max, one shared division
         "key_skew_stats": (

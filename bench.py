@@ -169,7 +169,8 @@ def run_bench(scope: str) -> dict:
             "decontaminate_docs_fuzzy", "key_skew_stats",
             "embedding_dim_minmax", "docs_checksum",
             "top_return_customers", "kmeans_global_train",
-            "order_revenue_join_salted",
+            "order_revenue_join_salted", "price_qty_histogram2d",
+            "rate_limit_events", "top_supplier_revenue",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

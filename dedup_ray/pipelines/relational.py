@@ -4444,3 +4444,183 @@ def order_revenue_join_salted(sf_dir: str, salt: int = 4) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def price_qty_histogram2d(sf_dir: str) -> rd.Dataset:
+    """2-D equi-width histogram (price x quantity heat map) —
+    (price_bin, qty_bin, n): the joint-distribution profile behind
+    outlier heuristics and sampling designs. Bins are EXACT INTEGER
+    arithmetic on cents (price // $10k, qty // 10), so no float bin-edge
+    disagreement is possible; per-batch Arrow group_by partials collapse
+    each block to the (small) occupied-cell set before one tiny
+    shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        pc_ = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        qc = np.rint(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "price_bin": pa.array(pc_ // 1_000_000),
+                "qty_bin": pa.array(qc // 1_000),
+                "one": pa.array(np.ones(len(pc_), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["price_bin", "qty_bin"]).aggregate([("one", "sum")])
+        return pa.table(
+            {"price_bin": g["price_bin"], "qty_bin": g["qty_bin"],
+             "pn": g["one_sum"]}
+        )
+
+    agg = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["price_bin", "qty_bin"])
+        .sum("pn")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "price_bin": b["price_bin"],
+                "qty_bin": b["qty_bin"],
+                "n": b["sum(pn)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def rate_limit_events(sf_dir: str, k: int = 1) -> rd.Dataset:
+    """Per-key-per-window rate limiting (throttling repair): keep at most
+    k events per (user, hour), earliest first (ties: event_id) — the
+    windowed generalization of cap_per_source. ONE (user, hour) shuffle
+    via grouped_runs sorted [key, ts, event_id]; survivors are the rows
+    whose within-run rank < k (vectorized run_ranks — no per-group
+    Python): (event_id, user_id, ts)."""
+    from dedup_ray.stages.grouped import grouped_runs, run_ranks
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "uh": pa.array(uid * 1_000_000 + hour % 1_000_000),
+            }
+        )
+
+    ds = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(add_key, batch_format="pyarrow")
+
+    def cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("ts", pa.timestamp("us"))]
+            ).empty_table()
+        rk = run_ranks(t["uh"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(rk < k)).select(["event_id", "user_id", "ts"])
+
+    return grouped_runs(ds, "uh", cap, sort_cols=["uh", "ts", "event_id"])
+
+
+def top_supplier_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM total revenue —
+    max-equality semi-join, not top-k: every supplier achieving the max
+    survives (ties preserved). Per-suppkey exact ten-thousandth-cent
+    partials + one suppkey shuffle; per-block (max, argrows) partials
+    fold driver-side as Python ints; the tiny winner set broadcasts into
+    the supplier scan: (s_suppkey, s_name, total_revenue)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ec = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"l_suppkey": b["l_suppkey"], "r": pa.array(ec * dc)})
+        g = t.group_by("l_suppkey").aggregate([("r", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"], "pr": g["r_sum"]})
+
+    persupp = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .sum("pr")
+    )
+
+    def local_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pr)" not in b.column_names:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rc": pa.array([], pa.int64())})
+        t = pa.table(
+            {"l_suppkey": b["l_suppkey"], "rc": b["sum(pr)"].cast(pa.int64())}
+        )
+        mx = pc.max(t["rc"])
+        return t.filter(pc.equal(t["rc"], mx))
+
+    cands = ray.get(
+        persupp.map_batches(local_max, batch_format="pyarrow").to_arrow_refs()
+    )
+    best = None
+    winners: list[tuple[int, int]] = []
+    for t in cands:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            continue  # schema-dropped empty blocks pass the UDF untouched
+        for sk, rc in zip(t["l_suppkey"].to_pylist(), t["rc"].to_pylist()):
+            if best is None or rc > best:
+                best, winners = rc, [(sk, rc)]
+            elif rc == best:
+                winners.append((sk, rc))
+    keys = np.array(sorted(w[0] for w in winners), dtype=np.int64)
+    rcs = {w[0]: w[1] for w in winners}
+    ref = ray.put((keys, np.array([rcs[k_] for k_ in keys], dtype=np.int64)))
+
+    class Probe:
+        def __init__(self, side_ref: ray.ObjectRef) -> None:
+            self.ref = side_ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, rcs = self._side()
+            sk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                sk = sk[:0]
+                b = b.slice(0, 0)
+            pos = np.minimum(np.searchsorted(keys, sk), max(len(keys) - 1, 0))
+            hit = keys[pos] == sk
+            return pa.table(
+                {
+                    "s_suppkey": b["s_suppkey"].filter(pa.array(hit)),
+                    "s_name": b["s_name"].filter(pa.array(hit)),
+                    "total_revenue": pa.array(
+                        rcs[pos[hit]] / 10000.0, pa.float64()
+                    ),
+                }
+            )
+
+    supp = read_view(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return supp.map_batches(Probe(ref), batch_format="pyarrow")

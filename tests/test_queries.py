@@ -128,6 +128,9 @@ CHECKED = [
     "docs_checksum",
     "top_return_customers",
     "order_revenue_join_salted",
+    "price_qty_histogram2d",
+    "rate_limit_events",
+    "top_supplier_revenue",
     # the minhash-candidate family (minhash_dedup_keep, minhash_keep_longest,
     # edit_distance_pairs) is deliberately NOT here: 70-180 s each at the
     # 4-CPU pytest session; tools/check_oracle.py covers them at sf0.01
