@@ -1051,6 +1051,11 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         )
 
     def flagged_pairs(g: pa.Table) -> pa.Table:
+        # a pair qualifies only if >=1 side posted a prefix token, so
+        # generate (prefix x prefix upper-triangle) + (prefix x rest)
+        # DIRECTLY — O(|P|·run) instead of materializing the full O(run²)
+        # triangle and masking (hot tokens have near-full runs but tiny
+        # prefix sets, which is where the old triu blew up)
         keys = g["tok"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         pfx = g["pfx"].to_numpy(zero_copy_only=False)
@@ -1059,13 +1064,19 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         out_a, out_b = [], []
         for r in np.flatnonzero(np.diff(bounds) >= 2):
             lo, hi = bounds[r], bounds[r + 1]
-            order = np.argsort(ids[lo:hi])
-            run = ids[lo:hi][order]
-            rp = pfx[lo:hi][order]
-            iu, ju = np.triu_indices(len(run), 1)
-            m = rp[iu] | rp[ju]  # at least one side posted a prefix token
-            out_a.append(run[iu][m])
-            out_b.append(run[ju][m])
+            run = ids[lo:hi]
+            rp = pfx[lo:hi]
+            p = np.sort(run[rp])
+            n = run[~rp]
+            if p.size >= 2:
+                iu, ju = np.triu_indices(p.size, 1)
+                out_a.append(p[iu])
+                out_b.append(p[ju])
+            if p.size and n.size:
+                pa_ = np.repeat(p, n.size)
+                nb = np.tile(n, p.size)
+                out_a.append(np.minimum(pa_, nb))
+                out_b.append(np.maximum(pa_, nb))
         if not out_a:
             return pa.schema(
                 [("src_id", pa.int64()), ("dst_id", pa.int64())]
@@ -1097,8 +1108,13 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1000)
+    vocab_n = len(rank) + 1
 
     def vfy(b: pa.Table) -> pa.Table:
+        # fully vectorized exact intersection: per-pair token lists are
+        # sorted, so offsetting each pair's ids by pair_index·VOCAB makes
+        # ONE global searchsorted answer every pair at once (the flat
+        # array stays globally sorted); per-pair hits fold with bincount.
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
         if b.num_rows == 0 or "src_tok_ids" not in b.column_names:
             return schema.empty_table()
@@ -1106,19 +1122,23 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         lb = b["dst_tok_ids"].combine_chunks()
         va, oa = la.values.to_numpy(zero_copy_only=False), la.offsets.to_numpy()
         vb, ob = lb.values.to_numpy(zero_copy_only=False), lb.offsets.to_numpy()
-        keep = np.zeros(b.num_rows, dtype=bool)
-        for i in range(b.num_rows):  # candidates only
-            A = va[oa[i]: oa[i + 1]]
-            B = vb[ob[i]: ob[i + 1]]
-            if A.size == 0 or B.size == 0:
-                continue
-            if A.size > B.size:
-                A, B = B, A
-            idx = np.searchsorted(B, A)
-            idx[idx >= B.size] = B.size - 1
-            inter = int(np.count_nonzero(B[idx] == A))
-            if frac.denominator * inter >= frac.numerator * A.size:
-                keep[i] = True
+        na = np.diff(oa).astype(np.int64)
+        nb = np.diff(ob).astype(np.int64)
+        V = np.int64(vocab_n)  # int closure, not the rank dict
+        seg_a = np.repeat(np.arange(b.num_rows, dtype=np.int64), na)
+        seg_b = np.repeat(np.arange(b.num_rows, dtype=np.int64), nb)
+        av = va.astype(np.int64) + seg_a * V
+        bv = vb.astype(np.int64) + seg_b * V
+        if bv.size:
+            idx = np.minimum(np.searchsorted(bv, av), bv.size - 1)
+            hits = bv[idx] == av
+            inter = np.bincount(seg_a[hits], minlength=b.num_rows)
+        else:
+            inter = np.zeros(b.num_rows, dtype=np.int64)
+        mn = np.minimum(na, nb)
+        keep = (mn > 0) & (
+            frac.denominator * inter >= frac.numerator * mn
+        )
         return pa.table(
             {"a": b["src_id"].filter(pa.array(keep)),
              "b": b["dst_id"].filter(pa.array(keep))}
