@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return abb(_corpus(sf_dir))
 
+    def quadrant_crop_pairs_q(sf_dir: str):
+        from dedup_ray.pipelines.neardup import quadrant_crop_pairs as qcp
+
+        return qcp(_corpus(sf_dir))
+
     def rotation_invariant_clusters(sf_dir: str):
         """Orbit-exact dedup over a corpus with PLANTED rotated/flipped
         duplicates (sources/corpus.py rot_dups mix; cached separately from
@@ -370,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_dup_images": caption_dup_images,
         "caption_keep_best_image": caption_keep_best_image,
         "aspect_bucket_batches": aspect_bucket_batches,
+        "quadrant_crop_pairs": quadrant_crop_pairs_q,  # rows-only (decode; pytest planted crops)
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,

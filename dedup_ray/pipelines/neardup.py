@@ -711,3 +711,114 @@ def aspect_bucket_batches(
         ds.map_batches(classify, batch_format="pyarrow"),
         "gkey", number, sort_cols=["gkey", "image_id"],
     )
+
+
+def quadrant_crop_pairs(input_path: str) -> rd.Dataset:
+    """Exact CROP-duplicate tier: pairs of images where one's full frame is
+    pixel-identical to a quadrant of the other (or two images share an
+    identical quadrant) — the partial-image duplicate that pixel_hash
+    (whole frame) and the dihedral orbit (rotations) both miss. Returns
+    (a, b, role_a, role_b): role says which region matched ('full' or
+    quadrant tl/tr/bl/br), a < b by image_id.
+
+    Each image posts FIVE digest rows from the same scan-side decode
+    (full + 4 floor-half quadrants; the digest is blake2b over
+    shape-tagged pixel bytes, so only true region-identical matches
+    collide) — bytes and pixels never shuffle, the flagship keys rule.
+    ONE hash-partitioned shuffle on the digest; pair generation is the
+    vectorized HAVING>=2 run kernel. Exact by construction: no verify
+    tier needed (64-bit blake2b, collision-free at corpus scale — same
+    argument as caption_dup_images). Rows-only query: binary decode is
+    not SQL-expressible; tests/test_crop.py checks planted quadrant
+    crops and a no-false-positive control."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.functions import codecs
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_table(input_path, columns=["image_id", "bytes", "fmt"])
+
+    def _dig(p: "np.ndarray") -> int:
+        tag = p.shape[0].to_bytes(4, "big") + p.shape[1].to_bytes(4, "big")
+        return int.from_bytes(
+            hashlib.blake2b(
+                tag + np.ascontiguousarray(p).tobytes(), digest_size=8
+            ).digest(),
+            "big",
+        ) >> 1  # keep positive in int64
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        data = b["bytes"]
+        out_dig: list[int] = []
+        out_id: list[str] = []
+        out_role: list[str] = []
+        for i in range(b.num_rows):
+            try:
+                px = codecs.decode(data[i].as_py(), fmts[i])
+            except Exception:
+                continue  # unreadable rows drop, flagship validity rule
+            h, w = px.shape[0], px.shape[1]
+            regions = (
+                ("full", px),
+                ("tl", px[: h // 2, : w // 2]),
+                ("tr", px[: h // 2, w // 2 :]),
+                ("bl", px[h // 2 :, : w // 2]),
+                ("br", px[h // 2 :, w // 2 :]),
+            )
+            for role, p in regions:
+                if p.size == 0:
+                    continue
+                out_dig.append(_dig(p))
+                out_id.append(ids[i])
+                out_role.append(role)
+        return pa.table(
+            {
+                "dig": pa.array(out_dig, pa.int64()),
+                "image_id": pa.array(out_id, pa.string()),
+                "role": pa.array(out_role, pa.string()),
+            }
+        )
+
+    schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()),
+         ("role_a", pa.string()), ("role_b", pa.string())]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        keys_np = g["dig"].to_numpy(zero_copy_only=False)
+        starts = run_starts(keys_np)
+        bounds = np.append(starts, len(keys_np))
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        roles = np.asarray(g["role"].to_pylist(), dtype=object)
+        out_a, out_b, out_ra, out_rb = [], [], [], []
+        for r in np.flatnonzero(np.diff(bounds) >= 2):
+            lo, hi = bounds[r], bounds[r + 1]
+            order = np.argsort(ids[lo:hi], kind="stable")
+            rid = ids[lo:hi][order]
+            rrole = roles[lo:hi][order]
+            iu, ju = np.triu_indices(len(rid), 1)
+            m = rid[iu] != rid[ju]  # self-matches (symmetric images) drop
+            out_a.append(rid[iu][m])
+            out_b.append(rid[ju][m])
+            out_ra.append(rrole[iu][m])
+            out_rb.append(rrole[ju][m])
+        if not out_a:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.string()),
+                "b": pa.array(np.concatenate(out_b), pa.string()),
+                "role_a": pa.array(np.concatenate(out_ra), pa.string()),
+                "role_b": pa.array(np.concatenate(out_rb), pa.string()),
+            }
+        )
+
+    exploded = ds.map_batches(keys, batch_format="pyarrow")
+    return grouped_runs(exploded, "dig", pairs, sort_cols=["dig", "image_id"])
