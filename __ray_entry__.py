@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (k-means cells are non-SQL)
         "kmeans_global_train": ann.kmeans_global_train,  # rows-only (iterative; pytest determinism+monotonicity)
+        "embedding_pca": ann.embedding_pca,  # rows-only (float fold; pytest vs numpy reference)
         # --- flagship image pipeline (rows-only; input synthesised) ---
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,

@@ -171,7 +171,7 @@ def run_bench(scope: str) -> dict:
             "top_return_customers", "kmeans_global_train",
             "order_revenue_join_salted", "price_qty_histogram2d",
             "rate_limit_events", "top_supplier_revenue",
-            "quadrant_crop_pairs",
+            "quadrant_crop_pairs", "embedding_pca",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

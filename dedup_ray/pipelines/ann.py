@@ -786,3 +786,70 @@ def kmeans_global_train(
 
 
 _PASS_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def embedding_pca(sf_dir: str, k: int = 8) -> pa.Table:
+    """Distributed PCA over the embedding table — (component,
+    explained_var_ratio, cum_ratio): the dimensionality profile that
+    decides how many components a projection / IVF / visualization
+    actually needs. One streaming pass accumulates the d-vector sum and
+    d x d outer-product sum per batch (a (d²+d)-float partial, never
+    rows); the driver folds block-ordered partials, forms the covariance
+    once, and eigendecomposes the tiny d x d matrix. Float accumulation
+    order is batch-boundary-specific, so repeat runs agree to 1e-12,
+    not bitwise. Rows-only: float
+    accumulation order is engine-specific, so the contract is the pytest
+    one — eigenvalues match a single-process numpy reference to 1e-8,
+    ratios are descending and sum to <= 1."""
+    parts_schema = pa.schema(
+        [("pn", pa.int64()), ("psum", pa.list_(pa.float64())),
+         ("pouter", pa.list_(pa.float64()))]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, m = _mat(b)
+        if m.size == 0:
+            return parts_schema.empty_table()
+        return pa.table(
+            {
+                "pn": pa.array([m.shape[0]], pa.int64()),
+                "psum": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "pouter": pa.array(
+                    [(m.T @ m).reshape(-1)], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    n = 0
+    s = None
+    o = None
+    for t in ray.get(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "pn" not in t.column_names:
+            continue
+        for i in range(t.num_rows):
+            n += int(t["pn"][i].as_py())
+            ps = np.asarray(t["psum"][i].as_py(), dtype=np.float64)
+            po = np.asarray(t["pouter"][i].as_py(), dtype=np.float64)
+            s = ps if s is None else s + ps
+            o = po if o is None else o + po
+    if n == 0:
+        return pa.schema(
+            [("component", pa.int64()), ("explained_var_ratio", pa.float64()),
+             ("cum_ratio", pa.float64())]
+        ).empty_table()
+    d = s.shape[0]
+    mean = s / n
+    cov = o.reshape(d, d) / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    evals = np.maximum(evals, 0.0)
+    tot = evals.sum()
+    ratio = evals[:k] / tot if tot > 0 else np.zeros(min(k, d))
+    return pa.table(
+        {
+            "component": pa.array(np.arange(len(ratio), dtype=np.int64)),
+            "explained_var_ratio": pa.array(ratio),
+            "cum_ratio": pa.array(np.cumsum(ratio)),
+        }
+    )

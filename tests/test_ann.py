@@ -162,3 +162,27 @@ def test_kmeans_global_train_deterministic_and_converging():
         if prev is not None:
             assert cur <= prev + 1e-9, (iters, cur, prev)
         prev = cur
+
+
+def test_embedding_pca_matches_numpy_reference():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.ann import embedding_pca
+
+    out = embedding_pca(SF, k=8)
+    r = np.array(out["explained_var_ratio"].to_pylist())
+    assert (np.diff(r) <= 1e-12).all()          # descending
+    assert 0 < r.sum() <= 1.0 + 1e-9
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    ev = np.maximum(np.linalg.eigvalsh(cov)[::-1], 0)
+    ref = ev[:8] / ev.sum()
+    np.testing.assert_allclose(r, ref, rtol=1e-6, atol=1e-9)
+
+    again = embedding_pca(SF, k=8)
+    np.testing.assert_allclose(  # stable to reread (batch splits may move)
+        r, np.array(again["explained_var_ratio"].to_pylist()), rtol=1e-12
+    )
