@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return qcp(_corpus(sf_dir))
 
+    def phash_distance_histogram_q(sf_dir: str):
+        from dedup_ray.pipelines.neardup import phash_distance_histogram as pdh
+
+        return pdh(_corpus(sf_dir))
+
     def rotation_invariant_clusters(sf_dir: str):
         """Orbit-exact dedup over a corpus with PLANTED rotated/flipped
         duplicates (sources/corpus.py rot_dups mix; cached separately from
@@ -377,6 +382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_keep_best_image": caption_keep_best_image,
         "aspect_bucket_batches": aspect_bucket_batches,
         "quadrant_crop_pairs": quadrant_crop_pairs_q,  # rows-only (decode; pytest planted crops)
+        "phash_distance_histogram": phash_distance_histogram_q,
+        "langid_confusion": analysis.langid_confusion,  # rows-only (trigram model; pytest diagonal)
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
@@ -964,6 +971,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT image_id, bucket, part, "
             "CAST((row_number() OVER (PARTITION BY bucket, part "
             "ORDER BY image_id) - 1) // 32 AS BIGINT) AS batch_id FROM m"
+        ),
+        # threshold diagnostic: ordered (probe, other) pairs, 64 lexic.
+        # first ids as probes; bit_count(xor) = the Ray XOR-popcount
+        "phash_distance_histogram": (
+            "WITH c AS (SELECT image_id, phash FROM "
+            f"read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')), "
+            "p AS (SELECT image_id, phash FROM c ORDER BY image_id LIMIT 64) "
+            "SELECT bit_count(xor(CAST(c.phash AS UBIGINT), "
+            "CAST(p.phash AS UBIGINT)))::BIGINT AS hamming_dist, "
+            "count(*)::BIGINT AS n_pairs "
+            "FROM p JOIN c ON c.image_id <> p.image_id GROUP BY 1"
         ),
         # keeper policy: one image per non-empty caption, largest encoded
         # file wins (tie: min image_id); empty-caption rows pass through

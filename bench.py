@@ -172,6 +172,7 @@ def run_bench(scope: str) -> dict:
             "order_revenue_join_salted", "price_qty_histogram2d",
             "rate_limit_events", "top_supplier_revenue",
             "quadrant_crop_pairs", "embedding_pca",
+            "phash_distance_histogram", "langid_confusion",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

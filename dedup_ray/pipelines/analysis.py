@@ -1489,3 +1489,52 @@ def lang_length_cume_dist(sf_dir: str) -> rd.Dataset:
 
     return grouped_runs(docs, "lang", cume_runs,
                         sort_cols=["lang", "n_chars"])
+
+
+_LANGID_SINGLETON: list = []
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID evaluation matrix — (lang, pred_lang, n): the labeled
+    ``lang`` column crossed with the trigram-heuristic prediction, the
+    standard quality gate for a classifier stage before trusting it to
+    route/filter a corpus. Per-batch (label, pred) Arrow partials bound
+    each block's output by langs², then one tiny shuffle. Rows-only: the
+    trigram profiles are not SQL-expressible; tests/test_analysis.py
+    asserts the matrix is diagonal-dominant for seeded languages and
+    counts sum to the corpus."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if not _LANGID_SINGLETON:  # per-process cached profiles
+            _LANGID_SINGLETON.append(LangId())
+        model = _LANGID_SINGLETON[0]
+        preds = model(
+            pa.table({"doc_id": b["doc_id"], "text": b["text"]})
+        )["pred_lang"]
+        t = pa.table(
+            {"lang": b["lang"], "pred_lang": preds,
+             "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        )
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("one", "sum")])
+        return pa.table(
+            {"lang": g["lang"], "pred_lang": g["pred_lang"], "pn": g["one_sum"]}
+        )
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .sum("pn")
+    )
+    schema = pa.schema(
+        [("lang", pa.string()), ("pred_lang", pa.string()), ("n", pa.int64())]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"lang": b["lang"], "pred_lang": b["pred_lang"],
+             "n": b["sum(pn)"].cast(pa.int64())}
+        )
+        if b.num_rows and "sum(pn)" in b.column_names
+        else schema.empty_table(),
+        batch_format="pyarrow",
+    )

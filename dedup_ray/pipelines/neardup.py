@@ -822,3 +822,78 @@ def quadrant_crop_pairs(input_path: str) -> rd.Dataset:
 
     exploded = ds.map_batches(keys, batch_format="pyarrow")
     return grouped_runs(exploded, "dig", pairs, sort_cols=["dig", "image_id"])
+
+
+def phash_distance_histogram(input_path: str, n_probes: int = 64) -> rd.Dataset:
+    """Perceptual-hash distance profile — (hamming_dist, n_pairs): the
+    distribution of phash Hamming distances between a fixed probe set
+    (the n_probes lexicographically-first image_ids) and every other
+    image. This is the diagnostic that picks/validates the verify
+    threshold: near-dup corpora show a bimodal histogram (a ~0-distance
+    spike + the ~32-centered random mass). Probes broadcast once
+    (ray.put); each batch does one vectorized XOR-popcount against the
+    probe vector and emits a 65-bin partial — the full pair matrix is
+    never materialized. Oracle: DuckDB bit_count(xor(...)) over the same
+    probe subquery."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from dedup_ray.functions.hashing import hamming64
+
+    ds = read_table(input_path, columns=["image_id", "phash"])
+
+    # probe selection: per-batch local head prunes to <= n_probes rows
+    # BEFORE anything reaches the driver (local-topk recipe)
+    def probe_partial(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b, sort_keys=[("image_id", "ascending")])
+        return b.take(order[:n_probes])
+
+    blocks = [
+        t for t in ray.get(
+            ds.map_batches(probe_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "image_id" in t.column_names
+    ]
+    if not blocks:
+        return rd.from_arrow(
+            pa.schema([("hamming_dist", pa.int64()),
+                       ("n_pairs", pa.int64())]).empty_table()
+        )
+    merged = pa.concat_tables(blocks)
+    order = pc.sort_indices(merged, sort_keys=[("image_id", "ascending")])
+    probes = merged.take(order[:n_probes])
+    probe_ids = np.asarray(probes["image_id"].to_pylist(), dtype=object)
+    probe_ph = probes["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((probe_ids, probe_ph))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        ids_p, ph_p = ray.get(ref)
+        ids = np.asarray(b["image_id"].to_pylist(), dtype=object)
+        ph = b["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.zeros(65, dtype=np.int64)
+        for j in range(len(ids_p)):  # n_probes is a small constant
+            d = hamming64(ph, np.full(len(ph), ph_p[j]))
+            keep = ids != ids_p[j]  # exclude self-pairs
+            counts += np.bincount(d[keep], minlength=65)
+        return pa.table(
+            {"hamming_dist": pa.array(np.arange(65, dtype=np.int64)),
+             "pn": pa.array(counts)}
+        )
+
+    agg = ds.map_batches(hist_partial, batch_format="pyarrow").groupby(
+        "hamming_dist"
+    ).sum("pn")
+    schema = pa.schema([("hamming_dist", pa.int64()), ("n_pairs", pa.int64())])
+    return agg.map_batches(
+        lambda b: (
+            pa.table(
+                {"hamming_dist": b["hamming_dist"],
+                 "n_pairs": b["sum(pn)"].cast(pa.int64())}
+            ).filter(pc.greater(b["sum(pn)"].cast(pa.int64()), 0))
+            if b.num_rows and "sum(pn)" in b.column_names
+            else schema.empty_table()
+        ),
+        batch_format="pyarrow",
+    )
