@@ -978,7 +978,7 @@ def neardup_cluster_sizes(
     )
 
 
-def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """EXACT token containment near-dup pairs: all (a < b) where
     |A∩B| >= threshold·min(|A|,|B|) — the ASYMMETRIC partial-duplicate
     detector (quotes, boilerplate, doc-inside-doc) that Jaccard misses
@@ -1144,17 +1144,10 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
              "b": b["dst_id"].filter(pa.array(keep))}
         )
 
-    parts = [
-        t for t in ray.get(
-            withsets.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
-            .to_arrow_refs()
-        )
-        if t.num_rows and "a" in t.column_names
-    ]
-    if not parts:
-        return pd.DataFrame(columns=["a", "b"]).astype("int64")
-    out = pa.concat_tables(parts).to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+    # STREAMING result: at sf0.1 this is a 10M-row pair set — it stays a
+    # Dataset (write/consume downstream) instead of a driver concat; the
+    # harness compare canonicalizes order itself
+    return withsets.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
 
 
 def decontaminate_docs_fuzzy(
