@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_length_outliers": analysis.trim_length_outliers,
         "length_cume_dist": analysis.length_cume_dist,
         "rarest_term_per_doc": analysis.rarest_term_per_doc,
+        "bm25_search": analysis.bm25_search,                    # SQL-checked
         "length_quartiles": analysis.length_quartiles,
         "df_histogram": analysis.df_histogram,
         "lang_source_matrix": analysis.lang_source_matrix,
@@ -352,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_all_types": relational.users_all_types,
         "key_skew_stats": relational.key_skew_stats,
         "top_return_customers": relational.top_return_customers,
+        "nation_trade_volume": relational.nation_trade_volume,  # SQL-checked
         "price_qty_histogram2d": relational.price_qty_histogram2d,
         "rate_limit_events": relational.rate_limit_events,
         "top_supplier_revenue": relational.top_supplier_revenue,
@@ -796,6 +798,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.t AS term, df.df FROM d JOIN df USING (t) "
             "QUALIFY row_number() OVER (PARTITION BY d.doc_id "
             "ORDER BY df.df, d.t) = 1"
+        ),
+        # BM25 exact-float parity: k1=1.5 / b=0.75 are binary-exact, both
+        # engines evaluate the literal expression tree left-to-right over
+        # ints (tf, dl, df, n, sdl) with ln() on identical doubles; ties
+        # (bit-equal scores) break on doc_id. Aggregates cast to BIGINT so
+        # sdl/n is the same int/int -> double division as Python's.
+        "bm25_search": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS ts "
+            "FROM documents), "
+            "s AS (SELECT doc_id, len(ts)::BIGINT AS dl, "
+            "len(list_filter(ts, x -> x = 'merge'))::BIGINT AS tf0, "
+            "len(list_filter(ts, x -> x = 'window'))::BIGINT AS tf1, "
+            "len(list_filter(ts, x -> x = 'spark'))::BIGINT AS tf2 "
+            "FROM tok), "
+            "g AS (SELECT count(*)::BIGINT AS n, "
+            "CAST(sum(dl) AS BIGINT) AS sdl, "
+            "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0, "
+            "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1, "
+            "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 "
+            "FROM s) "
+            "SELECT doc_id, "
+            "ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)"
+            " * ((tf0 * 2.5) / (tf0 + 1.5 * (0.25 + 0.75 * (dl / (sdl / n)))))"
+            " + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)"
+            " * ((tf1 * 2.5) / (tf1 + 1.5 * (0.25 + 0.75 * (dl / (sdl / n)))))"
+            " + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)"
+            " * ((tf2 * 2.5) / (tf2 + 1.5 * (0.25 + 0.75 * (dl / (sdl / n)))))"
+            " AS score "
+            "FROM s, g WHERE tf0 + tf1 + tf2 > 0 "
+            "ORDER BY score DESC, doc_id LIMIT 20"
         ),
         "length_quartiles": (
             "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id)::BIGINT "
@@ -1332,6 +1365,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY rc DESC, o_custkey LIMIT 20) "
             "SELECT c_custkey, c_name, rc / 10000.0 AS revenue "
             "FROM c JOIN customer ON c_custkey = o_custkey"
+        ),
+        # Q7 two-role nation join; exact ten-thousandth-cents ints, one
+        # int/double division at the end (shared with the Ray side)
+        "nation_trade_volume": (
+            "WITH j AS (SELECT s.s_nationkey AS snk, c.c_nationkey AS cnk, "
+            "year(l_shipdate) AS yr, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT) AS r "
+            "FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer c ON c_custkey = o_custkey "
+            "JOIN supplier s ON s_suppkey = l_suppkey "
+            "WHERE s.s_nationkey != c.c_nationkey) "
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(yr AS BIGINT) AS year, "
+            "CAST(sum(r) AS BIGINT) / 10000.0 AS revenue "
+            "FROM j JOIN nation n1 ON n1.n_nationkey = snk "
+            "JOIN nation n2 ON n2.n_nationkey = cnk "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         # order-independent fingerprint: md5_number_upper == Python's
         # little-endian first-8-bytes md5; sum mod 2^61-1 commutes

@@ -1538,3 +1538,127 @@ def langid_confusion(sf_dir: str) -> rd.Dataset:
         else schema.empty_table(),
         batch_format="pyarrow",
     )
+
+
+def bm25_search(sf_dir: str, k: int = 20) -> pa.Table:
+    """BM25 ranked retrieval (Okapi / Robertson-Sparck Jones) for the fixed
+    query (merge, window, spark), k1 = 1.5, b = 0.75: the top-``k``
+    (doc_id, score) — the relevance-search primitive of every
+    retrieval-augmented data pipeline, layered on the same token class as
+    ``term_postings`` (the reference builds one report per detector the
+    same way, /root/reference/src/report.rs).
+
+    Exact-oracle float parity: k1 and b are exactly binary-representable,
+    and BOTH engines evaluate the literal expression tree
+    ``idf_t * ((tf*2.5) / (tf + 1.5*(0.25 + 0.75*(dl/(sdl/n)))))`` summed
+    left-to-right over the three terms, so the IEEE doubles match the
+    DuckDB oracle bit-for-bit (the exact-arithmetic rule: identical ops in
+    identical order, ints until the last possible moment).
+
+    Scale shape: pass 1 streams one 5-int partial row per batch (n_docs,
+    sum dl, df per query term) — no shuffle; the driver folds them and
+    derives 4 scalars (avgdl + 3 idfs) that ship inside the task closure.
+    Pass 2 re-streams the corpus, scores matching rows vectorized
+    (pyarrow token equality -> bincount tf; one numpy expression), and
+    keeps only the top-k per batch, so at most k rows per batch — never
+    text, never non-matching docs — reach the driver's bounded final
+    merge. Two tokenize passes is the deliberate trade vs caching the
+    (doc_id, dl, tf) projection: Ray re-executes lazy lineage per
+    consumer, and the stats pass is a fraction of the scoring pass."""
+    import math
+
+    import ray
+
+    terms = ("merge", "window", "spark")
+
+    def _tf_dl(text: pa.ChunkedArray | pa.Array):
+        la = pc.ascii_split_whitespace(pc.fill_null(text, "")).combine_chunks()
+        vals = la.values
+        offs = la.offsets.to_numpy().astype(np.int64)
+        n = len(offs) - 1
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        if len(vals):
+            real = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        else:
+            real = np.zeros(0, dtype=bool)
+        dl = np.bincount(doc_idx[real], minlength=n).astype(np.int64)
+        tfs = []
+        for t in terms:
+            if len(vals):
+                m = pc.equal(vals, t).to_numpy(zero_copy_only=False) & real
+                tfs.append(np.bincount(doc_idx[m], minlength=n).astype(np.int64))
+            else:
+                tfs.append(np.zeros(n, dtype=np.int64))
+        return dl, tfs
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        dl, tfs = _tf_dl(b["text"])
+        return pa.table(
+            {"pn": pa.array([b.num_rows], pa.int64()),
+             "pdl": pa.array([int(dl.sum())], pa.int64()),
+             "pdf0": pa.array([int((tfs[0] > 0).sum())], pa.int64()),
+             "pdf1": pa.array([int((tfs[1] > 0).sum())], pa.int64()),
+             "pdf2": pa.array([int((tfs[2] > 0).sum())], pa.int64())}
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n_total = 0
+    sdl = 0
+    dfs = [0, 0, 0]
+    for t in ray.get(
+        docs.map_batches(stats_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "pn" in t.column_names:
+            n_total += int(pc.sum(t["pn"]).as_py() or 0)
+            sdl += int(pc.sum(t["pdl"]).as_py() or 0)
+            for i in range(3):
+                dfs[i] += int(pc.sum(t[f"pdf{i}"]).as_py() or 0)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    if n_total == 0:
+        return out_schema.empty_table()
+
+    avgdl = sdl / n_total  # one int/int division, identical in SQL: sdl/n
+    idf = [
+        math.log((n_total - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+        for i in range(3)
+    ]
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        dl, tfs = _tf_dl(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        any_m = (tfs[0] + tfs[1] + tfs[2]) > 0
+        if not any_m.any():
+            return out_schema.empty_table()
+        ids = ids[any_m]
+        dl = dl[any_m]
+        tf0, tf1, tf2 = (tf[any_m] for tf in tfs)
+        # literal expression tree shared verbatim with the SQL oracle
+        denom = 1.5 * (0.25 + 0.75 * (dl / avgdl))
+        s = (
+            idf[0] * ((tf0 * 2.5) / (tf0 + denom))
+            + idf[1] * ((tf1 * 2.5) / (tf1 + denom))
+            + idf[2] * ((tf2 * 2.5) / (tf2 + denom))
+        )
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "score": pa.array(s[order], pa.float64())}
+        )
+
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(score_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    merged = pa.concat_tables(parts)
+    ids = merged["doc_id"].to_numpy(zero_copy_only=False)
+    s = merged["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -s))[:k]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.int64()),
+         "score": pa.array(s[order], pa.float64())}
+    )

@@ -4624,3 +4624,155 @@ def top_supplier_revenue(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
     )
     return supp.map_batches(Probe(ref), batch_format="pyarrow")
+
+
+def nation_trade_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q7 shape — cross-nation trade volume: revenue shipped from a
+    supplier nation to a DIFFERENT customer nation, by shipping year:
+    (supp_nation, cust_nation, year, revenue). The two-role dimension
+    join (nation joined twice under different roles) is the classic
+    star-schema wrinkle hash-join planners exist for.
+
+    Composition: revenue cents + ship year compute at the lineitem scan
+    (only 4 narrow columns read); ONE big-big orderkey ``shuffle_join``
+    reaches o_custkey; supplier->nation and customer->nation are
+    BROADCAST probes (sorted-array searchsorted via the shared
+    ``_PROBE_CACHE``) — dimensions ship once per worker, never per
+    batch; the cross-nation filter drops same-nation rows before any
+    aggregation; per-batch partials pre-aggregate on the tiny
+    (supp_nk, cust_nk, year) key so the final groupby moves at most
+    |nations|^2 x years rows per batch. At warehouse scale where
+    customer outgrows broadcast, the documented swap is the salted
+    shuffle join proven in ``order_revenue_join_salted``. Revenue is
+    exact ten-thousandth-cents ints folded distributively; ONE int/double
+    division at the end, shared verbatim with the oracle."""
+    from dedup_ray.stages.join import shuffle_join
+
+    sup = read_view(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cus = read_view(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = read_view(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+
+    def _sorted_map(keys: np.ndarray, vals: np.ndarray):
+        o = np.argsort(keys, kind="stable")
+        return keys[o], vals[o]
+
+    sk, snk = _sorted_map(
+        sup["s_suppkey"].to_numpy(np.int64), sup["s_nationkey"].to_numpy(np.int64)
+    )
+    ck, cnk = _sorted_map(
+        cus["c_custkey"].to_numpy(np.int64), cus["c_nationkey"].to_numpy(np.int64)
+    )
+    side_ref = ray.put((sk, snk, ck, cnk))
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def revenue_rows(b: pa.Table) -> pa.Table:
+        ec = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+        ).astype(np.int64)
+        yr = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+             "yr": pa.array(yr, pa.int64()), "r": pa.array(ec * dc)}
+        )
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = shuffle_join(
+        orders, items.map_batches(revenue_rows, batch_format="pyarrow"),
+        on="o_orderkey", right_on="l_orderkey",
+    )
+
+    part_schema = pa.schema(
+        [("snk", pa.int64()), ("cnk", pa.int64()), ("yr", pa.int64()),
+         ("pr", pa.int64())]
+    )
+
+    class NationPartial:
+        def __init__(self, ref: ray.ObjectRef) -> None:
+            self.ref = ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "l_suppkey" not in b.column_names:
+                return part_schema.empty_table()
+            sk, snk, ck, cnk = self._side()
+            lsk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            lck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            spos = np.minimum(np.searchsorted(sk, lsk), max(len(sk) - 1, 0))
+            cpos = np.minimum(np.searchsorted(ck, lck), max(len(ck) - 1, 0))
+            hit = (sk[spos] == lsk) & (ck[cpos] == lck)
+            s_n = snk[spos]
+            c_n = cnk[cpos]
+            m = hit & (s_n != c_n)
+            t = pa.table(
+                {"snk": pa.array(s_n[m], pa.int64()),
+                 "cnk": pa.array(c_n[m], pa.int64()),
+                 "yr": b["yr"].filter(pa.array(m)),
+                 "r": b["r"].filter(pa.array(m))}
+            )
+            g = t.group_by(["snk", "cnk", "yr"]).aggregate([("r", "sum")])
+            return pa.table(
+                {"snk": g["snk"], "cnk": g["cnk"], "yr": g["yr"],
+                 "pr": g["r_sum"].cast(pa.int64())}
+            )
+
+    agg = (
+        joined.map_batches(NationPartial(side_ref), batch_format="pyarrow")
+        .groupby(["snk", "cnk", "yr"])
+        .sum("pr")
+    )
+
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    nm = nat["n_name"].to_numpy(dtype=object)
+    o = np.argsort(nk, kind="stable")
+    nk, nm = nk[o], nm[o]
+
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sum(pr)" in t.column_names
+    ]
+    out_schema = pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("year", pa.int64()), ("revenue", pa.float64())]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded: <= |nations|^2 x years rows
+    snk_a = m["snk"].to_numpy(zero_copy_only=False)
+    cnk_a = m["cnk"].to_numpy(zero_copy_only=False)
+    sn = nm[np.searchsorted(nk, snk_a)].astype(object)
+    cn = nm[np.searchsorted(nk, cnk_a)].astype(object)
+    yr = m["yr"].to_numpy(zero_copy_only=False)
+    rc = m["sum(pr)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((yr, cn, sn))
+    return pa.table(
+        {"supp_nation": pa.array(sn[order], pa.string()),
+         "cust_nation": pa.array(cn[order], pa.string()),
+         "year": pa.array(yr[order], pa.int64()),
+         "revenue": pa.array(rc[order] / 10000.0, pa.float64())}
+    )

@@ -40,6 +40,8 @@ CHECKED = [
     "sample_per_source",
     "dup_ngrams",
     "rarest_term_per_doc",
+    "bm25_search",
+    "nation_trade_volume",
     "length_quartiles",
     "customer_order_counts",
     "phash_hamming_search",
