@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_stats": relational.key_skew_stats,
         "top_return_customers": relational.top_return_customers,
         "nation_trade_volume": relational.nation_trade_volume,  # SQL-checked
+        "trade_graph_pagerank": relational.trade_graph_pagerank,  # rows-only (iterative float)
         "price_qty_histogram2d": relational.price_qty_histogram2d,
         "rate_limit_events": relational.rate_limit_events,
         "top_supplier_revenue": relational.top_supplier_revenue,

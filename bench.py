@@ -173,7 +173,7 @@ def run_bench(scope: str) -> dict:
             "rate_limit_events", "top_supplier_revenue",
             "quadrant_crop_pairs", "embedding_pca",
             "phash_distance_histogram", "langid_confusion",
-            "bm25_search", "nation_trade_volume",
+            "bm25_search", "nation_trade_volume", "trade_graph_pagerank",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -4776,3 +4776,151 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
          "year": pa.array(yr[order], pa.int64()),
          "revenue": pa.array(rc[order] / 10000.0, pa.float64())}
     )
+
+
+def trade_graph_pagerank(
+    sf_dir: str, iters: int = 12, d: float = 0.85, k: int = 50
+) -> pa.Table:
+    """PageRank over the bipartite customer<->supplier trade graph (an
+    edge per distinct trading pair, weighted by line-item count): the
+    top-``k`` most central nodes, (node_type, key, rank). Graph
+    centrality is the influence/importance primitive of every
+    entity-resolution and spam-filtering pipeline; done Ray-Data-style it
+    is the iterative-graph counterpart of ``kmeans_global_train``'s
+    iterative-numeric pattern (same broadcast + partial-fold loop).
+
+    Scale shape: edges are built by ONE big-big orderkey shuffle_join with
+    per-batch (cust, supp) pre-aggregation, then materialized ONCE — each
+    of the ``iters`` passes re-streams the pinned edge blocks, never the
+    base tables. Per iteration the rank vector ships via ray.put (the
+    per-actor _PROBE_CACHE keeps it one fetch per worker); each batch
+    collapses to (dst, partial-contribution) rows bounded by its distinct
+    dst count, and the driver folds those into the next vector — float
+    work per iteration is O(edges) distributed + O(nodes) on the driver.
+    The node vector is driver-held (customers + suppliers are the SMALL
+    dimension side here, exactly like the broadcast-join convention); at
+    a scale where nodes outgrow the driver, the documented swap is
+    rank-as-Dataset with a per-iteration shuffle join on src — the same
+    seam kmeans documents for its centroid table. No dangling mass: every
+    node has >= 1 edge by construction (it exists because it traded).
+    Rows-only registry entry: float partial sums are order-sensitive, so
+    the checked contract is the pytest numpy-reference replay (1e-9) +
+    rank-sum == 1 invariant, not a SQL oracle."""
+    from dedup_ray.stages.join import shuffle_join
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = shuffle_join(
+        orders, items, on="o_orderkey", right_on="l_orderkey"
+    )
+
+    edge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("pw", pa.int64())]
+    )
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return edge_schema.empty_table()
+        cu = 2 * b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = 2 * b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        # undirected: both directions, pre-aggregated within the batch
+        t = pa.table(
+            {"src": pa.array(np.concatenate([cu, su])),
+             "dst": pa.array(np.concatenate([su, cu])),
+             "w": pa.array(np.ones(2 * len(cu), dtype=np.int64))}
+        )
+        g = t.group_by(["src", "dst"]).aggregate([("w", "sum")])
+        return pa.table(
+            {"src": g["src"], "dst": g["dst"],
+             "pw": g["w_sum"].cast(pa.int64())}
+        )
+
+    edges = (
+        joined.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .sum("pw")
+        .map_batches(
+            lambda b: pa.table(
+                {"src": b["src"], "dst": b["dst"],
+                 "w": b["sum(pw)"].cast(pa.int64())}
+            )
+            if b.num_rows and "sum(pw)" in b.column_names
+            else pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        .materialize()  # pinned: re-streamed once per iteration
+    )
+
+    # node universe + out-weights: bounded fold (one row per node)
+    nodes: dict[int, int] = {}
+    for t in ray.get(edges.to_arrow_refs()):
+        if t.num_rows and "src" in t.column_names:
+            g = t.group_by("src").aggregate([("w", "sum")])
+            for s, w in zip(
+                g["src"].to_numpy(zero_copy_only=False),
+                g["w_sum"].to_numpy(zero_copy_only=False),
+            ):
+                nodes[int(s)] = nodes.get(int(s), 0) + int(w)
+    out_schema = pa.schema(
+        [("node_type", pa.string()), ("key", pa.int64()),
+         ("rank", pa.float64())]
+    )
+    if not nodes:
+        return out_schema.empty_table()
+    keys = np.array(sorted(nodes), dtype=np.int64)
+    outw = np.array([nodes[int(x)] for x in keys], dtype=np.float64)
+    n = len(keys)
+    rank = np.full(n, 1.0 / n)
+
+    def make_pass(ref: "ray.ObjectRef"):
+        def contrib(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "src" not in b.column_names:
+                return pa.schema(
+                    [("dst", pa.int64()), ("pc", pa.float64())]
+                ).empty_table()
+            got = _PROBE_CACHE.get(ref.binary())
+            if got is None:
+                got = ray.get(ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[ref.binary()] = got
+            kk, per_w = got
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = per_w[np.searchsorted(kk, src)] * w
+            ud, inv = np.unique(dst, return_inverse=True)
+            pc = np.zeros(len(ud))
+            np.add.at(pc, inv, c)
+            return pa.table({"dst": pa.array(ud), "pc": pa.array(pc)})
+
+        return contrib
+
+    for _ in range(iters):
+        ref = ray.put((keys, d * rank / outw))
+        new = np.full(n, (1.0 - d) / n)
+        for t in ray.get(
+            edges.map_batches(make_pass(ref), batch_format="pyarrow")
+            .to_arrow_refs()
+        ):
+            if t.num_rows and "dst" in t.column_names:
+                pos = np.searchsorted(
+                    keys, t["dst"].to_numpy(zero_copy_only=False)
+                )
+                np.add.at(new, pos, t["pc"].to_numpy(zero_copy_only=False))
+        rank = new
+
+    order = np.lexsort((keys, -rank))[:k]
+    sel, r = keys[order], rank[order]
+    return pa.table(
+        {"node_type": pa.array(
+            np.where(sel % 2 == 0, "customer", "supplier").astype(object),
+            pa.string()),
+         "key": pa.array(sel // 2, pa.int64()),
+         "rank": pa.array(r, pa.float64())}
+    )
