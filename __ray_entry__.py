@@ -178,6 +178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return resize_images(read_view(_corpus(sf_dir)), max_side=8)
 
+    def image_channel_stats(sf_dir: str):
+        from dedup_ray.sources.io import read_view
+        from dedup_ray.stages.multimodal import channel_stats
+
+        return channel_stats(read_view(_corpus(sf_dir)))
+
     def audio_features(sf_dir: str):
         from dedup_ray.sources.av_corpus import generate_clips
         from dedup_ray.sources.io import read_view
@@ -359,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_events": relational.rate_limit_events,
         "top_supplier_revenue": relational.top_supplier_revenue,
         "docs_checksum": curation.docs_checksum,
+        "weighted_sample_docs": curation.weighted_sample_docs,  # SQL-checked
         "pareto_customers_80pct": relational.pareto_customers_80pct,
         "event_value_outliers": relational.event_value_outliers,
         # --- similarity search ---
@@ -391,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
+        "image_channel_stats": image_channel_stats,  # rows-only (decode + sqrt)
         # --- audio/video (inputs synthesised; rows-only) ---
         "audio_features": audio_features,
         "audio_similarity_search": audio_similarity,  # rows-only (binary decode)
@@ -1392,6 +1400,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_rows, "
             "CAST(sum(CAST(md5_number_upper(text) AS HUGEINT)) "
             "% 2305843009213693951 AS BIGINT) AS checksum FROM documents"
+        ),
+        # Efraimidis-Spirakis A-Res weighted sample: u from the md5 parity
+        # trick, key = pow(u, 1/w) — identical libm ops both engines;
+        # 1.1102230246251565e-16 parses to exactly 2^-53 in both
+        "weighted_sample_docs": (
+            "SELECT doc_id, "
+            "power(((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 11)::BIGINT "
+            "+ 1) * 1.1102230246251565e-16, 1.0 / n_chars) AS skey "
+            "FROM documents WHERE n_chars > 0 "
+            "ORDER BY skey DESC, doc_id LIMIT 100"
         ),
         # 2-D histogram: exact integer cents bins
         "price_qty_histogram2d": (

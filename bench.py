@@ -174,6 +174,7 @@ def run_bench(scope: str) -> dict:
             "quadrant_crop_pairs", "embedding_pca",
             "phash_distance_histogram", "langid_confusion",
             "bm25_search", "nation_trade_volume", "trade_graph_pagerank",
+            "weighted_sample_docs", "image_channel_stats",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

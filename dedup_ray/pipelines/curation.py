@@ -1316,3 +1316,66 @@ def docs_checksum(sf_dir: str) -> pa.Table:
         {"n_rows": pa.array([n], pa.int64()),
          "checksum": pa.array([s % _CKSUM_P61], pa.int64())}
     )
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 100) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    draw ``k`` documents with inclusion probability proportional to their
+    length — (doc_id, skey), skey descending. THE quality-weighted
+    training-mix draw (sample high-signal docs more often) done as a
+    single distributed top-k: each row gets key u^(1/w) for a
+    deterministic uniform u and weight w = n_chars; the k largest keys
+    ARE the weighted sample (Efraimidis & Spirakis 2006), so no
+    sequential reservoir state is needed — sampling becomes an
+    embarrassingly parallel scan + bounded merge, exactly what a
+    10^12-row corpus requires.
+
+    Exact-oracle float parity: u derives from DuckDB-reproducible md5
+    (md5_number_upper == Python little-endian first-8-bytes md5, the
+    docs_checksum trick) over CAST(doc_id AS VARCHAR); the key is the
+    identical expression ``((h >> 11) + 1) * 2^-53`` then ``pow(u, 1/w)``
+    on both engines — libm pow over identical doubles, ties broken by
+    doc_id. Reads only (doc_id, n_chars): the text column never leaves
+    storage."""
+    import hashlib
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("skey", pa.float64())])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_chars"], 0))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[:8], "little"
+            ) >> 11 for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        u = (h + 1) * (2.0 ** -53)
+        skey = u ** (1.0 / w)
+        order = np.lexsort((ids, -skey))[:k]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "skey": pa.array(skey[order], pa.float64())}
+        )
+
+    parts = [
+        t for t in ray.get(
+            _docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "doc_id" in t.column_names
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded: <= k rows per batch
+    ids = m["doc_id"].to_numpy(zero_copy_only=False)
+    skey = m["skey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -skey))[:k]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.int64()),
+         "skey": pa.array(skey[order], pa.float64())}
+    )

@@ -572,3 +572,88 @@ def video_neardup_clusters(
         lambda g: drop_sorted_dup_pairs(g, "cluster_id", "video_id"),
         sort_cols=["cluster_id", "video_id"],
     )
+
+
+class ChannelStatsPartial:
+    """bytes+fmt -> ONE partial row of exact integer per-channel pixel
+    moments (sum, sum-of-squares, count): uint8 pixels make both moments
+    exact int64s, so the dataset-level mean/std fold is order-independent
+    and deterministic no matter how blocks land. Actor-pool stage: the
+    codec dispatch lives per actor, decode is the per-row work."""
+
+    SCHEMA = pa.schema(
+        [("pn_px", pa.int64()), ("pn_bad", pa.int64())]
+        + [(f"ps_{c}", pa.int64()) for c in "rgb"]
+        + [(f"pq_{c}", pa.int64()) for c in "rgb"]
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        s = np.zeros(3, dtype=np.int64)
+        q = np.zeros(3, dtype=np.int64)
+        n_px = 0
+        n_bad = 0
+        for i in range(batch.num_rows):
+            try:
+                px = codecs.decode(data[i].as_py(), fmts[i])
+            except Exception:
+                n_bad += 1
+                continue
+            flat = px.reshape(-1, 3).astype(np.int64)
+            s += flat.sum(axis=0)
+            q += (flat * flat).sum(axis=0)
+            n_px += flat.shape[0]
+        vals = [n_px, n_bad, *s.tolist(), *q.tolist()]
+        return pa.table(
+            {f.name: pa.array([v], pa.int64())
+             for f, v in zip(self.SCHEMA, vals)}
+        )
+
+
+def channel_stats(images: rd.Dataset, concurrency=(1, 8)) -> pa.Table:
+    """Dataset-level per-channel normalization constants — (channel, mean,
+    std, n_pixels): the mean/std every vision-training pipeline computes
+    once over its corpus to normalize inputs (the ImageNet-constants
+    job). One streaming decode pass; each batch collapses to a single
+    8-int partial row (exact integer moments), the driver folds Python
+    ints — overflow-free at any corpus size — and does the two float
+    divisions + sqrt once at the end. Rows-only registry entry (sqrt and
+    the decode are non-SQL); pytest replays a single-process decode."""
+    import ray
+
+    parts = images.map_batches(
+        ChannelStatsPartial,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+    n_px = 0
+    n_bad = 0
+    s = [0, 0, 0]
+    q = [0, 0, 0]
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows and "pn_px" in t.column_names:
+            n_px += int(pc.sum(t["pn_px"]).as_py() or 0)
+            n_bad += int(pc.sum(t["pn_bad"]).as_py() or 0)
+            for j, c in enumerate("rgb"):
+                s[j] += int(pc.sum(t[f"ps_{c}"]).as_py() or 0)
+                q[j] += int(pc.sum(t[f"pq_{c}"]).as_py() or 0)
+    out_schema = pa.schema(
+        [("channel", pa.string()), ("mean", pa.float64()),
+         ("std", pa.float64()), ("n_pixels", pa.int64()),
+         ("n_unreadable", pa.int64())]
+    )
+    if n_px == 0:
+        return out_schema.empty_table()
+    means = [s[j] / n_px for j in range(3)]
+    stds = [
+        float(np.sqrt(q[j] / n_px - (s[j] / n_px) ** 2)) for j in range(3)
+    ]
+    return pa.table(
+        {"channel": pa.array(["r", "g", "b"], pa.string()),
+         "mean": pa.array(means, pa.float64()),
+         "std": pa.array(stds, pa.float64()),
+         "n_pixels": pa.array([n_px] * 3, pa.int64()),
+         "n_unreadable": pa.array([n_bad] * 3, pa.int64())}
+    )

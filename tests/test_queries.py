@@ -42,6 +42,7 @@ CHECKED = [
     "rarest_term_per_doc",
     "bm25_search",
     "nation_trade_volume",
+    "weighted_sample_docs",
     "length_quartiles",
     "customer_order_counts",
     "phash_hamming_search",
