@@ -4648,26 +4648,34 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     division at the end, shared verbatim with the oracle."""
     from dedup_ray.stages.join import shuffle_join
 
-    sup = read_view(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    cus = read_view(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nat = read_view(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    def _dim(path: str, cols: list[str], dtypes: list) -> list[np.ndarray]:
+        # read_view(...).to_pandas() on an all-empty parquet loses the
+        # schema (Ray drops empty-block schemas) — fall back per column
+        df = read_view(path, columns=cols).to_pandas()
+        return [
+            df[c].to_numpy(dt) if c in df.columns else np.array([], dtype=dt)
+            for c, dt in zip(cols, dtypes)
+        ]
+
+    s_k, s_nk = _dim(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"],
+        [np.int64, np.int64],
+    )
+    c_k, c_nk = _dim(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"],
+        [np.int64, np.int64],
+    )
+    n_k, n_nm = _dim(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"],
+        [np.int64, object],
+    )
 
     def _sorted_map(keys: np.ndarray, vals: np.ndarray):
         o = np.argsort(keys, kind="stable")
         return keys[o], vals[o]
 
-    sk, snk = _sorted_map(
-        sup["s_suppkey"].to_numpy(np.int64), sup["s_nationkey"].to_numpy(np.int64)
-    )
-    ck, cnk = _sorted_map(
-        cus["c_custkey"].to_numpy(np.int64), cus["c_nationkey"].to_numpy(np.int64)
-    )
+    sk, snk = _sorted_map(s_k, s_nk)
+    ck, cnk = _sorted_map(c_k, c_nk)
     side_ref = ray.put((sk, snk, ck, cnk))
 
     items = read_view(
@@ -4698,6 +4706,11 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     joined = shuffle_join(
         orders, items.map_batches(revenue_rows, batch_format="pyarrow"),
         on="o_orderkey", right_on="l_orderkey",
+        # all-empty mapped datasets answer schema() with None — declare it
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("yr", pa.int64()), ("r", pa.int64())]
+        ),
     )
 
     part_schema = pa.schema(
@@ -4721,6 +4734,8 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             if b.num_rows == 0 or "l_suppkey" not in b.column_names:
                 return part_schema.empty_table()
             sk, snk, ck, cnk = self._side()
+            if len(sk) == 0 or len(ck) == 0:
+                return part_schema.empty_table()
             lsk = b["l_suppkey"].to_numpy(zero_copy_only=False)
             lck = b["o_custkey"].to_numpy(zero_copy_only=False)
             spos = np.minimum(np.searchsorted(sk, lsk), max(len(sk) - 1, 0))
@@ -4747,10 +4762,8 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
         .sum("pr")
     )
 
-    nk = nat["n_nationkey"].to_numpy(np.int64)
-    nm = nat["n_name"].to_numpy(dtype=object)
-    o = np.argsort(nk, kind="stable")
-    nk, nm = nk[o], nm[o]
+    o = np.argsort(n_k, kind="stable")
+    nk, nm = n_k[o], n_nm[o]
 
     parts = [
         t for t in ray.get(agg.to_arrow_refs())
