@@ -360,6 +360,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_stats": relational.key_skew_stats,
         "top_return_customers": relational.top_return_customers,
         "nation_trade_volume": relational.nation_trade_volume,  # SQL-checked
+        "forecast_revenue": relational.forecast_revenue,  # SQL-checked
+        "brand_qty_revenue": relational.brand_qty_revenue,  # SQL-checked
+        "market_share": relational.market_share,  # SQL-checked
+        "product_profit": relational.product_profit,  # SQL-checked
+        "sole_blame_suppliers": relational.sole_blame_suppliers,  # SQL-checked
         "trade_graph_pagerank": relational.trade_graph_pagerank,  # rows-only (iterative float)
         "price_qty_histogram2d": relational.price_qty_histogram2d,
         "rate_limit_events": relational.rate_limit_events,
@@ -1393,6 +1398,85 @@ def oracle_sql() -> dict[str, str]:
             "FROM j JOIN nation n1 ON n1.n_nationkey = snk "
             "JOIN nation n2 ON n2.n_nationkey = cnk "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # Q6 pure-scan scalar; predicate on exact integer cents both sides
+        "forecast_revenue": (
+            "SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) / 10000.0 "
+            "AS revenue, count(*)::BIGINT AS n_items FROM lineitem "
+            "WHERE year(l_shipdate) = 1996 "
+            "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND CAST(round(l_quantity*100) AS BIGINT) < 2400"
+        ),
+        # Q19 disjunctive brand/size/quantity branches; exact-int compares
+        "brand_qty_revenue": (
+            "WITH j AS (SELECT "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT) AS r "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 100 AND 2000) "
+            "OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 "
+            "AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 1000 AND 3500) "
+            "OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 "
+            "AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 2000 AND 5000)) "
+            "SELECT CAST(coalesce(sum(r), 0) AS BIGINT) / 10000.0 AS revenue, "
+            "count(*)::BIGINT AS n_items FROM j"
+        ),
+        # Q8 national market share in ASIA-region orders, per order year;
+        # numerator/denominator exact ints, ONE double division each
+        "market_share": (
+            "WITH j AS (SELECT year(o_orderdate) AS yr, "
+            "CASE WHEN sn.n_name = 'NATION_7' THEN 1 ELSE 0 END AS inn, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT) AS r "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = cn.n_regionkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+            "WHERE r_name = 'ASIA') "
+            "SELECT CAST(yr AS BIGINT) AS year, "
+            "CAST(sum(CASE WHEN inn = 1 THEN r ELSE 0 END) AS BIGINT) "
+            "/ 10000.0 AS nation_revenue, "
+            "CAST(sum(r) AS BIGINT) / 10000.0 AS total_revenue, "
+            "CAST(sum(CASE WHEN inn = 1 THEN r ELSE 0 END) AS DOUBLE) "
+            "/ CAST(sum(r) AS DOUBLE) AS mkt_share "
+            "FROM j GROUP BY yr ORDER BY yr"
+        ),
+        # Q9 profit by supplier nation x ship year over 'red' parts
+        # (retail price is the cost proxy; no partsupp in the sandbox)
+        "product_profit": (
+            "WITH j AS (SELECT sn.n_name AS nation, "
+            "year(l_shipdate) AS yr, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round((1-l_discount)*100) AS BIGINT) - "
+            "CAST(round(p_retailprice*100) AS BIGINT) * "
+            "CAST(round(l_quantity*100) AS BIGINT) AS amount "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+            "WHERE p_name LIKE '%red%') "
+            "SELECT nation, CAST(yr AS BIGINT) AS year, "
+            "CAST(sum(amount) AS BIGINT) / 10000.0 AS profit "
+            "FROM j GROUP BY 1, 2 ORDER BY nation, year DESC"
+        ),
+        # Q21 sole-blame suppliers: EXISTS another supplier in the order,
+        # NOT EXISTS another supplier with a returned line
+        "sole_blame_suppliers": (
+            "WITH pairs AS (SELECT l_orderkey, l_suppkey, "
+            "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS isr "
+            "FROM lineitem GROUP BY 1, 2), "
+            "f AS (SELECT p.* FROM pairs p JOIN orders "
+            "ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F'), "
+            "per_order AS (SELECT l_orderkey, count(*) AS ns, "
+            "sum(isr) AS nr FROM f GROUP BY 1) "
+            "SELECT s_name, count(*)::BIGINT AS numwait "
+            "FROM f JOIN per_order USING (l_orderkey) "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE f.isr = 1 AND per_order.ns >= 2 AND per_order.nr = 1 "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
         ),
         # order-independent fingerprint: md5_number_upper == Python's
         # little-endian first-8-bytes md5; sum mod 2^61-1 commutes

@@ -4937,3 +4937,559 @@ def trade_graph_pagerank(
          "key": pa.array(sel // 2, pa.int64()),
          "rank": pa.array(r, pa.float64())}
     )
+
+
+def _dim_arrays(path: str, cols: list[str], dtypes: list) -> list[np.ndarray]:
+    """Driver-side read of a SMALL dimension table as numpy columns (schema-
+    safe on all-empty inputs — Ray drops empty-block schemas, so missing
+    columns come back as typed empties)."""
+    df = read_view(path, columns=cols).to_pandas()
+    return [
+        df[c].to_numpy(dt) if c in df.columns else np.array([], dtype=dt)
+        for c, dt in zip(cols, dtypes)
+    ]
+
+
+def _sorted_by_key(key: np.ndarray, *vals: np.ndarray):
+    o = np.argsort(key, kind="stable")
+    return (key[o],) + tuple(v[o] for v in vals)
+
+
+def _probe(sorted_keys: np.ndarray, probe: np.ndarray):
+    """searchsorted probe: (positions clamped, hit mask)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=np.int64), np.zeros(len(probe), bool)
+    pos = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+    return pos, sorted_keys[pos] == probe
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape — the forecasting-revenue-change scalar: revenue that
+    would have been gained by eliminating mid-band discounts on small
+    orders in one shipping year. Pure scan-side predicate + distributive
+    sum: ZERO shuffles — each batch folds to one partial (revenue, count)
+    pair and the driver adds a handful of ints. The predicate (year 1996,
+    discount 5-7 cents, quantity < 24) is evaluated on exact integer
+    cents so the Ray and SQL sides agree bit-for-bit; only the final
+    /10000.0 is floating point (shared verbatim with the oracle)."""
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema([("pr", pa.int64()), ("pn", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_shipdate" not in b.column_names:
+            return part_schema.empty_table()
+        yr = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        dc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        qc = np.rint(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        m = (yr == 1996) & (dc >= 5) & (dc <= 7) & (qc < 2400)
+        ec = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"pr": pa.array([int((ec * dc[m]).sum())], pa.int64()),
+             "pn": pa.array([int(m.sum())], pa.int64())}
+        )
+
+    rev, n = 0, 0
+    for t in ray.get(
+        items.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "pr" in t.column_names:
+            rev += int(pc.sum(t["pr"]).as_py() or 0)
+            n += int(pc.sum(t["pn"]).as_py() or 0)
+    return pa.table(
+        {"revenue": pa.array([rev / 10000.0], pa.float64()),
+         "n_items": pa.array([n], pa.int64())}
+    )
+
+
+def brand_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape — discounted revenue under an OR of three
+    (brand, size-range, quantity-range) branches: the disjunctive
+    multi-table predicate that defeats naive pushdown. The part side is
+    tiny and ships ONCE as sorted (partkey, brand-code, size) arrays via
+    ray.put + the per-process _PROBE_CACHE; each lineitem batch probes
+    with searchsorted and evaluates all three branches vectorized — no
+    shuffle at all, the result folds to one scalar pair. Quantity
+    comparisons run on exact integer hundredths; revenue on exact
+    integer ten-thousandth-cents with ONE final double division."""
+    p_k, p_b, p_s = _dim_arrays(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_brand", "p_size"],
+        [np.int64, object, np.int64],
+    )
+    # brand -> small int code; unknown brands get -1 (never match)
+    brands = ["Brand#1", "Brand#7", "Brand#20"]
+    code = np.full(len(p_b), -1, dtype=np.int64)
+    for i, br in enumerate(brands):
+        code[p_b == br] = i
+    pk, pcode, psize = _sorted_by_key(p_k, code, p_s)
+    side_ref = ray.put((pk, pcode, psize))
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    part_schema = pa.schema([("pr", pa.int64()), ("pn", pa.int64())])
+
+    class BranchProbe:
+        def __init__(self, ref: ray.ObjectRef) -> None:
+            self.ref = ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "l_partkey" not in b.column_names:
+                return part_schema.empty_table()
+            pk, pcode, psize = self._side()
+            lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos, hit = _probe(pk, lp)
+            bc = np.where(hit, pcode[pos], -1)
+            sz = np.where(hit, psize[pos], -1)
+            qc = np.rint(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            m = (
+                ((bc == 0) & (sz >= 1) & (sz <= 15)
+                 & (qc >= 100) & (qc <= 2000))
+                | ((bc == 1) & (sz >= 10) & (sz <= 30)
+                   & (qc >= 1000) & (qc <= 3500))
+                | ((bc == 2) & (sz >= 20) & (sz <= 50)
+                   & (qc >= 2000) & (qc <= 5000))
+            )
+            ec = np.rint(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+            ).astype(np.int64)
+            dc = np.rint(
+                (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)[m])
+                * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {"pr": pa.array([int((ec * dc).sum())], pa.int64()),
+                 "pn": pa.array([int(m.sum())], pa.int64())}
+            )
+
+    rev, n = 0, 0
+    for t in ray.get(
+        items.map_batches(BranchProbe(side_ref), batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows and "pr" in t.column_names:
+            rev += int(pc.sum(t["pr"]).as_py() or 0)
+            n += int(pc.sum(t["pn"]).as_py() or 0)
+    return pa.table(
+        {"revenue": pa.array([rev / 10000.0], pa.float64()),
+         "n_items": pa.array([n], pa.int64())}
+    )
+
+
+def market_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q8 shape — national market share: within orders placed by
+    ASIA-region customers, the fraction of line-item revenue supplied by
+    NATION_7, per order year. (year, nation_revenue, total_revenue,
+    mkt_share).
+
+    Composition: ONE big-big orderkey ``shuffle_join`` (lineitem revenue
+    rows x orders) reaches o_custkey + order year; customer->nationkey,
+    nation->regionkey and supplier->nationkey are BROADCAST probes
+    shipped once per worker via the _PROBE_CACHE. Each batch folds to at
+    most |years| x 2 partial rows (year, in-nation?, revenue), so the
+    final groupby moves a handful of rows. Numerator and denominator are
+    exact ten-thousandth-cents ints; the share is ONE double division,
+    shared verbatim with the oracle."""
+    from dedup_ray.stages.join import shuffle_join
+
+    c_k, c_nk = _dim_arrays(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"],
+        [np.int64, np.int64],
+    )
+    n_k, n_nm, n_rk = _dim_arrays(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name", "n_regionkey"],
+        [np.int64, object, np.int64],
+    )
+    r_k, r_nm = _dim_arrays(
+        f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"],
+        [np.int64, object],
+    )
+    s_k, s_nk = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"],
+        [np.int64, np.int64],
+    )
+    asia = r_k[r_nm == "ASIA"]
+    asia_nations = n_k[np.isin(n_rk, asia if len(asia) else [-1])]
+    target = n_k[n_nm == "NATION_7"]
+    target_nk = int(target[0]) if len(target) else -1
+    ck, cnk = _sorted_by_key(c_k, c_nk)
+    sk, snk = _sorted_by_key(s_k, s_nk)
+    side_ref = ray.put((ck, cnk, sk, snk, np.sort(asia_nations), target_nk))
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_rows(b: pa.Table) -> pa.Table:
+        ec = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+             "r": pa.array(ec * dc)}
+        )
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"]
+    )
+    joined = shuffle_join(
+        orders, items.map_batches(rev_rows, batch_format="pyarrow"),
+        on="o_orderkey", right_on="l_orderkey",
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("r", pa.int64())]
+        ),
+    )
+
+    part_schema = pa.schema(
+        [("yr", pa.int64()), ("in_nation", pa.int64()), ("pr", pa.int64())]
+    )
+
+    class ShareProbe:
+        def __init__(self, ref: ray.ObjectRef) -> None:
+            self.ref = ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "l_suppkey" not in b.column_names:
+                return part_schema.empty_table()
+            ck, cnk, sk, snk, asia_sorted, target_nk = self._side()
+            cpos, chit = _probe(ck, b["o_custkey"].to_numpy(zero_copy_only=False))
+            spos, shit = _probe(sk, b["l_suppkey"].to_numpy(zero_copy_only=False))
+            c_n = np.where(chit, cnk[cpos], -1)
+            in_region = np.zeros(len(c_n), dtype=bool)
+            if len(asia_sorted):
+                apos, ahit = _probe(asia_sorted, c_n)
+                in_region = ahit
+            m = chit & shit & in_region
+            if not m.any():
+                return part_schema.empty_table()
+            yr = (
+                b["o_orderdate"].to_numpy(zero_copy_only=False)[m]
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            )
+            in_nation = (np.where(shit, snk[spos], -1)[m] == target_nk).astype(
+                np.int64
+            )
+            t = pa.table(
+                {"yr": pa.array(yr), "in_nation": pa.array(in_nation),
+                 "r": b["r"].filter(pa.array(m))}
+            )
+            g = t.group_by(["yr", "in_nation"]).aggregate([("r", "sum")])
+            return pa.table(
+                {"yr": g["yr"], "in_nation": g["in_nation"],
+                 "pr": g["r_sum"].cast(pa.int64())}
+            )
+
+    agg = (
+        joined.map_batches(ShareProbe(side_ref), batch_format="pyarrow")
+        .groupby(["yr", "in_nation"])
+        .sum("pr")
+    )
+    out_schema = pa.schema(
+        [("year", pa.int64()), ("nation_revenue", pa.float64()),
+         ("total_revenue", pa.float64()), ("mkt_share", pa.float64())]
+    )
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sum(pr)" in t.column_names
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded: <= years x 2 rows
+    yrs = m["yr"].to_numpy(zero_copy_only=False)
+    inn = m["in_nation"].to_numpy(zero_copy_only=False)
+    rv = m["sum(pr)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uy = np.unique(yrs)
+    nat = np.zeros(len(uy), dtype=np.int64)
+    tot = np.zeros(len(uy), dtype=np.int64)
+    for i, y in enumerate(uy):
+        sel = yrs == y
+        tot[i] = rv[sel].sum()
+        nat[i] = rv[sel & (inn == 1)].sum()
+    return pa.table(
+        {"year": pa.array(uy, pa.int64()),
+         "nation_revenue": pa.array(nat / 10000.0, pa.float64()),
+         "total_revenue": pa.array(tot / 10000.0, pa.float64()),
+         "mkt_share": pa.array(
+             nat.astype(np.float64) / tot.astype(np.float64), pa.float64()
+         )}
+    )
+
+
+def product_profit(sf_dir: str) -> pa.Table:
+    """TPC-H Q9 shape — product-type profit by supplier nation and ship
+    year, over parts whose name contains 'red': profit = discounted
+    revenue minus retail cost (retailprice x quantity — the sandbox
+    schema has no partsupp/supplycost, so retail price is the documented
+    cost proxy; same join tree, same math shape). (nation, year, profit).
+
+    Composition: NO shuffle-join at all — part (partkey -> retail-cents,
+    name-match flag) and supplier->nation are broadcast probes; profit
+    folds per batch to at most |nations| x |years| partial rows on exact
+    ten-thousandth-cent ints, then one tiny groupby. The only all-to-all
+    is that final bounded aggregate."""
+    p_k, p_nm, p_rp = _dim_arrays(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_name", "p_retailprice"],
+        [np.int64, object, np.float64],
+    )
+    red = np.fromiter(("red" in s for s in p_nm), dtype=bool, count=len(p_nm))
+    rp_c = np.rint(p_rp * 100.0).astype(np.int64)
+    pk, pred, prp = _sorted_by_key(p_k, red, rp_c)
+    s_k, s_nk = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"],
+        [np.int64, np.int64],
+    )
+    n_k, n_nm = _dim_arrays(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"],
+        [np.int64, object],
+    )
+    sk, snk = _sorted_by_key(s_k, s_nk)
+    side_ref = ray.put((pk, pred, prp, sk, snk))
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    part_schema = pa.schema(
+        [("nk", pa.int64()), ("yr", pa.int64()), ("pp", pa.int64())]
+    )
+
+    class ProfitProbe:
+        def __init__(self, ref: ray.ObjectRef) -> None:
+            self.ref = ref
+
+        def _side(self):
+            got = _PROBE_CACHE.get(self.ref.binary())
+            if got is None:
+                got = ray.get(self.ref)
+                _PROBE_CACHE.clear()
+                _PROBE_CACHE[self.ref.binary()] = got
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "l_partkey" not in b.column_names:
+                return part_schema.empty_table()
+            pk, pred, prp, sk, snk = self._side()
+            ppos, phit = _probe(pk, b["l_partkey"].to_numpy(zero_copy_only=False))
+            spos, shit = _probe(sk, b["l_suppkey"].to_numpy(zero_copy_only=False))
+            m = phit & shit & np.where(phit, pred[ppos], False)
+            if not m.any():
+                return part_schema.empty_table()
+            ec = np.rint(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+            ).astype(np.int64)
+            dc = np.rint(
+                (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)[m])
+                * 100.0
+            ).astype(np.int64)
+            qc = np.rint(
+                b["l_quantity"].to_numpy(zero_copy_only=False)[m] * 100.0
+            ).astype(np.int64)
+            profit = ec * dc - prp[ppos][m] * qc
+            yr = (
+                b["l_shipdate"].to_numpy(zero_copy_only=False)[m]
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            )
+            t = pa.table(
+                {"nk": pa.array(snk[spos][m]), "yr": pa.array(yr),
+                 "p": pa.array(profit)}
+            )
+            g = t.group_by(["nk", "yr"]).aggregate([("p", "sum")])
+            return pa.table(
+                {"nk": g["nk"], "yr": g["yr"],
+                 "pp": g["p_sum"].cast(pa.int64())}
+            )
+
+    agg = (
+        items.map_batches(ProfitProbe(side_ref), batch_format="pyarrow")
+        .groupby(["nk", "yr"])
+        .sum("pp")
+    )
+    out_schema = pa.schema(
+        [("nation", pa.string()), ("year", pa.int64()),
+         ("profit", pa.float64())]
+    )
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sum(pp)" in t.column_names
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded: <= |nations| x |years| rows
+    nk_s, nm_s = _sorted_by_key(n_k, n_nm)
+    nka = m["nk"].to_numpy(zero_copy_only=False)
+    pos, hit = _probe(nk_s, nka)
+    names = np.where(hit, nm_s[pos], "?").astype(object)
+    yr = m["yr"].to_numpy(zero_copy_only=False)
+    pr = m["sum(pp)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-yr, names))
+    return pa.table(
+        {"nation": pa.array(names[order], pa.string()),
+         "year": pa.array(yr[order], pa.int64()),
+         "profit": pa.array(pr[order] / 10000.0, pa.float64())}
+    )
+
+
+def sole_blame_suppliers(sf_dir: str, k: int = 20) -> pa.Table:
+    """TPC-H Q21 shape — suppliers solely responsible for a bad order:
+    within finished ('F') multi-supplier orders, the supplier who is the
+    ONLY one with a returned ('R') line item takes the blame; count
+    blamed orders per supplier, top-``k``. The EXISTS (another supplier
+    participated) + NOT EXISTS (no other supplier returned) pair is the
+    classic double-correlated-subquery pattern.
+
+    Composition: lineitem folds per batch to distinct
+    (orderkey, suppkey, any-R) rows; a groupby collapses them globally;
+    ONE semi ``shuffle_join`` against status-'F' orders; then
+    ``grouped_runs`` on orderkey evaluates both correlated conditions
+    vectorized per run (run length >= 2, exactly one R supplier) — no
+    per-order Python. The blamed (supplier, order) rows are bounded by
+    |orders|, so the final per-supplier count + broadcast name lookup +
+    top-k sort-limit are all cheap."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+    from dedup_ray.stages.join import shuffle_join
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    pair_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("isr", pa.int64())]
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return pair_schema.empty_table()
+        isr = pc.equal(b["l_returnflag"], "R").cast(pa.int64())
+        t = pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+             "isr": isr}
+        )
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("isr", "max")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "l_suppkey": g["l_suppkey"],
+             "isr": g["isr_max"].cast(pa.int64())}
+        )
+
+    pairs = (
+        items.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .max("isr")
+        .map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+                 "isr": b["max(isr)"].cast(pa.int64())}
+            )
+            if b.num_rows and "max(isr)" in b.column_names
+            else pair_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+    f_orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F"))
+        .select(["o_orderkey"])
+        if b.num_rows and "o_orderstatus" in b.column_names
+        else pa.schema([("o_orderkey", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    fpairs = shuffle_join(
+        pairs, f_orders, on="l_orderkey", right_on="o_orderkey", how="semi",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+
+    blame_schema = pa.schema([("s", pa.int64()), ("n", pa.int64())])
+
+    def blame_runs(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        isr = t["isr"].to_numpy(zero_copy_only=False)
+        starts = run_starts(ok)
+        if len(starts) == 0:
+            return blame_schema.empty_table()
+        bounds = np.append(starts, len(ok))
+        ns = np.diff(bounds)  # suppliers per order
+        nr = np.add.reduceat(isr, starts)  # R-suppliers per order
+        good = (ns >= 2) & (nr == 1)  # EXISTS other + NOT EXISTS other-R
+        # the blamed supplier: the single isr==1 row within each good run
+        row_good = np.repeat(good, ns) & (isr == 1)
+        blamed = sk[row_good]
+        if len(blamed) == 0:
+            return blame_schema.empty_table()
+        u, c = np.unique(blamed, return_counts=True)
+        return pa.table(
+            {"s": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    agg = grouped_runs(
+        fpairs, "l_orderkey", blame_runs, sort_cols=["l_orderkey", "l_suppkey"]
+    ).groupby("s").sum("n")
+
+    s_k, s_nm = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name"],
+        [np.int64, object],
+    )
+    sk_s, snm_s = _sorted_by_key(s_k, s_nm)
+    out_schema = pa.schema(
+        [("s_name", pa.string()), ("numwait", pa.int64())]
+    )
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sum(n)" in t.column_names
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded: <= |suppliers| rows
+    sa = m["s"].to_numpy(zero_copy_only=False)
+    na = m["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos, hit = _probe(sk_s, sa)
+    names = np.where(hit, snm_s[pos], "?").astype(object)
+    order = np.lexsort((names, -na))[:k]
+    return pa.table(
+        {"s_name": pa.array(names[order], pa.string()),
+         "numwait": pa.array(na[order], pa.int64())}
+    )
