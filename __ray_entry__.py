@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.market_share,  # SQL-checked
         "product_profit": relational.product_profit,  # SQL-checked
         "sole_blame_suppliers": relational.sole_blame_suppliers,  # SQL-checked
+        "min_cost_supplier": relational.min_cost_supplier,  # SQL-checked
+        "important_parts": relational.important_parts,  # SQL-checked
+        "part_supplier_counts": relational.part_supplier_counts,  # SQL-checked
+        "excess_share_suppliers": relational.excess_share_suppliers,  # SQL-checked
         "trade_graph_pagerank": relational.trade_graph_pagerank,  # rows-only (iterative float)
         "price_qty_histogram2d": relational.price_qty_histogram2d,
         "rate_limit_events": relational.rate_limit_events,
@@ -1477,6 +1481,61 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON s_suppkey = l_suppkey "
             "WHERE f.isr = 1 AND per_order.ns >= 2 AND per_order.nr = 1 "
             "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+        ),
+        # Q2 shape: supply relation = distinct lineitem pairs, cost = min
+        # line cents; correlated per-part MIN + min-suppkey tiebreak
+        "min_cost_supplier": (
+            "WITH supply AS (SELECT l_partkey AS pk, l_suppkey AS sk, "
+            "min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cc "
+            "FROM lineitem GROUP BY 1, 2), "
+            "elig AS (SELECT pk, sk, cc FROM supply "
+            "JOIN supplier ON s_suppkey = sk "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "JOIN part ON p_partkey = pk "
+            "WHERE r_name = 'EUROPE' AND p_size = 25), "
+            "m AS (SELECT pk, min(cc) AS mc FROM elig GROUP BY 1) "
+            "SELECT e.pk AS p_partkey, min(e.sk)::BIGINT AS s_suppkey, "
+            "m.mc / 100.0 AS min_cost "
+            "FROM elig e JOIN m ON e.pk = m.pk AND e.cc = m.mc "
+            "GROUP BY e.pk, m.mc ORDER BY p_partkey"
+        ),
+        # Q11 shape: exact integer vc*1000 > per_mille*total — no float
+        # shares that could flip at the threshold
+        "important_parts": (
+            "WITH v AS (SELECT l_partkey, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS vc "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE s_nationkey = 9 GROUP BY 1) "
+            "SELECT l_partkey, vc / 100.0 AS value FROM v "
+            "WHERE vc * 1000 > 1 * (SELECT sum(vc) FROM v) "
+            "ORDER BY l_partkey"
+        ),
+        # Q16 shape: NOT IN (negative-balance suppliers) + COUNT DISTINCT
+        # over the distinct supply relation
+        "part_supplier_counts": (
+            "WITH supply AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk "
+            "FROM lineitem WHERE l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT sk)::BIGINT AS supplier_cnt "
+            "FROM supply JOIN part ON p_partkey = pk "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        # Q20 shape: two aggregate granularities + exact 2*q > total
+        # dominance test, nested IN back to the supplier dimension
+        "excess_share_suppliers": (
+            "WITH l AS (SELECT l_partkey AS pk, l_suppkey AS sk, "
+            "CAST(round(l_quantity*100) AS BIGINT) AS qc FROM lineitem "
+            "WHERE year(l_shipdate) = 1995 AND l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_name LIKE 'small %')), "
+            "ps AS (SELECT pk, sk, sum(qc) AS q FROM l GROUP BY 1, 2), "
+            "t AS (SELECT pk, sum(q) AS tq FROM ps GROUP BY 1), "
+            "hot AS (SELECT DISTINCT sk FROM ps JOIN t USING (pk) "
+            "WHERE 2 * q > tq) "
+            "SELECT s_suppkey, s_name FROM supplier JOIN hot "
+            "ON sk = s_suppkey WHERE s_nationkey = 9 ORDER BY s_suppkey"
         ),
         # order-independent fingerprint: md5_number_upper == Python's
         # little-endian first-8-bytes md5; sum mod 2^61-1 commutes

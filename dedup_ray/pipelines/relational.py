@@ -5493,3 +5493,429 @@ def sole_blame_suppliers(sf_dir: str, k: int = 20) -> pa.Table:
         {"s_name": pa.array(names[order], pa.string()),
          "numwait": pa.array(na[order], pa.int64())}
     )
+
+
+def min_cost_supplier(sf_dir: str, p_size: int = 25, region: str = "EUROPE") -> pa.Table:
+    """TPC-H Q2 shape — min-cost supplier per part (correlated MIN
+    subquery + multi-hop dimension join): for every part of one size,
+    the cheapest regional supplier, where "supply cost" is the minimum
+    observed line price for that (part, supplier) pair (the testdata has
+    no partsupp table; distinct lineitem pairs ARE the supply relation).
+
+    Shape: supplier->nation->region hops resolve driver-side (bounded
+    dimensions, the repo's broadcast convention); lineitem folds per
+    batch to (pk, sk, min-cents) Arrow partials probed against the
+    part-size and regional-supplier key sets — most rows die in the map
+    task; ONE (pk, sk) groupby-min merges the partials; the correlated
+    per-part MIN + min-suppkey tiebreak is a vectorized run kernel in
+    ONE more grouped_runs pass. Exact integer cents throughout; the only
+    double is the final /100.0 shared with the oracle:
+    (p_partkey, s_suppkey, min_cost) sorted by p_partkey."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    p_k, p_sz = _dim_arrays(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_size"], [np.int64, np.int64]
+    )
+    want_parts = np.sort(p_k[p_sz == p_size])
+
+    r_k, r_nm = _dim_arrays(
+        f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"], [np.int64, object]
+    )
+    n_k, n_rk = _dim_arrays(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_regionkey"],
+        [np.int64, np.int64],
+    )
+    s_k, s_nk = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"],
+        [np.int64, np.int64],
+    )
+    want_regions = r_k[r_nm == region]
+    want_nations = np.sort(n_k[np.isin(n_rk, want_regions)])
+    want_sks = np.sort(s_k[np.isin(s_nk, want_nations)])
+
+    part_schema = pa.schema(
+        [("pk", pa.int64()), ("sk", pa.int64()), ("cc", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_partkey" not in b.column_names:
+            return part_schema.empty_table()
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, hit_p = _probe(want_parts, pk)
+        _, hit_s = _probe(want_sks, sk)
+        keep = hit_p & hit_s
+        if not keep.any():
+            return part_schema.empty_table()
+        cc = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {"pk": pa.array(pk[keep]), "sk": pa.array(sk[keep]),
+             "cc": pa.array(cc)}
+        )
+        g = t.group_by(["pk", "sk"]).aggregate([("cc", "min")])
+        return pa.table({"pk": g["pk"], "sk": g["sk"], "cc": g["cc_min"]})
+
+    supply = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .min("cc")
+        .map_batches(
+            lambda b: pa.table(
+                {"pk": b["pk"], "sk": b["sk"],
+                 "cc": b["min(cc)"].cast(pa.int64())}
+            )
+            if b.num_rows and "min(cc)" in b.column_names
+            else part_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+    out_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+         ("min_cost", pa.float64())]
+    )
+
+    def argmin_runs(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return out_schema.empty_table()
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        cc = t["cc"].to_numpy(zero_copy_only=False)
+        starts = run_starts(pk)
+        lens = np.diff(np.append(starts, len(pk)))
+        mn = np.minimum.reduceat(cc, starts)
+        # winner = min suppkey among rows hitting the per-part min; rows
+        # arrive sorted by (pk, sk), so first match per run wins
+        at_min = cc == np.repeat(mn, lens)
+        first = np.zeros(len(pk), dtype=bool)
+        # index of first at-min row in each run: argmax of at_min per run
+        cum = np.cumsum(at_min)
+        run_prior = np.concatenate([[0], cum[starts[1:] - 1]]) if len(starts) > 1 else np.array([0])
+        first_idx = np.searchsorted(cum, run_prior + 1)
+        first[first_idx] = True
+        keep = first & at_min
+        return pa.table(
+            {"p_partkey": pa.array(pk[keep]), "s_suppkey": pa.array(sk[keep]),
+             "min_cost": pa.array(cc[keep] / 100.0, pa.float64())}
+        )
+
+    parts = [
+        t for t in ray.get(
+            grouped_runs(supply, "pk", argmin_runs,
+                         sort_cols=["pk", "sk"]).to_arrow_refs()
+        )
+        if t.num_rows and "p_partkey" in t.column_names
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded: <= |parts of this size| rows
+    return m.sort_by("p_partkey")
+
+
+def important_parts(sf_dir: str, nationkey: int = 9, per_mille: int = 1) -> pa.Table:
+    """TPC-H Q11 shape — important stock: per-part line value from one
+    nation's suppliers, keeping parts whose value exceeds a fixed
+    fraction (``per_mille``/1000) of that nation's total. The HAVING
+    threshold is a scalar subquery over the SAME aggregate.
+
+    One streamed pass: per-batch (pk, cents) Arrow partials filtered by
+    the broadcast nation supplier set; a pk groupby merges them; the agg
+    table is bounded by the part DOMAIN so the driver folds the global
+    total as a Python int and applies the EXACT integer test
+    ``vc * 1000 > per_mille * total`` (no float shares):
+    (l_partkey, value) sorted by l_partkey."""
+    s_k, s_nk = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"],
+        [np.int64, np.int64],
+    )
+    want_sks = np.sort(s_k[s_nk == nationkey])
+
+    part_schema = pa.schema([("pk", pa.int64()), ("vc", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_partkey" not in b.column_names:
+            return part_schema.empty_table()
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, hit = _probe(want_sks, sk)
+        if not hit.any():
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "pk": b["l_partkey"].filter(pa.array(hit)),
+                "vc": pa.array(
+                    np.rint(
+                        b["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+                        * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by("pk").aggregate([("vc", "sum")])
+        return pa.table({"pk": g["pk"], "vc": g["vc_sum"]})
+
+    agg = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .sum("vc")
+    )
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sum(vc)" in t.column_names
+    ]
+    out_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("value", pa.float64())]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded by the part domain
+    pk = m["pk"].to_numpy(zero_copy_only=False)
+    vc = m["sum(vc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(vc.sum())  # Python int — no int64 overflow at scale
+    keep = np.array([int(v) * 1000 > per_mille * total for v in vc], dtype=bool)
+    order = np.argsort(pk[keep], kind="stable")
+    return pa.table(
+        {
+            "l_partkey": pa.array(pk[keep][order]),
+            "value": pa.array(vc[keep][order] / 100.0, pa.float64()),
+        }
+    )
+
+
+def part_supplier_counts(sf_dir: str) -> pa.Table:
+    """TPC-H Q16 shape — parts/supplier relationship: distinct supplier
+    count per (p_brand, p_type, p_size), excluding "complaint" suppliers
+    (negative account balance — the testdata's analog of the LIKE
+    '%Complaints%' comment filter). The NOT IN + COUNT(DISTINCT) over a
+    derived supply relation is the defining pattern.
+
+    Distinct (pk, sk) partials fold per batch (the bad-supplier probe
+    kills excluded rows map-side); ONE (pk, sk) groupby dedups globally;
+    part attrs attach via the broadcast dimension; a second per-batch
+    distinct + (brand, type, size, sk) groupby dedups suppliers ACROSS
+    parts of the same triple; bounded triple partials then sum:
+    (p_brand, p_type, p_size, supplier_cnt) sorted by count desc."""
+    s_k, s_ab = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_acctbal"],
+        [np.int64, np.float64],
+    )
+    bad_sks = np.sort(s_k[s_ab < 0])
+    p_k, p_b, p_t, p_s = _dim_arrays(
+        f"{sf_dir}/part.parquet",
+        ["p_partkey", "p_brand", "p_type", "p_size"],
+        [np.int64, object, object, np.int64],
+    )
+    pk_s, pb_s, pt_s, ps_s = _sorted_by_key(p_k, p_b, p_t, p_s)
+
+    pair_schema = pa.schema([("pk", pa.int64()), ("sk", pa.int64())])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_partkey" not in b.column_names:
+            return pair_schema.empty_table()
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, is_bad = _probe(bad_sks, sk)
+        keep = ~is_bad
+        t = pa.table(
+            {"pk": b["l_partkey"].filter(pa.array(keep)),
+             "sk": pa.array(sk[keep])}
+        )
+        g = t.group_by(["pk", "sk"]).aggregate([])
+        return g
+
+    triple_schema = pa.schema(
+        [("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int64()), ("sk", pa.int64())]
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "pk" not in b.column_names:
+            return triple_schema.empty_table()
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        pos, hit = _probe(pk_s, pk)
+        t = pa.table(
+            {
+                "p_brand": pa.array(pb_s[pos[hit]].astype(object), pa.string()),
+                "p_type": pa.array(pt_s[pos[hit]].astype(object), pa.string()),
+                "p_size": pa.array(ps_s[pos[hit]]),
+                "sk": b["sk"].filter(pa.array(hit)),
+            }
+        )
+        return t.group_by(["p_brand", "p_type", "p_size", "sk"]).aggregate([])
+
+    cnt_schema = pa.schema(
+        [("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int64()), ("pc", pa.int64())]
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "p_brand" not in b.column_names:
+            return cnt_schema.empty_table()
+        g = b.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("sk", "count")]
+        )
+        return pa.table(
+            {"p_brand": g["p_brand"], "p_type": g["p_type"],
+             "p_size": g["p_size"], "pc": g["sk_count"].cast(pa.int64())}
+        )
+
+    agg = (
+        read_view(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .count()
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "sk"])
+        .count()
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .sum("pc")
+    )
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sum(pc)" in t.column_names
+    ]
+    out_schema = pa.schema(
+        [("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    m = pa.concat_tables(parts)  # bounded by the attr cross-domain
+    cnt = m["sum(pc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    br = np.asarray(m["p_brand"].to_pylist(), dtype=object)
+    ty = np.asarray(m["p_type"].to_pylist(), dtype=object)
+    sz = m["p_size"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((sz, ty, br, -cnt))
+    return pa.table(
+        {
+            "p_brand": pa.array(br[order], pa.string()),
+            "p_type": pa.array(ty[order], pa.string()),
+            "p_size": pa.array(sz[order]),
+            "supplier_cnt": pa.array(cnt[order]),
+        }
+    )
+
+
+def excess_share_suppliers(
+    sf_dir: str, year: int = 1995, prefix: str = "small ", nationkey: int = 9
+) -> pa.Table:
+    """TPC-H Q20 shape — suppliers with an excess share: suppliers from
+    one nation who, for at least one part whose name starts with
+    ``prefix``, shipped MORE THAN HALF of that part's total quantity in
+    one year. The doubly-nested IN (suppliers ⊃ parts ⊃ per-pair vs
+    per-part aggregate) is the defining pattern.
+
+    The prefix-part key set and nation supplier set resolve driver-side
+    and broadcast; lineitem rows filter + fold to (pk, sk, qty-cents)
+    partials per batch; ONE pk grouped_runs pass makes each part's rows
+    local and sorted by (pk, sk), so the kernel computes BOTH aggregate
+    granularities vectorized — per-part totals at pk run starts, per
+    (pk, sk) sums at pair run starts — and applies the EXACT integer
+    dominance test ``2*q > total``. Qualifying suppliers dedup in a tiny
+    groupby and take names from the broadcast dimension:
+    (s_suppkey, s_name) sorted by s_suppkey."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    p_k, p_nm = _dim_arrays(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_name"], [np.int64, object]
+    )
+    want_parts = np.sort(
+        p_k[np.array([str(n).startswith(prefix) for n in p_nm], dtype=bool)]
+    ) if len(p_k) else p_k
+    s_k, s_nm, s_nk = _dim_arrays(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name", "s_nationkey"],
+        [np.int64, object, np.int64],
+    )
+
+    part_schema = pa.schema(
+        [("pk", pa.int64()), ("sk", pa.int64()), ("qc", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_partkey" not in b.column_names:
+            return part_schema.empty_table()
+        yr = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        _, hit = _probe(want_parts, pk)
+        keep = hit & (yr == year)
+        if not keep.any():
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "pk": pa.array(pk[keep]),
+                "sk": b["l_suppkey"].filter(pa.array(keep)),
+                "qc": pa.array(
+                    np.rint(
+                        b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+                        * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["pk", "sk"]).aggregate([("qc", "sum")])
+        return pa.table({"pk": g["pk"], "sk": g["sk"], "qc": g["qc_sum"]})
+
+    ds = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow")
+
+    hot_schema = pa.schema([("sk", pa.int64())])
+
+    def dominance_runs(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return hot_schema.empty_table()
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        qc = t["qc"].to_numpy(zero_copy_only=False)
+        # pair runs merge cross-batch partials; part runs give the totals
+        pair_change = np.concatenate(
+            [[0], np.flatnonzero((pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])) + 1]
+        )
+        q = np.add.reduceat(qc, pair_change)
+        pair_pk = pk[pair_change]
+        pair_sk = sk[pair_change]
+        pstarts = run_starts(pair_pk)
+        plens = np.diff(np.append(pstarts, len(pair_pk)))
+        tot = np.repeat(np.add.reduceat(q, pstarts), plens)
+        win = 2 * q > tot
+        if not win.any():
+            return hot_schema.empty_table()
+        return pa.table({"sk": pa.array(np.unique(pair_sk[win]))})
+
+    agg = grouped_runs(
+        ds, "pk", dominance_runs, sort_cols=["pk", "sk"]
+    ).groupby("sk").count()
+    parts = [
+        t for t in ray.get(agg.to_arrow_refs())
+        if t.num_rows and "sk" in t.column_names
+    ]
+    out_schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+    if not parts:
+        return out_schema.empty_table()
+    hot = np.unique(
+        pa.concat_tables(
+            [t.select(["sk"]) for t in parts]
+        )["sk"].to_numpy(zero_copy_only=False)
+    )  # bounded by the supplier domain
+    sk_s, snm_s, snk_s = _sorted_by_key(s_k, s_nm, s_nk)
+    pos, hit = _probe(sk_s, hot)
+    keep = hit & (snk_s[pos] == nationkey)
+    ks = hot[keep]
+    nm = snm_s[pos[keep]].astype(object)
+    order = np.argsort(ks, kind="stable")
+    return pa.table(
+        {"s_suppkey": pa.array(ks[order], pa.int64()),
+         "s_name": pa.array(nm[order], pa.string())}
+    )
