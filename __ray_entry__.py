@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_purity": analysis.source_lang_purity,
         "pii_stats": curation.pii_stats,
         "oov_rate": analysis.oov_rate,
+        "boilerplate_ngrams": analysis.boilerplate_ngrams,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
@@ -382,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
         "ann_pq_topk": ann.ann_pq_topk,    # rows-only (approximate)
         "cosine_neardup_pairs": ann.cosine_neardup_pairs,
+        "knn_graph": ann.knn_graph,  # SQL-checked
         "embedding_lsh_buckets": ann.lsh_buckets,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         "lang_embedding_norms": ann.lang_embedding_norms,
@@ -1717,6 +1719,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(n_tokens, 0) > 0 THEN "
             "CAST(n_tokens - n_in AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
             "ELSE 0.0 END AS rate FROM documents d LEFT JOIN cnt USING (doc_id)"
+        ),
+        # word 5-grams repeated across >=2 DISTINCT docs; token class and
+        # shingle construction shared with decontaminate_docs
+        "boilerplate_ngrams": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS toks "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "unnest([array_to_string(toks[i:i+4], ' ') "
+            "FOR i IN range(1, greatest(len(toks)-4, 0) + 1)]) AS ngram "
+            "FROM tok) "
+            "SELECT ngram, count(*)::BIGINT AS df FROM g "
+            "GROUP BY 1 HAVING count(*) >= 2 ORDER BY ngram"
+        ),
+        # int-only kNN graph: rank ties broken by ascending dst on both
+        # sides (stable argsort over a vec_id-sorted broadcast matrix)
+        "knn_graph": (
+            "WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS sim "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE a.vec_id <> b.vec_id), "
+            "r AS (SELECT src, dst, row_number() OVER "
+            "(PARTITION BY src ORDER BY sim DESC, dst) AS rk FROM s) "
+            "SELECT src, dst, rk::BIGINT AS rk FROM r WHERE rk <= 5 "
+            "ORDER BY src, rk"
         ),
         # dense week axis; growth = int-derived double/double, first week 0
         "weekly_revenue_growth": (

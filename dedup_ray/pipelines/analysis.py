@@ -1662,3 +1662,71 @@ def bm25_search(sf_dir: str, k: int = 20) -> pa.Table:
         {"doc_id": pa.array(ids[order], pa.int64()),
          "score": pa.array(s[order], pa.float64())}
     )
+
+
+def boilerplate_ngrams(sf_dir: str, n: int = 5, min_df: int = 2) -> rd.Dataset:
+    """Cross-document repeated word n-grams — (ngram, df) for every
+    n-token window appearing in at least ``min_df`` DISTINCT documents:
+    the boilerplate census (headers, license blurbs, templated spans)
+    that C4/Gopher-style curation uses to decide what to strip, and the
+    direct signal behind exact-substring train-set dedup.
+
+    Shape: each doc is one row, so n-gram construction is local to the
+    scan task — ONE ``binary_join_element_wise`` over n shifted slices of
+    the flattened token values builds every window string vectorized (no
+    per-row Python); a windows whose span crosses a doc boundary is
+    masked out via the repeated doc index. Distinct-per-doc then a
+    per-batch Arrow group_by collapse to (ngram, partial_df) partials, so
+    the single ngram-key shuffle that merges them moves at most one row
+    per distinct ngram per batch — at 100 TB the HAVING>=min_df cut means
+    the unbounded singleton tail never reaches the driver (the result
+    stays a streamed Dataset). Reference analog: the size/hash grouping
+    census (src/grouping.rs HAVING>=2) applied to text windows."""
+    part_schema = pa.schema([("ngram", pa.string()), ("pn", pa.int64())])
+    out_schema = pa.schema([("ngram", pa.string()), ("df", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return part_schema.empty_table()
+        la = pc.ascii_split_whitespace(b["text"]).combine_chunks()
+        toks = la.values
+        offs = la.offsets.to_numpy().astype(np.int64)
+        total = len(toks)
+        if total < n:
+            return part_schema.empty_table()
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        # window j is valid iff its last token is in the same doc
+        starts = np.arange(total - n + 1, dtype=np.int64)
+        valid = doc_idx[starts] == doc_idx[starts + n - 1]
+        starts = starts[valid]
+        if len(starts) == 0:
+            return part_schema.empty_table()
+        cols = [toks.take(pa.array(starts + i, pa.int64())) for i in range(n)]
+        grams = pc.binary_join_element_wise(*cols, " ")
+        dist = (
+            pa.table({"d": pa.array(doc_idx[starts], pa.int64()), "g": grams})
+            .group_by(["d", "g"]).aggregate([])  # distinct (doc, ngram)
+        )
+        agg = dist.group_by("g").aggregate(
+            [("d", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"ngram": agg["g"], "pn": agg["d_count"].cast(pa.int64())}
+        )
+
+    merged = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .sum("pn")
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return out_schema.empty_table()
+        df = b["sum(pn)"].cast(pa.int64())
+        keep = pc.greater_equal(df, min_df)
+        return pa.table({"ngram": b["ngram"], "df": df}).filter(keep)
+
+    return merged.map_batches(final, batch_format="pyarrow")

@@ -853,3 +853,61 @@ def embedding_pca(sf_dir: str, k: int = 8) -> pa.Table:
             "cum_ratio": pa.array(np.cumsum(ratio)),
         }
     )
+
+
+def knn_graph(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-nearest-neighbor graph over the embedding table — for every
+    vector its top-k cosine neighbors (self excluded): (src, dst, rk),
+    rk 1-based by (similarity desc, dst asc). The kNN graph is the
+    substrate for SemDeDup-style pruning, graph-based ANN indexes
+    (HNSW/NSG construction), and label propagation.
+
+    Baseline shape shared with cosine_neardup_pairs: the full normalized
+    matrix is broadcast ONCE (ray.put), each batch does one matmul
+    against it and ranks row-wise. The broadcast side is sorted by
+    vec_id so a STABLE argsort of -sims breaks exact similarity ties by
+    ascending dst — the oracle's ORDER BY sim DESC, dst tiebreak —
+    without shipping floats to the compare (output is int-only). At
+    10^12 rows the broadcast matrix swaps for IVF cell candidates
+    (ann_ivf_topk's probe) or LSH buckets, same ranking kernel; ranking
+    is O(n log n) per row here, O(cell) there."""
+    emb = _emb(sf_dir)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(emb.to_arrow_refs())
+         if t.num_rows and "vec_id" in t.column_names]
+    )
+    ids_all, m_all = _mat(tbl.sort_by("vec_id"))
+    m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, m_all))
+
+    def block(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("rk", pa.int64())]
+        )
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return schema.empty_table()
+        aid, am = _mat(batch)
+        am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        bid, bm = ray.get(ref)
+        kk = min(k, len(bid) - 1)
+        if kk <= 0:
+            return schema.empty_table()
+        sims = am @ bm.T
+        sims[aid[:, None] == bid[None, :]] = -np.inf  # no self-edges
+        # stable sort of -sims: ties fall back to column order == vec_id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pa.table(
+            {
+                "src": pa.array(np.repeat(aid, kk), pa.int64()),
+                "dst": pa.array(bid[order.ravel()], pa.int64()),
+                "rk": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), len(aid)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = emb.map_batches(block, batch_format="pyarrow", batch_size=2048).to_pandas()
+    if "src" not in out.columns:
+        return pd.DataFrame(columns=["src", "dst", "rk"]).astype("int64")
+    return out.sort_values(["src", "rk"]).reset_index(drop=True).astype("int64")
