@@ -370,6 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": relational.important_parts,  # SQL-checked
         "part_supplier_counts": relational.part_supplier_counts,  # SQL-checked
         "excess_share_suppliers": relational.excess_share_suppliers,  # SQL-checked
+        "late_ship_priorities": relational.late_ship_priorities,  # SQL-checked
+        "value_percentile": relational.value_percentile,  # SQL-checked
+        "zone_map_stats": relational.zone_map_stats,  # rows-only (parquet footers are invisible to SQL)
         "trade_graph_pagerank": relational.trade_graph_pagerank,  # rows-only (iterative float)
         "price_qty_histogram2d": relational.price_qty_histogram2d,
         "rate_limit_events": relational.rate_limit_events,
@@ -1719,6 +1722,29 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(n_tokens, 0) > 0 THEN "
             "CAST(n_tokens - n_in AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
             "ELSE 0.0 END AS rate FROM documents d LEFT JOIN cnt USING (doc_id)"
+        ),
+        # percentile_cont(0.9) rebuilt from explicit order statistics so the
+        # interpolation expression lo + (hi-lo)*f is SHARED with the engine
+        # (DuckDB's internal percentile_cont may sequence the doubles
+        # differently; selecting the stats makes the op sequence ours)
+        "value_percentile": (
+            "WITH n AS (SELECT count(*)::BIGINT AS c FROM events), "
+            "p AS (SELECT floor((c-1)*0.9) AS i0f, "
+            "(c-1)*0.9 - floor((c-1)*0.9) AS f, c FROM n), "
+            "o AS (SELECT value AS x, "
+            "row_number() OVER (ORDER BY value) - 1 AS i FROM events) "
+            "SELECT lo.x + (hi.x - lo.x) * p.f AS pct, p.c AS n_rows "
+            "FROM p JOIN o lo ON lo.i = CAST(p.i0f AS BIGINT) "
+            "JOIN o hi ON hi.i = least(CAST(p.i0f AS BIGINT) + 1, p.c - 1)"
+        ),
+        # Q4 shape: EXISTS(ship >= odate + 60d) == max(ship) >= odate + 60d;
+        # exact timestamp comparison in both engines
+        "late_ship_priorities": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS order_count "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate >= o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         # word 5-grams repeated across >=2 DISTINCT docs; token class and
         # shingle construction shared with decontaminate_docs

@@ -175,6 +175,15 @@ def run_bench(scope: str) -> dict:
             "phash_distance_histogram", "langid_confusion",
             "bm25_search", "nation_trade_volume", "trade_graph_pagerank",
             "weighted_sample_docs", "image_channel_stats",
+            "forecast_revenue", "brand_qty_revenue", "market_share",
+            "product_profit", "sole_blame_suppliers",
+            "min_cost_supplier", "important_parts", "part_supplier_counts",
+            "excess_share_suppliers", "supplier_nations",
+            "distinct_users_by_type", "approx_distinct_users",
+            "boilerplate_ngrams", "knn_graph", "ann_ivf_topk",
+            "semdedup_embeddings", "df_histogram", "dup_bigram_fraction",
+            "normalize_text", "cap_per_source", "pack_sequences",
+            "decontaminate_docs",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

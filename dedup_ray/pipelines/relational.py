@@ -7,6 +7,8 @@ between engines; raw double sums differ in ulps)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -5377,16 +5379,18 @@ def sole_blame_suppliers(sf_dir: str, k: int = 20) -> pa.Table:
     participated) + NOT EXISTS (no other supplier returned) pair is the
     classic double-correlated-subquery pattern.
 
-    Composition: lineitem folds per batch to distinct
-    (orderkey, suppkey, any-R) rows; a groupby collapses them globally;
-    ONE semi ``shuffle_join`` against status-'F' orders; then
-    ``grouped_runs`` on orderkey evaluates both correlated conditions
-    vectorized per run (run length >= 2, exactly one R supplier) — no
-    per-order Python. The blamed (supplier, order) rows are bounded by
-    |orders|, so the final per-supplier count + broadcast name lookup +
-    top-k sort-limit are all cheap."""
+    Composition — ONE shuffle total: lineitem folds per batch to distinct
+    (orderkey, suppkey, any-R) partials; status-'F' orders enter the SAME
+    orderkey-keyed grouped_runs shuffle as sentinel rows (suppkey = -1,
+    the shuffle_join union-tag trick inlined), so a single pass per
+    bucket does the global pair dedup, the F-order semi-join membership
+    test AND both correlated conditions vectorized per run (run length
+    >= 2, exactly one R supplier) — no per-order Python. The per-bucket
+    (supplier, count) partials are bounded by |suppliers|, so they fold
+    driver-side with the broadcast name lookup + top-k. Replaces a
+    groupby + semi-join + grouped_runs + groupby chain (4 shuffles,
+    measured 19 s at sf0.1) with one."""
     from dedup_ray.stages.grouped import grouped_runs, run_starts
-    from dedup_ray.stages.join import shuffle_join
 
     items = read_view(
         f"{sf_dir}/lineitem.parquet",
@@ -5412,49 +5416,53 @@ def sole_blame_suppliers(sf_dir: str, k: int = 20) -> pa.Table:
              "isr": g["isr_max"].cast(pa.int64())}
         )
 
-    pairs = (
-        items.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_suppkey"])
-        .max("isr")
-        .map_batches(
-            lambda b: pa.table(
-                {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
-                 "isr": b["max(isr)"].cast(pa.int64())}
-            )
-            if b.num_rows and "max(isr)" in b.column_names
-            else pair_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-    )
+    pairs = items.map_batches(pair_partial, batch_format="pyarrow")
 
-    f_orders = read_view(
+    # F orders as sentinel rows of the SAME schema: suppkey -1 sorts before
+    # every real supplier, so a run's sentinel (if any) is its first row
+    f_marks = read_view(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     ).map_batches(
-        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F"))
-        .select(["o_orderkey"])
+        lambda b: (lambda keys: pa.table(
+            {"l_orderkey": keys,
+             "l_suppkey": pa.array(
+                 np.full(len(keys), -1, dtype=np.int64), pa.int64()),
+             "isr": pa.array(np.zeros(len(keys), dtype=np.int64), pa.int64())}
+        ))(b.filter(pc.equal(b["o_orderstatus"], "F"))["o_orderkey"])
         if b.num_rows and "o_orderstatus" in b.column_names
-        else pa.schema([("o_orderkey", pa.int64())]).empty_table(),
+        else pair_schema.empty_table(),
         batch_format="pyarrow",
-    )
-    fpairs = shuffle_join(
-        pairs, f_orders, on="l_orderkey", right_on="o_orderkey", how="semi",
-        left_schema=pair_schema,
-        right_schema=pa.schema([("o_orderkey", pa.int64())]),
     )
 
     blame_schema = pa.schema([("s", pa.int64()), ("n", pa.int64())])
 
     def blame_runs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return blame_schema.empty_table()
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
         isr = t["isr"].to_numpy(zero_copy_only=False)
-        starts = run_starts(ok)
-        if len(starts) == 0:
+        # F membership: orderkeys carrying a sentinel row (unique per order)
+        f_keys = ok[sk == -1]
+        rr = sk != -1
+        ok, sk, isr = ok[rr], sk[rr], isr[rr]
+        if len(ok) == 0:
             return blame_schema.empty_table()
+        # global (orderkey, suppkey) dedup: isr = max over duplicate pairs
+        pfirst = np.ones(len(ok), dtype=bool)
+        pfirst[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pstarts = np.flatnonzero(pfirst)
+        isr = np.maximum.reduceat(isr, pstarts)
+        ok, sk = ok[pfirst], sk[pfirst]
+        starts = run_starts(ok)
         bounds = np.append(starts, len(ok))
         ns = np.diff(bounds)  # suppliers per order
         nr = np.add.reduceat(isr, starts)  # R-suppliers per order
-        good = (ns >= 2) & (nr == 1)  # EXISTS other + NOT EXISTS other-R
+        pos = np.searchsorted(f_keys, ok[starts])
+        has_f = (pos < len(f_keys)) & (f_keys[np.minimum(pos, len(f_keys) - 1)]
+                                       == ok[starts]) if len(f_keys) else (
+            np.zeros(len(starts), dtype=bool))
+        good = has_f & (ns >= 2) & (nr == 1)  # EXISTS + NOT EXISTS pair
         # the blamed supplier: the single isr==1 row within each good run
         row_good = np.repeat(good, ns) & (isr == 1)
         blamed = sk[row_good]
@@ -5466,8 +5474,9 @@ def sole_blame_suppliers(sf_dir: str, k: int = 20) -> pa.Table:
         )
 
     agg = grouped_runs(
-        fpairs, "l_orderkey", blame_runs, sort_cols=["l_orderkey", "l_suppkey"]
-    ).groupby("s").sum("n")
+        pairs.union(f_marks), "l_orderkey", blame_runs,
+        sort_cols=["l_orderkey", "l_suppkey"],
+    )
 
     s_k, s_nm = _dim_arrays(
         f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name"],
@@ -5479,13 +5488,16 @@ def sole_blame_suppliers(sf_dir: str, k: int = 20) -> pa.Table:
     )
     parts = [
         t for t in ray.get(agg.to_arrow_refs())
-        if t.num_rows and "sum(n)" in t.column_names
+        if t.num_rows and "s" in t.column_names
     ]
     if not parts:
         return out_schema.empty_table()
-    m = pa.concat_tables(parts)  # bounded: <= |suppliers| rows
-    sa = m["s"].to_numpy(zero_copy_only=False)
-    na = m["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = pa.concat_tables(parts)  # bounded: <= |suppliers| rows per bucket
+    if m.num_rows == 0:
+        return out_schema.empty_table()
+    mg = m.group_by("s").aggregate([("n", "sum")])
+    sa = mg["s"].to_numpy(zero_copy_only=False)
+    na = mg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     pos, hit = _probe(sk_s, sa)
     names = np.where(hit, snm_s[pos], "?").astype(object)
     order = np.lexsort((names, -na))[:k]
@@ -5699,11 +5711,15 @@ def part_supplier_counts(sf_dir: str) -> pa.Table:
     derived supply relation is the defining pattern.
 
     Distinct (pk, sk) partials fold per batch (the bad-supplier probe
-    kills excluded rows map-side); ONE (pk, sk) groupby dedups globally;
-    part attrs attach via the broadcast dimension; a second per-batch
-    distinct + (brand, type, size, sk) groupby dedups suppliers ACROSS
-    parts of the same triple; bounded triple partials then sum:
+    kills excluded rows map-side); then ONE sk-keyed grouped_runs shuffle
+    does ALL remaining dedup in a single pass — a supplier's rows are
+    co-located, so the kernel dedups (sk, pk) globally, maps pk to a
+    driver-factorized part-attr triple code, dedups (sk, triple) and
+    emits bounded (code, count) partials; the triple domain folds
+    driver-side (cross-domain-bounded, the house convention). Replaces a
+    3-shuffle chain measured at 28 s with one shuffle (~5 s at sf0.1):
     (p_brand, p_type, p_size, supplier_cnt) sorted by count desc."""
+    from dedup_ray.stages.grouped import grouped_runs
     s_k, s_ab = _dim_arrays(
         f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_acctbal"],
         [np.int64, np.float64],
@@ -5731,71 +5747,66 @@ def part_supplier_counts(sf_dir: str) -> pa.Table:
         g = t.group_by(["pk", "sk"]).aggregate([])
         return g
 
-    triple_schema = pa.schema(
-        [("p_brand", pa.string()), ("p_type", pa.string()),
-         ("p_size", pa.int64()), ("sk", pa.int64())]
-    )
+    # factorize the (brand, type, size) triples once, driver-side: codes
+    # travel through the shuffle instead of three variable-width columns
+    trip = {}
+    code_of = np.empty(len(pk_s), dtype=np.int64)
+    for i in range(len(pk_s)):
+        key = (pb_s[i], pt_s[i], int(ps_s[i]))
+        code_of[i] = trip.setdefault(key, len(trip))
+    n_codes = len(trip)
+    attrs = list(trip.keys())  # code -> (brand, type, size)
 
-    def attach(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "pk" not in b.column_names:
-            return triple_schema.empty_table()
-        pk = b["pk"].to_numpy(zero_copy_only=False)
+    code_schema = pa.schema([("code", pa.int64()), ("pc", pa.int64())])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        # bucket holds COMPLETE sk-groups sorted by (sk, pk): one pass
+        # dedups (sk, pk) globally, maps pk -> triple code, dedups
+        # (sk, code) and counts per code
+        if g.num_rows == 0 or "sk" not in g.column_names:
+            return code_schema.empty_table()
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(sk), dtype=bool)
+        first[1:] = (sk[1:] != sk[:-1]) | (pk[1:] != pk[:-1])
+        sk, pk = sk[first], pk[first]
         pos, hit = _probe(pk_s, pk)
-        t = pa.table(
-            {
-                "p_brand": pa.array(pb_s[pos[hit]].astype(object), pa.string()),
-                "p_type": pa.array(pt_s[pos[hit]].astype(object), pa.string()),
-                "p_size": pa.array(ps_s[pos[hit]]),
-                "sk": b["sk"].filter(pa.array(hit)),
-            }
-        )
-        return t.group_by(["p_brand", "p_type", "p_size", "sk"]).aggregate([])
-
-    cnt_schema = pa.schema(
-        [("p_brand", pa.string()), ("p_type", pa.string()),
-         ("p_size", pa.int64()), ("pc", pa.int64())]
-    )
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "p_brand" not in b.column_names:
-            return cnt_schema.empty_table()
-        g = b.group_by(["p_brand", "p_type", "p_size"]).aggregate(
-            [("sk", "count")]
-        )
+        sk, code = sk[hit], code_of[pos[hit]]
+        if len(sk) == 0:
+            return code_schema.empty_table()
+        # distinct (sk, code): sk-major sort order survives the dedup above,
+        # but codes within an sk run are unordered — lexsort then first-flag
+        o = np.lexsort((code, sk))
+        sk, code = sk[o], code[o]
+        keep = np.ones(len(sk), dtype=bool)
+        keep[1:] = (sk[1:] != sk[:-1]) | (code[1:] != code[:-1])
+        vals, cnts = np.unique(code[keep], return_counts=True)
         return pa.table(
-            {"p_brand": g["p_brand"], "p_type": g["p_type"],
-             "p_size": g["p_size"], "pc": g["sk_count"].cast(pa.int64())}
+            {"code": pa.array(vals, pa.int64()),
+             "pc": pa.array(cnts.astype(np.int64), pa.int64())}
         )
 
-    agg = (
-        read_view(
-            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
-        )
-        .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["pk", "sk"])
-        .count()
-        .map_batches(attach, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size", "sk"])
-        .count()
-        .map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size"])
-        .sum("pc")
-    )
-    parts = [
-        t for t in ray.get(agg.to_arrow_refs())
-        if t.num_rows and "sum(pc)" in t.column_names
-    ]
+    pairs = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(pair_partial, batch_format="pyarrow")
+    partials = grouped_runs(pairs, "sk", kernel, sort_cols=["sk", "pk"])
+
     out_schema = pa.schema(
         [("p_brand", pa.string()), ("p_type", pa.string()),
          ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]
     )
-    if not parts:
+    total = np.zeros(n_codes, dtype=np.int64)
+    for t in ray.get(partials.to_arrow_refs()):
+        if t.num_rows and "code" in t.column_names:
+            np.add.at(total, t["code"].to_numpy(zero_copy_only=False),
+                      t["pc"].to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(total)
+    if len(nz) == 0:
         return out_schema.empty_table()
-    m = pa.concat_tables(parts)  # bounded by the attr cross-domain
-    cnt = m["sum(pc)"].to_numpy(zero_copy_only=False).astype(np.int64)
-    br = np.asarray(m["p_brand"].to_pylist(), dtype=object)
-    ty = np.asarray(m["p_type"].to_pylist(), dtype=object)
-    sz = m["p_size"].to_numpy(zero_copy_only=False)
+    br = np.asarray([attrs[c][0] for c in nz], dtype=object)
+    ty = np.asarray([attrs[c][1] for c in nz], dtype=object)
+    sz = np.asarray([attrs[c][2] for c in nz], dtype=np.int64)
+    cnt = total[nz]
     order = np.lexsort((sz, ty, br, -cnt))
     return pa.table(
         {
@@ -5919,3 +5930,263 @@ def excess_share_suppliers(
         {"s_suppkey": pa.array(ks[order], pa.int64()),
          "s_name": pa.array(nm[order], pa.string())}
     )
+
+
+def late_ship_priorities(sf_dir: str, grace_days: int = 60) -> rd.Dataset:
+    """TPC-H Q4 shape — order priority checking: per priority, how many
+    orders have AT LEAST ONE line shipped ``grace_days`` or more after the
+    order date (the testdata's lateness analog of Q4's commit-vs-receipt
+    test): (o_orderpriority, order_count).
+
+    The correlated EXISTS collapses to an aggregate: EXISTS(ship >=
+    odate + g) == max(ship) >= odate + g, so lineitem folds to ONE
+    int64 max-per-order partial per batch before its only shuffle — the
+    fact table never moves a second time and the join input is one row
+    per order. One orderkey shuffle_join against orders, an exact integer
+    microsecond comparison (g days = g*86400e6 us, both engines compare
+    timestamps exactly), then per-batch priority count partials into a
+    priority-domain-bounded groupby. Reference analog: the HAVING>=2
+    census over a derived per-group aggregate (src/grouping.rs)."""
+    from dedup_ray.stages.join import shuffle_join
+
+    out_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("order_count", pa.int64())]
+    )
+    part_schema = pa.schema([("lk", pa.int64()), ("ms", pa.int64())])
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return part_schema.empty_table()
+        t = pa.table(
+            {"lk": b["l_orderkey"],
+             # normalize to us before the int view: external writers may
+             # store ns-unit timestamps
+             "ms": b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())}
+        )
+        g = t.group_by("lk").aggregate([("ms", "max")])
+        return pa.table({"lk": g["lk"], "ms": g["ms_max"]})
+
+    maxship = (
+        read_view(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_shipdate"])
+        .map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("lk")
+        .max("ms")
+    )
+
+    def tidy(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "max(ms)" not in b.column_names:
+            return part_schema.empty_table()
+        return pa.table({"lk": b["lk"], "ms": b["max(ms)"].cast(pa.int64())})
+
+    maxship = maxship.map_batches(tidy, batch_format="pyarrow")
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["o_orderkey"],
+             "od": b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+             "o_orderpriority": b["o_orderpriority"]}
+        )
+        if b.num_rows and "o_orderkey" in b.column_names
+        else pa.schema([("o_orderkey", pa.int64()), ("od", pa.int64()),
+                        ("o_orderpriority", pa.string())]).empty_table(),
+        batch_format="pyarrow",
+    )
+
+    joined = shuffle_join(
+        orders, maxship, on="o_orderkey", right_on="lk",
+        # explicit schemas: all-empty inputs drop the datasets' own
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("od", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+        right_schema=part_schema,
+    )
+    grace_us = grace_days * 86_400_000_000
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ms" not in b.column_names:
+            return pa.schema(
+                [("o_orderpriority", pa.string()), ("pn", pa.int64())]
+            ).empty_table()
+        ms = b["ms"].to_numpy(zero_copy_only=False)
+        od = b["od"].to_numpy(zero_copy_only=False)
+        late = b.filter(pa.array(ms >= od + grace_us))
+        g = late.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"o_orderpriority": g["o_orderpriority"],
+             "pn": g["o_orderkey_count"].cast(pa.int64())}
+        )
+
+    agg = joined.map_batches(late_partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).sum("pn")
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(pn)" not in b.column_names:
+            return out_schema.empty_table()
+        return pa.table(
+            {"o_orderpriority": b["o_orderpriority"],
+             "order_count": b["sum(pn)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def _exact_two_rank_scan(
+    ds: rd.Dataset,
+    getv: Callable[[pa.Table], np.ndarray],
+    q: float,
+    k: int = 512,
+) -> tuple[float, float, int] | None:
+    """Sketch-bounded EXACT selection of the TWO order statistics that
+    bracket quantile ``q`` under percentile_cont semantics: 0-based index
+    i0 = floor((n-1)*q) and i0+1 (clamped to n-1). Same two-streamed-pass,
+    self-widening structure as ``_exact_median_scan`` — the adjacent ranks
+    always share one bracket, so interpolated percentiles cost exactly
+    what the median does. Returns (lo, hi, n) or None on empty input."""
+    from dedup_ray.functions.sketch import QuantileSketch
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).add(getv(b))
+        rows = sk.to_rows()
+        if not rows:
+            return pa.table(
+                {"lvl": pa.array([], pa.int32()),
+                 "vals": pa.array([], pa.list_(pa.float64())),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"lvl": pa.array([r[0] for r in rows], type=pa.int32()),
+             "vals": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
+             "cnt": pa.array([b.num_rows] + [0] * (len(rows) - 1), pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return None
+    sk = QuantileSketch.from_rows([(r["lvl"], r["vals"]) for r in parts], k)
+    n = int(sum(r["cnt"] for r in parts))
+    if n == 0:
+        return None
+    i0 = int(np.floor((n - 1) * q))          # 0-based lower order stat
+    r_lo, r_hi = i0 + 1, min(i0 + 2, n)       # 1-based ranks to select
+
+    margin = 0.02
+    while True:
+        lo_q, hi_q = max(0.0, q - margin), min(1.0, q + margin)
+        lo, hi = sk.quantiles([lo_q, hi_q])
+        if lo_q == 0.0:
+            lo = -np.inf
+        if hi_q == 1.0:
+            hi = np.inf
+
+        def scan(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            v = getv(b)
+            inb = v[(v >= lo) & (v <= hi)]
+            return pa.table(
+                {"below": pa.array([int(np.count_nonzero(v < lo))], pa.int64()),
+                 "inb": pa.array([inb.tolist()], pa.list_(pa.float64()))}
+            )
+
+        rows2 = ds.map_batches(scan, batch_format="pyarrow").take_all()
+        below = sum(r["below"] for r in rows2)
+        collected = np.concatenate(
+            [np.asarray(r["inb"], np.float64) for r in rows2]
+        ) if rows2 else np.empty(0)
+        if below < r_lo and r_hi <= below + collected.size:
+            collected.sort()
+            return (
+                float(collected[r_lo - below - 1]),
+                float(collected[r_hi - below - 1]),
+                n,
+            )
+        margin *= 2.0
+
+
+def value_percentile(sf_dir: str, q: float = 0.9, k: int = 512) -> pa.Table:
+    """EXACT interpolated percentile (percentile_cont semantics) of the
+    continuous ``events.value`` column: (pct, n_rows) — the SLO/latency
+    percentile every monitoring pipeline needs, exact rather than
+    sketch-approximate. Generalizes exact_value_median from rank-select to
+    linear interpolation: select the two bracketing order statistics with
+    ONE sketch-bounded exact scan (same cost as the median), then
+    interpolate with the literal expression the oracle uses —
+    lo + (hi - lo) * f with f = (n-1)*q - floor((n-1)*q), every double op
+    shared so the hashes match bit-exactly. Streams, no shuffle; driver
+    state O(k log n) + the in-bracket slice."""
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["value"])
+    res = _exact_two_rank_scan(
+        ds, lambda b: b["value"].to_numpy(zero_copy_only=False), q, k
+    )
+    if res is None:
+        return pa.table(
+            {"pct": pa.array([], pa.float64()),
+             "n_rows": pa.array([], pa.int64())}
+        )
+    lo, hi, n = res
+    f = (n - 1) * q - np.floor((n - 1) * q)
+    val = lo + (hi - lo) * f
+    return pa.table(
+        {"pct": pa.array([float(val)], pa.float64()),
+         "n_rows": pa.array([n], pa.int64())}
+    )
+
+
+def zone_map_stats(sf_dir: str, table: str = "events",
+                   column: str = "value") -> rd.Dataset:
+    """Parquet zone-map audit — per row group of every physical shard, the
+    footer's (n_rows, min, max) for one column: (shard, row_group, n_rows,
+    vmin, vmax). This is the data-skipping diagnostic behind predicate
+    pushdown at 100 TB: before adding a filter, read THIS (footers only,
+    never data pages) to see what fraction of row groups a range predicate
+    could prune — unsorted layouts show full-range zone maps everywhere and
+    predict pushdown won't help until a sort/cluster-by fixes the layout
+    (the reference's walk-time subtree pruning, src/scanner.rs, lifted to
+    columnar storage). Each task opens only its shard's footer, so the scan
+    is O(files) metadata reads fanned out over the cluster, not a data
+    scan; shards stream through from_items exactly like checkpoint lineage
+    (sources/io.list_shards ordering)."""
+    from dedup_ray.sources.io import list_shards
+
+    out_schema = pa.schema(
+        [("shard", pa.string()), ("row_group", pa.int64()),
+         ("n_rows", pa.int64()), ("vmin", pa.float64()),
+         ("vmax", pa.float64())]
+    )
+    shards = list_shards(f"{sf_dir}/{table}.parquet")
+
+    def footer(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if b.num_rows == 0 or "item" not in b.column_names:
+            return out_schema.empty_table()
+        sh, rg, nr, mn, mx = [], [], [], [], []
+        for path in b["item"].to_pylist():
+            md = pq.ParquetFile(path).metadata
+            try:
+                ci = md.schema.to_arrow_schema().get_field_index(column)
+            except Exception:
+                continue
+            for g in range(md.num_row_groups):
+                col = md.row_group(g).column(ci)
+                st = col.statistics
+                sh.append(os.path.basename(path))
+                rg.append(g)
+                nr.append(md.row_group(g).num_rows)
+                mn.append(float(st.min) if st and st.has_min_max else None)
+                mx.append(float(st.max) if st and st.has_min_max else None)
+        return pa.table(
+            {"shard": pa.array(sh, pa.string()),
+             "row_group": pa.array(rg, pa.int64()),
+             "n_rows": pa.array(nr, pa.int64()),
+             "vmin": pa.array(mn, pa.float64()),
+             "vmax": pa.array(mx, pa.float64())}
+        )
+
+    return rd.from_items(shards).map_batches(footer, batch_format="pyarrow")
