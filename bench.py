@@ -183,7 +183,8 @@ def run_bench(scope: str) -> dict:
             "boilerplate_ngrams", "knn_graph", "ann_ivf_topk",
             "semdedup_embeddings", "df_histogram", "dup_bigram_fraction",
             "normalize_text", "cap_per_source", "pack_sequences",
-            "decontaminate_docs",
+            "decontaminate_docs", "late_ship_priorities",
+            "value_percentile", "zone_map_stats",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)
