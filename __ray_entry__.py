@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_ship_priorities": relational.late_ship_priorities,  # SQL-checked
         "value_percentile": relational.value_percentile,  # SQL-checked
         "zone_map_stats": relational.zone_map_stats,  # rows-only (parquet footers are invisible to SQL)
+        "value_percentile_by_type": relational.value_percentile_by_type,  # SQL-checked
+        "referential_integrity": relational.referential_integrity,  # SQL-checked
         "trade_graph_pagerank": relational.trade_graph_pagerank,  # rows-only (iterative float)
         "price_qty_histogram2d": relational.price_qty_histogram2d,
         "rate_limit_events": relational.rate_limit_events,
@@ -1736,6 +1738,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lo.x + (hi.x - lo.x) * p.f AS pct, p.c AS n_rows "
             "FROM p JOIN o lo ON lo.i = CAST(p.i0f AS BIGINT) "
             "JOIN o hi ON hi.i = least(CAST(p.i0f AS BIGINT) + 1, p.c - 1)"
+        ),
+        # FK orphan-row counts; anti-join count per relation
+        "referential_integrity": (
+            "SELECT 'lineitem->orders' AS relation, count(*)::BIGINT AS "
+            "n_orphans FROM lineitem l LEFT JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL "
+            "UNION ALL "
+            "SELECT 'lineitem->part', count(*)::BIGINT FROM lineitem l "
+            "LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_partkey IS NULL "
+            "UNION ALL "
+            "SELECT 'lineitem->supplier', count(*)::BIGINT FROM lineitem l "
+            "LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "WHERE s.s_suppkey IS NULL "
+            "UNION ALL "
+            "SELECT 'orders->customer', count(*)::BIGINT FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_custkey IS NULL "
+            "ORDER BY relation"
+        ),
+        # grouped percentile_cont(0.9) from explicit per-group order stats
+        # (same shared-expression parity as value_percentile)
+        "value_percentile_by_type": (
+            "WITH o AS (SELECT event_type, value AS x, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 "
+            "AS i, count(*) OVER (PARTITION BY event_type) AS c FROM events), "
+            "p AS (SELECT event_type, floor((c-1)*0.9) AS i0f, "
+            "(c-1)*0.9 - floor((c-1)*0.9) AS f, c "
+            "FROM (SELECT DISTINCT event_type, c FROM o) t), "
+            "lo AS (SELECT o.event_type, o.x FROM o JOIN p USING (event_type) "
+            "WHERE o.i = CAST(p.i0f AS BIGINT)), "
+            "hi AS (SELECT o.event_type, o.x FROM o JOIN p USING (event_type) "
+            "WHERE o.i = least(CAST(p.i0f AS BIGINT) + 1, p.c - 1)) "
+            "SELECT p.event_type, lo.x + (hi.x - lo.x) * p.f AS p90, "
+            "p.c::BIGINT AS n_rows FROM p "
+            "JOIN lo USING (event_type) JOIN hi USING (event_type) "
+            "ORDER BY p.event_type"
         ),
         # Q4 shape: EXISTS(ship >= odate + 60d) == max(ship) >= odate + 60d;
         # exact timestamp comparison in both engines

@@ -185,6 +185,7 @@ def run_bench(scope: str) -> dict:
             "normalize_text", "cap_per_source", "pack_sequences",
             "decontaminate_docs", "late_ship_priorities",
             "value_percentile", "zone_map_stats",
+            "value_percentile_by_type", "referential_integrity",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -6190,3 +6190,181 @@ def zone_map_stats(sf_dir: str, table: str = "events",
         )
 
     return rd.from_items(shards).map_batches(footer, batch_format="pyarrow")
+
+
+def value_percentile_by_type(sf_dir: str, q: float = 0.9) -> rd.Dataset:
+    """Grouped EXACT interpolated percentile (percentile_cont per key) —
+    (event_type, p90, n_rows): the per-segment SLO percentile. Same ONE
+    grouped_runs shuffle as median_price_by_priority, sorted (type,
+    value), so both bracketing order statistics of each run are direct
+    index gathers; interpolation uses the oracle-shared expression
+    lo + (hi - lo) * f with f = (n-1)*q - floor((n-1)*q) (the scalar
+    value_percentile's parity argument, applied per run). Bounded group
+    count; past that, swap per-group selection for the sketch-bounded
+    _exact_two_rank_scan keyed by group."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    events = read_view(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [("event_type", pa.string()), ("p90", pa.float64()),
+         ("n_rows", pa.int64())]
+    )
+
+    def pct_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "event_type" not in g.column_names:
+            return schema.empty_table()
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        starts = run_starts(et)
+        lens = np.diff(np.append(starts, len(et)))
+        nf = (lens - 1).astype(np.float64) * q
+        i0 = np.floor(nf)
+        f = nf - i0
+        lo = v[starts + i0.astype(np.int64)]
+        hi = v[starts + np.minimum(i0.astype(np.int64) + 1, lens - 1)]
+        return pa.table(
+            {"event_type": pa.array(et[starts]),
+             "p90": pa.array(lo + (hi - lo) * f, pa.float64()),
+             "n_rows": pa.array(lens.astype(np.int64))}
+        )
+
+    return grouped_runs(
+        events, "event_type", pct_runs, sort_cols=["event_type", "value"]
+    )
+
+
+def referential_integrity(sf_dir: str) -> pa.Table:
+    """Foreign-key orphan audit — for each FK relation, how many fact rows
+    reference a missing parent: (relation, n_orphans). The pre-join data-
+    quality gate every warehouse load runs; non-zero rows mean a join
+    below will silently drop data.
+
+    lineitem->orders is big-big, so it uses the union-tag pattern: per-
+    batch (orderkey, row-count) partials + orders-side sentinel rows enter
+    ONE grouped_runs shuffle; a run with no sentinel is an orphan key and
+    contributes its row count. lineitem->part/supplier and orders->customer
+    probe broadcast sorted key sets map-side (bounded dimensions) and fold
+    scalar per-batch counts — no extra shuffle. All four relations stream;
+    output is 4 rows."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    p_k, = _dim_arrays(f"{sf_dir}/part.parquet", ["p_partkey"], [np.int64])
+    s_k, = _dim_arrays(f"{sf_dir}/supplier.parquet", ["s_suppkey"], [np.int64])
+    c_k, = _dim_arrays(f"{sf_dir}/customer.parquet", ["c_custkey"], [np.int64])
+    p_s, s_s, c_s = np.sort(p_k), np.sort(s_k), np.sort(c_k)
+
+    cnt_schema = pa.schema([("np_", pa.int64()), ("ns", pa.int64())])
+
+    def li_dim_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_partkey" not in b.column_names:
+            return cnt_schema.empty_table()
+        _, hit_p = _probe(p_s, b["l_partkey"].to_numpy(zero_copy_only=False))
+        _, hit_s = _probe(s_s, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"np_": pa.array([int(np.count_nonzero(~hit_p))], pa.int64()),
+             "ns": pa.array([int(np.count_nonzero(~hit_s))], pa.int64())}
+        )
+
+    li = read_view(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+    orph_part = orph_supp = 0
+    for t in ray.get(
+        li.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(li_dim_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "np_" in t.column_names:
+            orph_part += int(pc.sum(t["np_"]).as_py() or 0)
+            orph_supp += int(pc.sum(t["ns"]).as_py() or 0)
+
+    oc_schema = pa.schema([("n", pa.int64())])
+
+    def ord_cust_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return oc_schema.empty_table()
+        _, hit = _probe(c_s, b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"n": pa.array([int(np.count_nonzero(~hit))], pa.int64())}
+        )
+
+    orph_cust = 0
+    for t in ray.get(
+        read_view(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(ord_cust_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "n" in t.column_names:
+            orph_cust += int(pc.sum(t["n"]).as_py() or 0)
+
+    # lineitem -> orders: big-big, union-tag single shuffle. cnt = -1 marks
+    # the parent side (orders keys are unique, <=1 sentinel per run).
+    key_schema = pa.schema([("k", pa.int64()), ("cnt", pa.int64())])
+
+    def li_key_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return key_schema.empty_table()
+        ks = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(ks, return_counts=True)
+        return pa.table(
+            {"k": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts.astype(np.int64), pa.int64())}
+        )
+
+    def ord_key_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return key_schema.empty_table()
+        keys = b["o_orderkey"]
+        return pa.table(
+            {"k": keys,
+             "cnt": pa.array(np.full(len(keys), -1, dtype=np.int64))}
+        )
+
+    tagged = (
+        li.select_columns(["l_orderkey"])
+        .map_batches(li_key_partial, batch_format="pyarrow")
+        .union(
+            read_view(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+            .map_batches(ord_key_partial, batch_format="pyarrow")
+        )
+    )
+
+    orph_schema = pa.schema([("n", pa.int64())])
+
+    def orphan_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "k" not in g.column_names:
+            return orph_schema.empty_table()
+        k = g["k"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        starts = run_starts(k)
+        bounds = np.append(starts, len(k))
+        # sentinel (-1) sorts first within a run when sorted by (k, cnt)
+        has_parent = cnt[starts] == -1
+        sums = np.add.reduceat(cnt, starts)
+        # runs with a parent included its -1 in the sum; orphans didn't
+        orphan_rows = np.where(has_parent, 0, sums)
+        return pa.table(
+            {"n": pa.array([int(orphan_rows.sum())], pa.int64())}
+        )
+
+    orph_ord = 0
+    for t in ray.get(
+        grouped_runs(tagged, "k", orphan_runs,
+                     sort_cols=["k", "cnt"]).to_arrow_refs()
+    ):
+        if t.num_rows and "n" in t.column_names:
+            orph_ord += int(pc.sum(t["n"]).as_py() or 0)
+
+    rels = ["lineitem->orders", "lineitem->part", "lineitem->supplier",
+            "orders->customer"]
+    vals = [orph_ord, orph_part, orph_supp, orph_cust]
+    order = np.argsort(np.asarray(rels, dtype=object))
+    return pa.table(
+        {
+            "relation": pa.array(
+                [rels[i] for i in order], pa.string()),
+            "n_orphans": pa.array(
+                [int(vals[i]) for i in order], pa.int64()),
+        }
+    )

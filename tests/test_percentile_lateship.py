@@ -146,3 +146,61 @@ def test_zone_map_stats_multiple_row_groups(tmp_path):
     out = out.sort_values("row_group").reset_index(drop=True)
     assert out["vmin"].tolist() == [0.0, 250.0, 500.0, 750.0]
     assert out["vmax"].tolist() == [249.0, 499.0, 749.0, 999.0]
+
+
+def test_value_percentile_by_type_numpy_replay(tmp_path):
+    from dedup_ray.pipelines.relational import value_percentile_by_type
+
+    rng = np.random.default_rng(5)
+    n = 900
+    types = rng.choice(["a", "b", "c"], size=n)
+    vals = rng.normal(size=n) * 10
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": types,
+            "value": vals,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = value_percentile_by_type(str(tmp_path), q=0.9).to_pandas()
+    got = dict(zip(out["event_type"], out["p90"]))
+    for t in "abc":
+        expect = np.quantile(vals[types == t], 0.9, method="linear")
+        assert got[t] == pytest.approx(expect, abs=1e-9)
+    assert out["n_rows"].sum() == n
+
+
+def test_referential_integrity_planted_orphans(tmp_path):
+    from dedup_ray.pipelines.relational import referential_integrity
+
+    d = str(tmp_path)
+    pd.DataFrame({"p_partkey": np.array([1, 2], dtype=np.int64)}).to_parquet(
+        os.path.join(d, "part.parquet"))
+    pd.DataFrame({"s_suppkey": np.array([10], dtype=np.int64)}).to_parquet(
+        os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"c_custkey": np.array([100], dtype=np.int64)}).to_parquet(
+        os.path.join(d, "customer.parquet"))
+    pd.DataFrame(
+        {"o_orderkey": np.array([1000, 1001], dtype=np.int64),
+         "o_custkey": np.array([100, 999], dtype=np.int64)}  # 1 orphan cust
+    ).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame(
+        {
+            # 2 rows pointing at missing order 1002; 1 missing part 3;
+            # 2 missing supplier 11
+            "l_orderkey": np.array([1000, 1002, 1002, 1001], dtype=np.int64),
+            "l_partkey": np.array([1, 2, 3, 1], dtype=np.int64),
+            "l_suppkey": np.array([10, 11, 11, 10], dtype=np.int64),
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"))
+    out = referential_integrity(d).to_pandas()
+    got = dict(zip(out["relation"], out["n_orphans"]))
+    assert got == {
+        "lineitem->orders": 2,
+        "lineitem->part": 1,
+        "lineitem->supplier": 2,
+        "orders->customer": 1,
+    }
