@@ -1036,8 +1036,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT image_id, phash FROM "
             f"read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')), "
             "p AS (SELECT image_id, phash FROM c ORDER BY image_id LIMIT 64) "
-            "SELECT bit_count(xor(CAST(c.phash AS UBIGINT), "
-            "CAST(p.phash AS UBIGINT)))::BIGINT AS hamming_dist, "
+            # xor/bit_count operate on the signed two's-complement bit
+            # pattern directly: CAST(negative AS UBIGINT) raises in DuckDB
+            "SELECT bit_count(xor(c.phash, p.phash))::BIGINT AS hamming_dist, "
             "count(*)::BIGINT AS n_pairs "
             "FROM p JOIN c ON c.image_id <> p.image_id GROUP BY 1"
         ),
