@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_stats": curation.pii_stats,
         "oov_rate": analysis.oov_rate,
         "boilerplate_ngrams": analysis.boilerplate_ngrams,  # SQL-checked
+        "vocab_coverage": analysis.vocab_coverage,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
@@ -1739,6 +1740,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lo.x + (hi.x - lo.x) * p.f AS pct, p.c AS n_rows "
             "FROM p JOIN o lo ON lo.i = CAST(p.i0f AS BIGINT) "
             "JOIN o hi ON hi.i = least(CAST(p.i0f AS BIGINT) + 1, p.c - 1)"
+        ),
+        # top-k token coverage; rank = count desc, token asc (shared
+        # tiebreak); single double/double share division
+        "vocab_coverage": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(text, "
+            "'[^ \\t\\n\\x0b\\f\\r]+')) AS t FROM documents), "
+            "v AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk, "
+            "sum(c) OVER (ORDER BY c DESC, t ROWS UNBOUNDED PRECEDING) "
+            "AS cum FROM v), "
+            "tot AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS nv "
+            "FROM v) "
+            "SELECT k.k::BIGINT AS k, "
+            "coalesce((SELECT cum FROM r WHERE rk = least(k.k, tot.nv)), 0)"
+            "::BIGINT AS covered, tot.total AS total, "
+            "CAST(coalesce((SELECT cum FROM r WHERE rk = least(k.k, tot.nv)), "
+            "0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share "
+            "FROM (SELECT unnest([10, 100, 1000]) AS k) k CROSS JOIN tot "
+            "ORDER BY k"
         ),
         # FK orphan-row counts; anti-join count per relation
         "referential_integrity": (

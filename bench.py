@@ -186,6 +186,7 @@ def run_bench(scope: str) -> dict:
             "decontaminate_docs", "late_ship_priorities",
             "value_percentile", "zone_map_stats",
             "value_percentile_by_type", "referential_integrity",
+            "vocab_coverage",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

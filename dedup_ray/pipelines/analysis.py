@@ -1730,3 +1730,66 @@ def boilerplate_ngrams(sf_dir: str, n: int = 5, min_df: int = 2) -> rd.Dataset:
         return pa.table({"ngram": b["ngram"], "df": df}).filter(keep)
 
     return merged.map_batches(final, batch_format="pyarrow")
+
+
+def vocab_coverage(sf_dir: str, ks: tuple = (10, 100, 1000)) -> pa.Table:
+    """Vocabulary coverage curve — for each k, the share of ALL token
+    occurrences covered by the k most frequent terms: (k, covered, total,
+    share). The tokenizer-budget planning signal: a corpus where the top
+    1000 terms cover 95% packs small vocabularies well; a flat curve says
+    spend budget on subwords.
+
+    Same bounded-vocab df pre-pass as top_terms (per-batch value_counts
+    partials, ONE tiny token groupby merge — at an unbounded real
+    vocabulary the documented swap is a Misra-Gries top-k sketch + exact
+    recount, heavy_hitter_users' shape, which bounds state at any scale);
+    the curve finish is a driver-side sort + cumsum over the merged vocab
+    (count desc, token asc tiebreak, shared with the oracle). Exact int64
+    counts; the single share division is double/double on both sides."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.schema(
+                [("token", pa.string()), ("pn", pa.int64())]
+            ).empty_table()
+        flat = pc.list_flatten(pc.ascii_split_whitespace(b["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"),
+             "pn": vc.field("counts").cast(pa.int64())}
+        )
+
+    docs = _docs(sf_dir, columns=["text"])
+    parts = [
+        t for t in ray.get(
+            docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and "token" in t.column_names
+    ]
+    out_schema = pa.schema(
+        [("k", pa.int64()), ("covered", pa.int64()), ("total", pa.int64()),
+         ("share", pa.float64())]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    m = (
+        pa.concat_tables(parts).group_by("token").aggregate([("pn", "sum")])
+    )
+    cnt = m["pn_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tok = np.asarray(m["token"].to_pylist(), dtype=object)
+    order = np.lexsort((tok, -cnt))
+    csum = np.cumsum(cnt[order])
+    total = int(csum[-1])
+    rows_k, rows_c = [], []
+    for k in ks:
+        kk = min(int(k), len(csum))
+        rows_k.append(int(k))
+        rows_c.append(int(csum[kk - 1]) if kk > 0 else 0)
+    return pa.table(
+        {"k": pa.array(rows_k, pa.int64()),
+         "covered": pa.array(rows_c, pa.int64()),
+         "total": pa.array([total] * len(rows_k), pa.int64()),
+         "share": pa.array([c / total for c in rows_c], pa.float64())}
+    )
