@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": analysis.oov_rate,
         "boilerplate_ngrams": analysis.boilerplate_ngrams,  # SQL-checked
         "vocab_coverage": analysis.vocab_coverage,  # SQL-checked
+        "user_day_streaks": relational.user_day_streaks,  # SQL-checked
+        "price_slope_by_priority": relational.price_slope_by_priority,  # SQL-checked
+        "copurchase_triangles": relational.copurchase_triangles,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
@@ -1759,6 +1762,46 @@ def oracle_sql() -> dict[str, str]:
             "0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share "
             "FROM (SELECT unnest([10, 100, 1000]) AS k) k CROSS JOIN tot "
             "ORDER BY k"
+        ),
+        # gaps-and-islands: island grouping via day - row_number(); all-int
+        "user_day_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events), "
+            "s AS (SELECT user_id, day, day - row_number() "
+            "OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+            "runs AS (SELECT user_id, count(*)::BIGINT AS len "
+            "FROM s GROUP BY user_id, grp) "
+            "SELECT user_id, sum(len)::BIGINT AS n_active_days, "
+            "max(len)::BIGINT AS longest_streak FROM runs GROUP BY user_id"
+        ),
+        # exact grouped least squares: HUGEINT moments, two single
+        # divisions of cleared-denominator integers (shared with the Ray
+        # side's Python-int fold)
+        "price_slope_by_priority": (
+            "WITH b AS (SELECT o_orderpriority AS prio, "
+            "CAST(floor(epoch(o_orderdate) / 86400) AS HUGEINT) AS x, "
+            "CAST(round(o_totalprice * 100) AS HUGEINT) AS y FROM orders), "
+            "s AS (SELECT prio, count(*)::HUGEINT AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx "
+            "FROM b GROUP BY prio) "
+            "SELECT prio AS o_orderpriority, n::BIGINT AS n, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day, "
+            "CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx "
+            "AS DOUBLE) / CAST(n * (n * sxx - sx * sx) AS DOUBLE) "
+            "AS intercept_cents FROM s ORDER BY prio"
+        ),
+        # canonical x<y<z three-way self-join triangle count — counts each
+        # undirected triangle once, as the Ray side's orientation does
+        "copurchase_triangles": (
+            "WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, "
+            "l2.l_partkey AS b FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey) "
+            "SELECT (SELECT count(*) FROM pp)::BIGINT AS n_edges, "
+            "(SELECT count(*)::BIGINT FROM pp e1 "
+            "JOIN pp e2 ON e1.b = e2.a "
+            "JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"
         ),
         # FK orphan-row counts; anti-join count per relation
         "referential_integrity": (

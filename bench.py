@@ -186,7 +186,8 @@ def run_bench(scope: str) -> dict:
             "decontaminate_docs", "late_ship_priorities",
             "value_percentile", "zone_map_stats",
             "value_percentile_by_type", "referential_integrity",
-            "vocab_coverage",
+            "vocab_coverage", "user_day_streaks",
+            "price_slope_by_priority", "copurchase_triangles",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

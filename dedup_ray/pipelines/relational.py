@@ -6368,3 +6368,365 @@ def referential_integrity(sf_dir: str) -> pa.Table:
                 [int(vals[i]) for i in order], pa.int64()),
         }
     )
+
+
+def user_day_streaks(sf_dir: str) -> rd.Dataset:
+    """Gaps-and-islands: per user, the count of distinct active days and the
+    longest run of CONSECUTIVE active days: (user_id, n_active_days,
+    longest_streak). The retention staple (login streaks) and the canonical
+    gaps-and-islands window shape, rounding out the window family next to
+    sessionize (time gaps) and user_value_moving_max (ROWS frames).
+
+    Scale shape: per-batch (user_id, day) distinct shrinks the shuffle to at
+    most one row per user-day seen in the batch, then ONE hash-partitioned
+    user shuffle; streak detection is a double reduceat over the sorted
+    bucket (cross-batch day dedup -> day-diff run boundaries -> per-streak
+    lengths -> per-user max/sum), no per-user Python. All-int outputs —
+    exact parity with the oracle's day - row_number() island grouping."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("n_active_days", pa.int64()),
+         ("longest_streak", pa.int64())]
+    )
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("day", pa.int64())]
+            ).empty_table()
+        day = pc.divide(
+            b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            86_400_000_000,
+        )
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def streak_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        # cross-batch (user, day) dedup: sorted, so drop equal neighbours
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        new_streak = np.ones(len(uid), dtype=bool)
+        new_streak[1:] = (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] != 1)
+        sstart = np.flatnonzero(new_streak)
+        slen = np.diff(np.append(sstart, len(uid))).astype(np.int64)
+        suser = uid[sstart]
+        ustart = run_starts(suser)
+        if len(ustart) == 0:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "user_id": pa.array(suser[ustart], pa.int64()),
+                "n_active_days": pa.array(
+                    np.add.reduceat(slen, ustart), pa.int64()),
+                "longest_streak": pa.array(
+                    np.maximum.reduceat(slen, ustart), pa.int64()),
+            }
+        )
+
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow")
+    return grouped_runs(
+        pairs, "user_id", streak_runs, sort_cols=["user_id", "day"]
+    )
+
+
+def price_slope_by_priority(sf_dir: str) -> pa.Table:
+    """EXACT grouped least-squares trend: per order priority, the slope and
+    intercept of o_totalprice (cents) regressed on o_orderdate (epoch day):
+    (o_orderpriority, n, slope_cents_per_day, intercept_cents). The
+    drift-detection primitive — "are rush orders getting more expensive?" —
+    and the exact-linear-regression shape next to price_qty_corr's exact
+    correlation.
+
+    Scale shape: the five regression moments (n, Σx, Σy, Σxy, Σx²) fold as
+    per-batch int64 partials through Arrow hash aggregation (x = epoch day,
+    y = integer cents — both exact), then as unbounded Python ints on the
+    driver (priority cardinality is bounded); NO shuffle at all. The finish
+    is two single divisions of exactly-computed integers — slope =
+    (nΣxy-ΣxΣy)/(nΣx²-(Σx)²), intercept via the cleared-denominator form —
+    so both engines round the same two rationals to double once (HUGEINT
+    arithmetic on the oracle side)."""
+    import ray
+
+    part_schema = pa.schema(
+        [("prio", pa.string()), ("n", pa.int64()), ("sx", pa.int64()),
+         ("sy", pa.int64()), ("sxy", pa.int64()), ("sxx", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderpriority" not in b.column_names:
+            return part_schema.empty_table()
+        x = (
+            b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        )
+        y = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {"prio": b["o_orderpriority"],
+             "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+             "xy": pa.array(x * y, pa.int64()),
+             "xx": pa.array(x * x, pa.int64())}
+        )
+        g = t.group_by("prio").aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("xx", "sum")]
+        )
+        return pa.table(
+            {"prio": g["prio"], "n": g["x_count"].cast(pa.int64()),
+             "sx": g["x_sum"], "sy": g["y_sum"],
+             "sxy": g["xy_sum"], "sxx": g["xx_sum"]}
+        )
+
+    ds = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    acc: dict[str, list[int]] = {}
+    for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "prio" not in t.column_names:
+            continue
+        for row in t.to_pylist():  # bounded: |priorities| rows per block
+            a = acc.setdefault(row["prio"], [0, 0, 0, 0, 0])
+            a[0] += row["n"]; a[1] += row["sx"]; a[2] += row["sy"]
+            a[3] += row["sxy"]; a[4] += row["sxx"]
+    prios = sorted(acc)
+    slopes, intercepts, ns = [], [], []
+    for p in prios:
+        n, sx, sy, sxy, sxx = (int(v) for v in acc[p])
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:  # degenerate group (single x) — NULL, DuckDB's x/0
+            slopes.append(None)
+            intercepts.append(None)
+        else:
+            slopes.append(float(num) / float(den))
+            intercepts.append(float(sy * den - num * sx) / float(n * den))
+        ns.append(n)
+    return pa.table(
+        {"o_orderpriority": pa.array(prios, pa.string()),
+         "n": pa.array(ns, pa.int64()),
+         "slope_cents_per_day": pa.array(slopes, pa.float64()),
+         "intercept_cents": pa.array(intercepts, pa.float64())}
+    )
+
+
+def copurchase_triangles(sf_dir: str) -> pa.Table:
+    """Triangle count on the part co-purchase graph (parts are adjacent iff
+    some order contains both): (n_edges, n_triangles). The graph-density /
+    community-structure signal next to trade_graph_pagerank — triangle
+    counting is the standard first step of clustering-coefficient and
+    cohesion analysis over co-occurrence graphs.
+
+    Scale shape — the classic degree-oriented edge-iterator, four honest
+    shuffles and nothing driver-unbounded:
+      1. pair generation: ONE orderkey shuffle; per-run vectorized distinct
+         parts -> all a<b pairs by index arithmetic (no Python pair loops);
+      2. edge dedup: ONE shuffle on the lower endpoint (pairs sharing `a`
+         co-locate; neighbour-compare dedup), emitting per-batch bounded
+         degree partials folded driver-side (state O(|parts|); the
+         documented swap past broadcast size is a rank join);
+      3. wedge generation: edges oriented low-rank -> high-rank by the
+         broadcast (degree, id) total order — the orientation that bounds
+         out-degree at O(sqrt(|E|)) so Σ C(outdeg,2) stays near-linear even
+         with hub parts — then ONE shuffle on src emits out-neighbour pairs;
+      4. triangle match: wedges and oriented edges (cnt=-1 sentinels) enter
+         the SAME shuffle keyed on the wedge's first endpoint
+         (shuffle_join's union-tag trick); a (v,w) run containing its
+         sentinel contributes its wedge count. Per-bucket int sums fold
+         driver-side.
+    Exact int64 output; the oracle is the canonical x<y<z three-way
+    self-join, which counts each triangle exactly once as the orientation
+    does."""
+    import ray
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def pair_gen(g: pa.Table) -> pa.Table:
+        empty = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if g.num_rows == 0:
+            return empty.empty_table()
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ok), dtype=bool)  # distinct (order, part)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        starts = run_starts(ok)
+        sizes = np.diff(np.append(starts, len(ok)))
+        ranks = np.arange(len(ok)) - starts.repeat(sizes)
+        reps = (sizes.repeat(sizes) - ranks - 1).astype(np.int64)
+        total = int(reps.sum())
+        if total == 0:
+            return empty.empty_table()
+        left = np.repeat(np.arange(len(ok)), reps)
+        csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        right = np.arange(total) - csum.repeat(reps) + left + 1
+        return pa.table(
+            {"a": pa.array(pk[left], pa.int64()),
+             "b": pa.array(pk[right], pa.int64())}
+        )
+
+    li = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = grouped_runs(
+        li, "l_orderkey", pair_gen, sort_cols=["l_orderkey", "l_partkey"]
+    )
+
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    def dedup_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64())]
+            ).empty_table()
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()),
+             "b": pa.array(b[keep], pa.int64())}
+        )
+
+    # edge dedup must finish before degrees exist -> pin it once (two
+    # consumers: degree partials + oriented-edge emit) instead of letting
+    # the lazy DAG re-run the whole pair stage per consumer
+    edges = grouped_runs(
+        pairs, "a", dedup_edges, sort_cols=["a", "b"]
+    ).materialize()
+
+    def degree_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return deg_schema.empty_table()
+        both = pa.concat_arrays(
+            [b["a"].combine_chunks(), b["b"].combine_chunks()]
+        )
+        vc = both.value_counts()
+        return pa.table(
+            {"node": vc.field("values"),
+             "d": vc.field("counts").cast(pa.int64())}
+        )
+
+    deg: dict[int, int] = {}
+    n_edges = 0
+    for t in ray.get(
+        edges.map_batches(degree_partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "node" not in t.column_names:
+            continue
+        nodes = t["node"].to_numpy(zero_copy_only=False)
+        ds_ = t["d"].to_numpy(zero_copy_only=False)
+        n_edges += int(ds_.sum())
+        for nd, dv in zip(nodes.tolist(), ds_.tolist()):
+            deg[nd] = deg.get(nd, 0) + dv
+    n_edges //= 2
+    # total order: (degree, id) ascending -> dense rank per node, shipped
+    # as (sorted node ids, rank) arrays for vectorized searchsorted lookup
+    order = sorted(deg, key=lambda x: (deg[x], x))
+    nodes_sorted = np.array(sorted(deg), dtype=np.int64)
+    ranks_arr = np.empty(len(order), dtype=np.int64)
+    ranks_arr[np.searchsorted(nodes_sorted, np.array(order, np.int64))] = (
+        np.arange(len(order), dtype=np.int64)
+    )
+    rank_ref = ray.put((nodes_sorted, ranks_arr))
+
+    def orient(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64())]
+        )
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return empty.empty_table()
+        ns, ra_ = ray.get(rank_ref)
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        ra = ra_[np.searchsorted(ns, a)]
+        rb = ra_[np.searchsorted(ns, bb)]
+        lo = ra < rb
+        return pa.table(
+            {"src": pa.array(np.where(lo, a, bb), pa.int64()),
+             "dst": pa.array(np.where(lo, bb, a), pa.int64())}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema(
+        [("v", pa.int64()), ("w", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def wedge_gen(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return wedge_schema.empty_table()
+        ns, ra_ = ray.get(rank_ref)
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        rd_ = ra_[np.searchsorted(ns, dst)]
+        # per-src out-neighbour list ordered by rank, so emitted (v, w)
+        # pairs are rank-ordered and match oriented edges directly
+        o = np.lexsort((rd_, src))
+        src, dst = src[o], dst[o]
+        starts = run_starts(src)
+        sizes = np.diff(np.append(starts, len(src)))
+        ranks = np.arange(len(src)) - starts.repeat(sizes)
+        reps = (sizes.repeat(sizes) - ranks - 1).astype(np.int64)
+        total = int(reps.sum())
+        if total == 0:
+            return wedge_schema.empty_table()
+        left = np.repeat(np.arange(len(src)), reps)
+        csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        right = np.arange(total) - csum.repeat(reps) + left + 1
+        return pa.table(
+            {"v": pa.array(dst[left], pa.int64()),
+             "w": pa.array(dst[right], pa.int64()),
+             "cnt": pa.array(np.ones(total, np.int64))}
+        )
+
+    wedges = grouped_runs(oriented, "src", wedge_gen)
+
+    def edge_sentinels(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return wedge_schema.empty_table()
+        return pa.table(
+            {"v": b["src"], "w": b["dst"],
+             "cnt": pa.array(np.full(b.num_rows, -1, np.int64))}
+        )
+
+    tagged = wedges.union(
+        oriented.map_batches(edge_sentinels, batch_format="pyarrow")
+    )
+
+    def tri_runs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([("n", pa.int64())]).empty_table()
+        v = g["v"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        neq = (v[1:] != v[:-1]) | (w[1:] != w[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        # sentinel (-1) sorts first within its (v, w) run
+        has_edge = cnt[starts] == -1
+        sums = np.add.reduceat(cnt, starts)
+        tri = np.where(has_edge, sums + 1, 0)  # +1 cancels the sentinel
+        return pa.table({"n": pa.array([int(tri.sum())], pa.int64())})
+
+    n_tri = 0
+    for t in ray.get(
+        grouped_runs(
+            tagged, "v", tri_runs, sort_cols=["v", "w", "cnt"]
+        ).to_arrow_refs()
+    ):
+        if t.num_rows and "n" in t.column_names:
+            n_tri += int(pc.sum(t["n"]).as_py() or 0)
+    return pa.table(
+        {"n_edges": pa.array([n_edges], pa.int64()),
+         "n_triangles": pa.array([n_tri], pa.int64())}
+    )
