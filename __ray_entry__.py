@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_streaks": relational.user_day_streaks,  # SQL-checked
         "price_slope_by_priority": relational.price_slope_by_priority,  # SQL-checked
         "copurchase_triangles": relational.copurchase_triangles,  # SQL-checked
+        "copurchase_clustering": relational.copurchase_clustering,  # SQL-checked
+        "overlapping_order_spans": relational.overlapping_order_spans,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
@@ -1802,6 +1804,43 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*)::BIGINT FROM pp e1 "
             "JOIN pp e2 ON e1.b = e2.a "
             "JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"
+        ),
+        # clustering coefficient = 3*triangles / sum C(deg,2); single
+        # double/double division shared with the Ray side
+        "copurchase_clustering": (
+            "WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, "
+            "l2.l_partkey AS b FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey), "
+            "deg AS (SELECT node, count(*)::HUGEINT AS d FROM "
+            "(SELECT a AS node FROM pp UNION ALL SELECT b FROM pp) "
+            "GROUP BY node), "
+            "tri AS (SELECT count(*)::HUGEINT AS t FROM pp e1 "
+            "JOIN pp e2 ON e1.b = e2.a "
+            "JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "w AS (SELECT count(*)::BIGINT AS nn, "
+            "sum(d * (d - 1) / 2) AS wg FROM deg) "
+            "SELECT w.nn AS n_nodes, (SELECT count(*) FROM pp)::BIGINT "
+            "AS n_edges, w.wg::BIGINT AS n_wedges, tri.t::BIGINT "
+            "AS n_triangles, CAST(3 * tri.t AS DOUBLE) / "
+            "CAST(w.wg AS DOUBLE) AS global_clustering FROM w, tri"
+        ),
+        # interval-predicate self-join per customer; spans normalized with
+        # least/greatest so degenerate synthetic shipments stay well-defined
+        "overlapping_order_spans": (
+            "WITH iv AS (SELECT o.o_orderkey, o.o_custkey, "
+            "least(CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT), "
+            "min(CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT))) "
+            "AS lo, "
+            "greatest(CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT), "
+            "max(CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT))) "
+            "AS hi FROM orders o JOIN lineitem l "
+            "ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate) "
+            "SELECT a.o_custkey, count(*)::BIGINT AS n_overlapping_pairs "
+            "FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey "
+            "AND a.o_orderkey < b.o_orderkey "
+            "AND a.lo <= b.hi AND b.lo <= a.hi GROUP BY a.o_custkey"
         ),
         # FK orphan-row counts; anti-join count per relation
         "referential_integrity": (

@@ -188,6 +188,7 @@ def run_bench(scope: str) -> dict:
             "value_percentile_by_type", "referential_integrity",
             "vocab_coverage", "user_day_streaks",
             "price_slope_by_priority", "copurchase_triangles",
+            "copurchase_clustering", "overlapping_order_spans",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

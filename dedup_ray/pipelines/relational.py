@@ -6520,12 +6520,15 @@ def price_slope_by_priority(sf_dir: str) -> pa.Table:
     )
 
 
-def copurchase_triangles(sf_dir: str) -> pa.Table:
-    """Triangle count on the part co-purchase graph (parts are adjacent iff
-    some order contains both): (n_edges, n_triangles). The graph-density /
+def _copurchase_graph_stats(sf_dir: str) -> tuple:
+    """Shared engine for ``copurchase_triangles`` / ``copurchase_clustering``
+    — returns (n_nodes, n_edges, n_wedges, n_triangles) over the part
+    co-purchase graph (parts are adjacent iff some order contains both):
+    the graph-density /
     community-structure signal next to trade_graph_pagerank — triangle
     counting is the standard first step of clustering-coefficient and
     cohesion analysis over co-occurrence graphs.
+    ``copurchase_clustering`` reuses this run to finish the coefficient.
 
     Scale shape — the classic degree-oriented edge-iterator, four honest
     shuffles and nothing driver-unbounded:
@@ -6726,7 +6729,189 @@ def copurchase_triangles(sf_dir: str) -> pa.Table:
     ):
         if t.num_rows and "n" in t.column_names:
             n_tri += int(pc.sum(t["n"]).as_py() or 0)
+    # open-wedge denominator for the clustering coefficient, from the
+    # already-folded (bounded) degree table — d*(d-1)/2 is exact (even
+    # product) and Python ints never overflow
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    return len(deg), n_edges, n_wedges, n_tri
+
+
+def copurchase_triangles(sf_dir: str) -> pa.Table:
+    """Triangle count on the part co-purchase graph: (n_edges,
+    n_triangles). See ``_copurchase_graph_stats`` for the distributed
+    degree-oriented edge-iterator shape and the scale audit."""
+    _, n_edges, _, n_tri = _copurchase_graph_stats(sf_dir)
     return pa.table(
         {"n_edges": pa.array([n_edges], pa.int64()),
          "n_triangles": pa.array([n_tri], pa.int64())}
     )
+
+
+def copurchase_clustering(sf_dir: str) -> pa.Table:
+    """Global clustering coefficient of the part co-purchase graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering) with
+    coefficient = 3·triangles / open wedges (Σ C(deg,2)) — the cohesion
+    summary built on the same four-shuffle triangle engine; the wedge
+    denominator costs nothing extra (it folds from the bounded degree
+    table already needed for orientation). The single double/double
+    division is shared with the oracle (HUGEINT numerator there); an
+    edgeless graph yields NULL, matching DuckDB x/0."""
+    n_nodes, n_edges, n_wedges, n_tri = _copurchase_graph_stats(sf_dir)
+    coeff = (
+        float(3 * n_tri) / float(n_wedges) if n_wedges else None
+    )
+    return pa.table(
+        {"n_nodes": pa.array([n_nodes], pa.int64()),
+         "n_edges": pa.array([n_edges], pa.int64()),
+         "n_wedges": pa.array([n_wedges], pa.int64()),
+         "n_triangles": pa.array([n_tri], pa.int64()),
+         "global_clustering": pa.array([coeff], pa.float64())}
+    )
+
+
+def overlapping_order_spans(sf_dir: str) -> rd.Dataset:
+    """Interval self-join by plane sweep: per customer, the number of pairs
+    of their orders whose ACTIVITY SPANS overlap: (o_custkey,
+    n_overlapping_pairs), customers with no overlap omitted. An order's
+    span is [least(order day, first ship day), greatest(order day, last
+    ship day)] — well-defined even on this synthetic data where shipments
+    can precede the order date. The interval-join family member next to
+    asof_join_clicks (point-to-latest) and range_join_price_bands
+    (point-in-band): here both sides are intervals, the shape Ray Data has
+    no native operator for.
+
+    Scale shape — two honest shuffles, no pair materialization:
+      1. span assembly: order rows ride the SAME orderkey shuffle as their
+         lineitems (union-tag: is_order=1 carries custkey), per-run
+         min/max via reduceat; orphan lineitems and lineitem-less orders
+         drop as the oracle's inner join does;
+      2. counting: ONE custkey shuffle, then the classic sweep — sort by
+         (cust, lo) and for each interval count later-starting intervals
+         with lo_j <= hi_i via a start/query event merge: lexsort events
+         by (cust, value, kind), cumsum start-events, subtract per-run
+         offsets and ranks. Overlap COUNTS, never the O(n²) pair list,
+         leave each bucket — a hot customer costs one sort, not a blowup.
+    All-int; exact parity with the oracle's interval-predicate self-join."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    row_schema = pa.schema(
+        [("k", pa.int64()), ("cust", pa.int64()), ("day", pa.int64()),
+         ("is_order", pa.int64())]
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return row_schema.empty_table()
+        day = pc.divide(
+            b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            86_400_000_000,
+        )
+        return pa.table(
+            {"k": b["o_orderkey"], "cust": b["o_custkey"], "day": day,
+             "is_order": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return row_schema.empty_table()
+        day = pc.divide(
+            b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            86_400_000_000,
+        )
+        return pa.table(
+            {"k": b["l_orderkey"],
+             "cust": pa.array(np.full(b.num_rows, -1, np.int64)),
+             "day": day,
+             "is_order": pa.array(np.zeros(b.num_rows, np.int64))}
+        )
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    span_schema = pa.schema(
+        [("cust", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]
+    )
+
+    def span_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return span_schema.empty_table()
+        k = g["k"].to_numpy(zero_copy_only=False)
+        cust = g["cust"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        starts = run_starts(k)
+        bounds = np.append(starts, n)
+        sizes = np.diff(bounds)
+        n_ord = np.add.reduceat(iso, starts)
+        # keep runs with exactly one order row AND >=1 lineitem row
+        keep = (n_ord == 1) & (sizes >= 2)
+        if not keep.any():
+            return span_schema.empty_table()
+        lo = np.minimum.reduceat(day, starts)[keep]
+        hi = np.maximum.reduceat(day, starts)[keep]
+        # the order row's cust is the run max (lineitems carry -1)
+        cu = np.maximum.reduceat(cust, starts)[keep]
+        return pa.table(
+            {"cust": pa.array(cu, pa.int64()),
+             "lo": pa.array(lo, pa.int64()),
+             "hi": pa.array(hi, pa.int64())}
+        )
+
+    spans = grouped_runs(orders.union(lines), "k", span_runs)
+
+    out_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("n_overlapping_pairs", pa.int64())]
+    )
+
+    def sweep_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        cust = g["cust"].to_numpy(zero_copy_only=False)
+        lo = g["lo"].to_numpy(zero_copy_only=False)
+        hi = g["hi"].to_numpy(zero_copy_only=False)
+        # event merge: starts (kind 0, value lo) and queries (kind 1,
+        # value hi); within (cust, value) starts come first so ties count
+        ev_cust = np.concatenate([cust, cust])
+        ev_val = np.concatenate([lo, hi])
+        ev_kind = np.concatenate(
+            [np.zeros(n, np.int64), np.ones(n, np.int64)]
+        )
+        ev_iv = np.concatenate([np.arange(n), np.arange(n)])
+        o = np.lexsort((ev_kind, ev_val, ev_cust))
+        kind_s = ev_kind[o]
+        cust_s = ev_cust[o]
+        seen = np.cumsum(1 - kind_s)  # starts seen so far, inclusive
+        rstart = run_starts(cust_s)
+        # starts seen before this customer's first event
+        prior = (seen - (1 - kind_s))[rstart]
+        offs = np.repeat(prior, np.diff(np.append(rstart, len(cust_s))))
+        cnt_le = seen - offs  # same-cust starts with lo <= this value
+        q = kind_s == 1
+        per_iv = np.zeros(n, np.int64)
+        per_iv[ev_iv[o][q]] = cnt_le[q]
+        # rank of each interval within its (cust, lo) sort order
+        ord_iv = np.lexsort((lo, cust))
+        ranks = np.empty(n, np.int64)
+        istart = run_starts(cust[ord_iv])
+        isz = np.diff(np.append(istart, n))
+        ranks[ord_iv] = np.arange(n) - istart.repeat(isz)
+        pairs = per_iv - ranks - 1
+        # ties on lo: a query hi_i counts ALL starts with lo <= hi_i,
+        # including later-ranked equal-lo intervals — exactly the j>i,
+        # lo_j <= hi_i sweep set once ranks are subtracted
+        tot = np.add.reduceat(pairs[ord_iv], istart)
+        cu = cust[ord_iv][istart]
+        m = tot > 0
+        return pa.table(
+            {"o_custkey": pa.array(cu[m], pa.int64()),
+             "n_overlapping_pairs": pa.array(tot[m], pa.int64())}
+        )
+
+    return grouped_runs(spans, "cust", sweep_runs, sort_cols=["cust", "lo"])

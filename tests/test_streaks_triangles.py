@@ -166,3 +166,92 @@ def test_triangles_hub_and_empty(tmp_path):
     out = copurchase_triangles(empty).to_pydict()
     assert out["n_edges"] == [0]
     assert out["n_triangles"] == [0]
+
+
+def test_clustering_coefficient_triangle_plus_tail(tmp_path):
+    from dedup_ray.pipelines.relational import copurchase_clustering
+
+    # triangle {1,2,3} + pendant 3-4: deg = 2,2,3,1 -> wedges 1+1+3+0 = 5,
+    # triangles 1 -> coefficient 3/5
+    _write_lineitem(
+        str(tmp_path), [1, 1, 1, 2, 2], [1, 2, 3, 3, 4]
+    )
+    out = copurchase_clustering(str(tmp_path)).to_pydict()
+    assert out["n_nodes"] == [4]
+    assert out["n_edges"] == [4]
+    assert out["n_wedges"] == [5]
+    assert out["n_triangles"] == [1]
+    assert out["global_clustering"][0] == pytest.approx(0.6)
+
+
+def _write_orders_lines_spans(d: str, spans: dict[int, list[tuple]]) -> None:
+    """spans: cust -> [(orderday, [shipdays...]), ...]"""
+    ok, oc, od, lk, ld = [], [], [], [], []
+    key = 0
+    for cust, orders in spans.items():
+        for oday, ships in orders:
+            key += 1
+            ok.append(key)
+            oc.append(cust)
+            od.append(oday)
+            for s in ships:
+                lk.append(key)
+                ld.append(s)
+    pd.DataFrame(
+        {
+            "o_orderkey": np.asarray(ok, dtype=np.int64),
+            "o_custkey": np.asarray(oc, dtype=np.int64),
+            "o_orderstatus": ["O"] * len(ok),
+            "o_totalprice": np.ones(len(ok)),
+            "o_orderdate": pd.to_datetime(
+                np.asarray(od, dtype=np.int64) * DAY_US, unit="us"
+            ),
+            "o_orderpriority": ["1"] * len(ok),
+        }
+    ).to_parquet(os.path.join(d, "orders.parquet"))
+    n = len(lk)
+    pd.DataFrame(
+        {
+            "l_orderkey": np.asarray(lk, dtype=np.int64),
+            "l_partkey": np.ones(n, dtype=np.int64),
+            "l_suppkey": np.zeros(n, dtype=np.int64),
+            "l_linenumber": np.arange(n, dtype=np.int32),
+            "l_quantity": np.ones(n),
+            "l_extendedprice": np.ones(n),
+            "l_discount": np.zeros(n),
+            "l_tax": np.zeros(n),
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pd.to_datetime(
+                np.asarray(ld, dtype=np.int64) * DAY_US, unit="us"
+            ),
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"))
+
+
+def test_overlapping_spans_planted(tmp_path):
+    from dedup_ray.pipelines.relational import overlapping_order_spans
+
+    # cust 1: spans [0,10], [5,7], [10,30] -> pairs ([0,10],[5,7]) and the
+    #         boundary TIE ([0,10],[10,30]); [5,7] vs [10,30] disjoint -> 2
+    # cust 2: [0,5] and a DEGENERATE order (ship day 2 before order day 8
+    #         -> span [2,8]) -> overlap; [9,9] touches neither
+    #         ([2,8] vs [9,9]: 9 > 8) -> 1 pair
+    # cust 3: lineitem-less order is EXCLUDED (inner join): only 1 span
+    #         left -> no row
+    _write_orders_lines_spans(
+        str(tmp_path),
+        {
+            1: [(0, [10, 3]), (5, [7]), (10, [30])],
+            2: [(0, [5]), (8, [2]), (9, [9])],
+            3: [(1, []), (2, [3])],
+        },
+    )
+    out = (
+        overlapping_order_spans(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    assert out["o_custkey"].tolist() == [1, 2]
+    assert out["n_overlapping_pairs"].tolist() == [2, 1]
