@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": relational.copurchase_triangles,  # SQL-checked
         "copurchase_clustering": relational.copurchase_clustering,  # SQL-checked
         "overlapping_order_spans": relational.overlapping_order_spans,  # SQL-checked
+        "rolling_7d_dau": relational.rolling_7d_dau,  # SQL-checked
+        "source_overlap_matrix": text.source_overlap_matrix,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
         "proportional_sample": curation.proportional_sample,
@@ -650,8 +652,21 @@ def _sketch_oracles() -> dict[str, str]:
         "OR d.doc_id IN (SELECT doc_id FROM kp)",
     )
 
+    # cross-source contamination matrix: same candidate + est-Jaccard edge
+    # CTEs, endpoints joined to their sources, unordered-normalized count
+    source_overlap_sql = (
+        minhash_sql.split("nodes AS")[0]
+        + "sp AS (SELECT least(da.source, db.source) AS source_a, "
+        "greatest(da.source, db.source) AS source_b FROM edges "
+        "JOIN documents da ON da.doc_id = ca "
+        "JOIN documents db ON db.doc_id = cb) "
+        "SELECT source_a, source_b, count(*)::BIGINT AS n_pairs "
+        "FROM sp GROUP BY source_a, source_b"
+    )
+
     return {
         "simhash_near_pairs": simhash_sql,
+        "source_overlap_matrix": source_overlap_sql,
         "fingerprints_docs": fingerprints_sql,
         "embedding_lsh_buckets": lsh_buckets_sql,
         "embedding_neardup_lsh": neardup_lsh_sql,
@@ -1764,6 +1779,18 @@ def oracle_sql() -> dict[str, str]:
             "0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share "
             "FROM (SELECT unnest([10, 100, 1000]) AS k) k CROSS JOIN tot "
             "ORDER BY k"
+        ),
+        # exact rolling distinct via window explode + generate_series
+        "rolling_7d_dau": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events), "
+            "bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud), "
+            "days AS (SELECT unnest(generate_series(lo, hi)) AS day "
+            "FROM bounds WHERE lo IS NOT NULL), "
+            "w AS (SELECT DISTINCT user_id, day + o AS wday FROM ud "
+            "CROSS JOIN (SELECT unnest(range(0, 7)) AS o) oo) "
+            "SELECT d.day, count(w.user_id)::BIGINT AS dau_7d FROM days d "
+            "LEFT JOIN w ON w.wday = d.day GROUP BY d.day"
         ),
         # gaps-and-islands: island grouping via day - row_number(); all-int
         "user_day_streaks": (

@@ -189,6 +189,7 @@ def run_bench(scope: str) -> dict:
             "vocab_coverage", "user_day_streaks",
             "price_slope_by_priority", "copurchase_triangles",
             "copurchase_clustering", "overlapping_order_spans",
+            "rolling_7d_dau", "source_overlap_matrix",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

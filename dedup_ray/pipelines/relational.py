@@ -6915,3 +6915,113 @@ def overlapping_order_spans(sf_dir: str) -> rd.Dataset:
         )
 
     return grouped_runs(spans, "cust", sweep_runs, sort_cols=["cust", "lo"])
+
+
+def rolling_7d_dau(sf_dir: str) -> pa.Table:
+    """EXACT rolling 7-day distinct active users per day: (day, dau_7d) for
+    every day in the corpus' [min, max] span, zeros included. Distinct
+    counts do NOT partial-sum (unlike revenue_rolling_7d's money), so the
+    exact distributed shape is the WINDOW EXPLODE: each distinct
+    (user, day) activity expands to its ≤7 covering window days, ONE
+    user-keyed shuffle dedups (user, wday) — a user active on overlapping
+    days would otherwise double-count — and per-batch bounded (wday, n)
+    partials fold driver-side (state = the day span, bounded). The
+    documented approximate swap at extreme spans is one HLL sketch per
+    window day (approx_distinct_users' machinery).
+
+    All-int; oracle = generate_series LEFT JOIN the exploded distinct set."""
+    import ray
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("day", pa.int64())]
+            ).empty_table()
+        day = pc.divide(
+            b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            86_400_000_000,
+        )
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    ds = read_view(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow").materialize()
+
+    # global day bounds from per-batch scalar partials
+    lo_hi: list[int] = []
+    for t in ray.get(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {"lo": pa.array(
+                    [pc.min(b["day"]).as_py()], pa.int64()),
+                 "hi": pa.array(
+                    [pc.max(b["day"]).as_py()], pa.int64())}
+            )
+            if b.num_rows and "day" in b.column_names
+            else pa.schema(
+                [("lo", pa.int64()), ("hi", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ):
+        if t.num_rows and "lo" in t.column_names:
+            lo_hi.append(
+                (pc.min(t["lo"]).as_py(), pc.max(t["hi"]).as_py())
+            )
+    out_schema = pa.schema([("day", pa.int64()), ("dau_7d", pa.int64())])
+    if not lo_hi:
+        return out_schema.empty_table()
+    lo_day = min(a for a, _ in lo_hi)
+    hi_day = max(b for _, b in lo_hi)
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "day" not in b.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("wday", pa.int64())]
+            ).empty_table()
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = b["day"].to_numpy(zero_copy_only=False)
+        wday = (day[:, None] + np.arange(7)[None, :]).ravel()
+        uid7 = np.repeat(uid, 7)
+        keep = wday <= hi_day
+        return pa.table(
+            {"user_id": pa.array(uid7[keep], pa.int64()),
+             "wday": pa.array(wday[keep], pa.int64())}
+        )
+
+    exploded = pairs.map_batches(explode, batch_format="pyarrow")
+
+    def count_runs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.schema(
+                [("wday", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        wd = g["wday"].to_numpy(zero_copy_only=False)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (wd[1:] != wd[:-1])
+        wd = wd[keep]
+        vals, counts = np.unique(wd, return_counts=True)
+        return pa.table(
+            {"wday": pa.array(vals, pa.int64()),
+             "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    dau = np.zeros(hi_day - lo_day + 1, dtype=np.int64)
+    for t in ray.get(
+        grouped_runs(
+            exploded, "user_id", count_runs, sort_cols=["user_id", "wday"]
+        ).to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "wday" not in t.column_names:
+            continue
+        wd = t["wday"].to_numpy(zero_copy_only=False)
+        nn = t["n"].to_numpy(zero_copy_only=False)
+        np.add.at(dau, wd - lo_day, nn)
+    days = np.arange(lo_day, hi_day + 1, dtype=np.int64)
+    return pa.table(
+        {"day": pa.array(days, pa.int64()),
+         "dau_7d": pa.array(dau, pa.int64())}
+    )

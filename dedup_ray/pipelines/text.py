@@ -1213,3 +1213,89 @@ def decontaminate_docs_fuzzy(
         else schema.empty_table(),
         batch_format="pyarrow",
     )
+
+
+def source_overlap_matrix(
+    sf_dir: str, cfg: DedupConfig | None = None
+) -> pa.Table:
+    """Cross-source near-duplicate contamination matrix: for each unordered
+    source pair, the number of verified MinHash near-dup doc pairs with one
+    endpoint in each: (source_a, source_b, n_pairs), source_a <= source_b,
+    diagonal included. THE curation dashboard number — which corpus slices
+    leak into which — generalizing decontaminate_docs_fuzzy's one-direction
+    train x eval check to the full pairwise matrix.
+
+    Distributed shape shares every stage with the near-dup family: band-
+    bucket grouped_runs candidates -> distributed pair dedup (the SQL cand
+    is DISTINCT, so repeats must go before counting) -> signatures AND
+    sources attached to candidate pairs only via attach_pair_attrs ->
+    vectorized est-Jaccard verify -> per-batch (source_a, source_b, n)
+    partials folded driver-side (bounded by |sources|²). Neither the
+    signature table nor the pair list ever materializes on the driver."""
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs, grouped_runs
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    import ray
+
+    cfg = cfg or DedupConfig()
+    sigs, cand = _minhash_band_candidates(sf_dir, cfg)
+    deduped = grouped_runs(
+        cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
+        sort_cols=["src_id", "dst_id"],
+    )
+    sig_attrs = sigs.map_batches(
+        lambda b: pa.table(
+            {"image_id": b["doc_id"], "minhash_sig": b["minhash_sig"]}
+        ),
+        batch_format="pyarrow",
+    )
+    src_attrs = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        lambda b: pa.table({"image_id": b["doc_id"], "source": b["source"]}),
+        batch_format="pyarrow",
+    )
+    withsig = attach_pair_attrs(deduped, sig_attrs, ["minhash_sig"])
+    withsrc = attach_pair_attrs(withsig, src_attrs, ["source"])
+
+    part_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def vfy_count(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.signatures import sigs_from_arrow
+
+        if b.num_rows == 0 or "src_minhash_sig" not in b.column_names:
+            return part_schema.empty_table()
+        sa = sigs_from_arrow(b["src_minhash_sig"])
+        sb = sigs_from_arrow(b["dst_minhash_sig"])
+        keep = pa.array((sa == sb).mean(axis=1) >= cfg.jaccard_threshold)
+        s1 = b["src_source"].filter(keep)
+        s2 = b["dst_source"].filter(keep)
+        lo = pc.min_element_wise(s1, s2)
+        hi = pc.max_element_wise(s1, s2)
+        g = pa.table({"source_a": lo, "source_b": hi}).group_by(
+            ["source_a", "source_b"]
+        ).aggregate([("source_a", "count")])
+        return pa.table(
+            {"source_a": g["source_a"], "source_b": g["source_b"],
+             "n": g["source_a_count"].cast(pa.int64())}
+        )
+
+    acc: dict[tuple, int] = {}
+    for t in ray.get(
+        withsrc.map_batches(vfy_count, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "source_a" not in t.column_names:
+            continue
+        for sa_, sb_, n in zip(
+            t["source_a"].to_pylist(), t["source_b"].to_pylist(),
+            t["n"].to_pylist(),
+        ):
+            acc[(sa_, sb_)] = acc.get((sa_, sb_), 0) + n
+    keys = sorted(acc)
+    return pa.table(
+        {"source_a": pa.array([k[0] for k in keys], pa.string()),
+         "source_b": pa.array([k[1] for k in keys], pa.string()),
+         "n_pairs": pa.array([acc[k] for k in keys], pa.int64())}
+    )

@@ -255,3 +255,24 @@ def test_overlapping_spans_planted(tmp_path):
     )
     assert out["o_custkey"].tolist() == [1, 2]
     assert out["n_overlapping_pairs"].tolist() == [2, 1]
+
+
+def test_rolling_7d_dau_planted(tmp_path):
+    from dedup_ray.pipelines.relational import rolling_7d_dau
+
+    # user 1 active days 0 and 3 (covers wdays 0-6 and 3-9, deduped);
+    # user 2 active day 8. span = [0, 8] (wdays past max day clipped)
+    _write_events_days(str(tmp_path), {1: [0, 3, 3], 2: [8]})
+    out = rolling_7d_dau(str(tmp_path)).to_pydict()
+    assert out["day"] == list(range(0, 9))
+    #       day:      0  1  2  3  4  5  6  7  8
+    # user1 windows:  x  x  x  x  x  x  x  x  x   (0-6 U 3-9, clipped at 8)
+    # user2 windows:                          x
+    assert out["dau_7d"] == [1, 1, 1, 1, 1, 1, 1, 1, 2]
+
+
+def test_rolling_7d_dau_empty(tmp_path):
+    from dedup_ray.pipelines.relational import rolling_7d_dau
+
+    _write_events_days(str(tmp_path), {})
+    assert rolling_7d_dau(str(tmp_path)).num_rows == 0
