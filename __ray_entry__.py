@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering": relational.copurchase_clustering,  # SQL-checked
         "overlapping_order_spans": relational.overlapping_order_spans,  # SQL-checked
         "rolling_7d_dau": relational.rolling_7d_dau,  # SQL-checked
+        "association_rules": relational.association_rules,  # SQL-checked
         "source_overlap_matrix": text.source_overlap_matrix,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
@@ -1779,6 +1780,25 @@ def oracle_sql() -> dict[str, str]:
             "0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share "
             "FROM (SELECT unnest([10, 100, 1000]) AS k) k CROSS JOIN tot "
             "ORDER BY k"
+        ),
+        # market-basket rules: exact counts, two single int->double ratios
+        "association_rules": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "n AS (SELECT count(DISTINCT o)::BIGINT AS no FROM op), "
+            "pcnt AS (SELECT p, count(*)::BIGINT AS np FROM op GROUP BY p), "
+            "pp AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS nab "
+            "FROM op x JOIN op y ON x.o = y.o AND x.p < y.p "
+            "GROUP BY x.p, y.p), "
+            "r AS (SELECT a AS antecedent, b AS consequent, nab, "
+            "pa.np AS n_ant FROM pp JOIN pcnt pa ON pa.p = a "
+            "WHERE nab >= 2 "
+            "UNION ALL SELECT b, a, nab, pb.np FROM pp "
+            "JOIN pcnt pb ON pb.p = b WHERE nab >= 2) "
+            "SELECT antecedent, consequent, nab AS n_pair, n_ant, "
+            "CAST(nab AS DOUBLE) / CAST(n.no AS DOUBLE) AS support, "
+            "CAST(nab AS DOUBLE) / CAST(n_ant AS DOUBLE) AS confidence "
+            "FROM r CROSS JOIN n"
         ),
         # exact rolling distinct via window explode + generate_series
         "rolling_7d_dau": (

@@ -190,6 +190,7 @@ def run_bench(scope: str) -> dict:
             "price_slope_by_priority", "copurchase_triangles",
             "copurchase_clustering", "overlapping_order_spans",
             "rolling_7d_dau", "source_overlap_matrix",
+            "association_rules",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -7025,3 +7025,161 @@ def rolling_7d_dau(sf_dir: str) -> pa.Table:
         {"day": pa.array(days, pa.int64()),
          "dau_7d": pa.array(dau, pa.int64())}
     )
+
+
+def association_rules(sf_dir: str, min_pair: int = 2) -> pa.Table:
+    """Market-basket association rules over co-purchased parts: for every
+    part pair bought together in >= ``min_pair`` orders, both directed
+    rules (antecedent, consequent, n_pair, n_ant, support, confidence)
+    with support = n_pair/n_orders and confidence = n_pair/n_antecedent —
+    the recommender/data-mining precursor built from exact counts, next to
+    co_event_pairs (co-occurrence only, no rule strengths).
+
+    Scale shape: ONE orderkey shuffle computes everything the rules need —
+    the kernel dedups (order, part), emits bucket-preaggregated pair
+    counts (kind 0), per-part distinct-order partials (kind 1, bounded by
+    |parts|) and a runs-per-bucket row (kind 2) from the same pass — then
+    ONE pair-keyed shuffle merges pair counts. Only rules at/above the
+    support floor reach the driver (a report-sized table by construction);
+    the two ratios are single divisions of exact ints on both sides."""
+    import ray
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    tag_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("n", pa.int64()),
+         ("kind", pa.int64())]
+    )
+
+    def order_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return tag_schema.empty_table()
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ok), dtype=bool)  # distinct (order, part)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        starts = run_starts(ok)
+        sizes = np.diff(np.append(starts, len(ok)))
+        ranks = np.arange(len(ok)) - starts.repeat(sizes)
+        reps = (sizes.repeat(sizes) - ranks - 1).astype(np.int64)
+        total = int(reps.sum())
+        cols = {"a": [], "b": [], "n": [], "kind": []}
+        if total:
+            left = np.repeat(np.arange(len(ok)), reps)
+            csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+            right = np.arange(total) - csum.repeat(reps) + left + 1
+            pa_, pb_ = pk[left], pk[right]
+            # bucket-level pre-aggregation before the pair shuffle
+            o = np.lexsort((pb_, pa_))
+            pa_, pb_ = pa_[o], pb_[o]
+            neq = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
+            ps = np.concatenate([[0], np.flatnonzero(neq) + 1])
+            cnt = np.diff(np.append(ps, total)).astype(np.int64)
+            cols["a"].append(pa_[ps])
+            cols["b"].append(pb_[ps])
+            cols["n"].append(cnt)
+            cols["kind"].append(np.zeros(len(ps), np.int64))
+        # per-part distinct-order counts (each (o, p) already distinct)
+        vals, counts = np.unique(pk, return_counts=True)
+        cols["a"].append(vals)
+        cols["b"].append(np.full(len(vals), -1, np.int64))
+        cols["n"].append(counts.astype(np.int64))
+        cols["kind"].append(np.ones(len(vals), np.int64))
+        # order count for the support denominator
+        cols["a"].append(np.array([-1], np.int64))
+        cols["b"].append(np.array([-1], np.int64))
+        cols["n"].append(np.array([len(starts)], np.int64))
+        cols["kind"].append(np.array([2], np.int64))
+        return pa.table(
+            {k: pa.array(np.concatenate(v), pa.int64())
+             for k, v in cols.items()}
+        )
+
+    li = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    tagged = grouped_runs(
+        li, "l_orderkey", order_kernel,
+        sort_cols=["l_orderkey", "l_partkey"],
+    ).materialize()
+
+    n_part: dict[int, int] = {}
+    n_orders = 0
+    for t in ray.get(
+        tagged.map_batches(
+            lambda b: b.filter(pc.not_equal(b["kind"], 0))
+            if b.num_rows and "kind" in b.column_names else b,
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            continue
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        av = t["a"].to_numpy(zero_copy_only=False)
+        nv = t["n"].to_numpy(zero_copy_only=False)
+        singles = kind == 1
+        for p, c in zip(av[singles].tolist(), nv[singles].tolist()):
+            n_part[p] = n_part.get(p, 0) + c
+        n_orders += int(nv[kind == 2].sum())
+
+    def pair_merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("nab", pa.int64())]
+            ).empty_table()
+        av = g["a"].to_numpy(zero_copy_only=False)
+        bv = g["b"].to_numpy(zero_copy_only=False)
+        nv = g["n"].to_numpy(zero_copy_only=False)
+        neq = (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])
+        ps = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        tot = np.add.reduceat(nv, ps)
+        m = tot >= min_pair
+        return pa.table(
+            {"a": pa.array(av[ps][m], pa.int64()),
+             "b": pa.array(bv[ps][m], pa.int64()),
+             "nab": pa.array(tot[m], pa.int64())}
+        )
+
+    pair_rows = tagged.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0))
+        if b.num_rows and "kind" in b.column_names else b,
+        batch_format="pyarrow",
+    )
+    merged = grouped_runs(
+        pair_rows, "a", pair_merge, sort_cols=["a", "b"]
+    )
+
+    out_schema = pa.schema(
+        [("antecedent", pa.int64()), ("consequent", pa.int64()),
+         ("n_pair", pa.int64()), ("n_ant", pa.int64()),
+         ("support", pa.float64()), ("confidence", pa.float64())]
+    )
+    ants, cons, npair, nant = [], [], [], []
+    for t in ray.get(merged.to_arrow_refs()):
+        if t.num_rows == 0 or "a" not in t.column_names:
+            continue
+        for a_, b_, nab in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(), t["nab"].to_pylist()
+        ):
+            ants += [a_, b_]
+            cons += [b_, a_]
+            npair += [nab, nab]
+            nant += [n_part[a_], n_part[b_]]
+    if not ants:
+        return out_schema.empty_table()
+    order = np.lexsort((np.asarray(cons), np.asarray(ants)))
+    ants = np.asarray(ants, np.int64)[order]
+    cons = np.asarray(cons, np.int64)[order]
+    npair = np.asarray(npair, np.int64)[order]
+    nant = np.asarray(nant, np.int64)[order]
+    return pa.table(
+        {"antecedent": pa.array(ants, pa.int64()),
+         "consequent": pa.array(cons, pa.int64()),
+         "n_pair": pa.array(npair, pa.int64()),
+         "n_ant": pa.array(nant, pa.int64()),
+         "support": pa.array(
+             [n / n_orders for n in npair.tolist()], pa.float64()),
+         "confidence": pa.array(
+             [p / q for p, q in zip(npair.tolist(), nant.tolist())],
+             pa.float64())}
+    )
