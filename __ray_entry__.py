@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlapping_order_spans": relational.overlapping_order_spans,  # SQL-checked
         "rolling_7d_dau": relational.rolling_7d_dau,  # SQL-checked
         "association_rules": relational.association_rules,  # SQL-checked
+        "lang_source_chi2_cells": analysis.lang_source_chi2_cells,  # SQL-checked
         "source_overlap_matrix": text.source_overlap_matrix,  # SQL-checked
         "repeat_orders_7d": relational.repeat_orders_7d,
         "neardup_cluster_sizes": text.neardup_cluster_sizes,  # SQL-checked
@@ -1780,6 +1781,25 @@ def oracle_sql() -> dict[str, str]:
             "0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share "
             "FROM (SELECT unnest([10, 100, 1000]) AS k) k CROSS JOIN tot "
             "ORDER BY k"
+        ),
+        # per-cell chi-squared: full margin cross product, o=0 cells
+        # included; expected and chi2_cell are SINGLE divisions of
+        # HUGEINT-exact integers (shared with the Ray side's Python ints)
+        "lang_source_chi2_cells": (
+            "WITH c AS (SELECT lang, source, count(*)::HUGEINT AS o "
+            "FROM documents GROUP BY lang, source), "
+            "r AS (SELECT lang, sum(o) AS rl FROM c GROUP BY lang), "
+            "s AS (SELECT source, sum(o) AS cs FROM c GROUP BY source), "
+            "n AS (SELECT sum(o) AS nn FROM c), "
+            "x AS (SELECT r.lang, s.source, "
+            "coalesce(c.o, 0::HUGEINT) AS o, r.rl, s.cs "
+            "FROM r CROSS JOIN s LEFT JOIN c "
+            "ON c.lang = r.lang AND c.source = s.source) "
+            "SELECT lang, source, o::BIGINT AS observed, "
+            "CAST(rl * cs AS DOUBLE) / CAST(n.nn AS DOUBLE) AS expected, "
+            "CAST((o * n.nn - rl * cs) * (o * n.nn - rl * cs) AS DOUBLE) "
+            "/ CAST(n.nn * rl * cs AS DOUBLE) AS chi2_cell "
+            "FROM x CROSS JOIN n"
         ),
         # market-basket rules: exact counts, two single int->double ratios
         "association_rules": (

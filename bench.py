@@ -190,7 +190,7 @@ def run_bench(scope: str) -> dict:
             "price_slope_by_priority", "copurchase_triangles",
             "copurchase_clustering", "overlapping_order_spans",
             "rolling_7d_dau", "source_overlap_matrix",
-            "association_rules",
+            "association_rules", "lang_source_chi2_cells",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

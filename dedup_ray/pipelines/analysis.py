@@ -1793,3 +1793,80 @@ def vocab_coverage(sf_dir: str, ks: tuple = (10, 100, 1000)) -> pa.Table:
          "total": pa.array([total] * len(rows_k), pa.int64()),
          "share": pa.array([c / total for c in rows_c], pa.float64())}
     )
+
+
+def lang_source_chi2_cells(sf_dir: str) -> pa.Table:
+    """Per-cell chi-squared independence contributions for the lang x
+    source contingency table: (lang, source, observed, expected,
+    chi2_cell) over the full cross product of observed margins (absent
+    joint cells count o=0, as the test requires). The corpus-balance
+    audit: a large cell says that language leans on that source — the
+    statistical-test companion to lang_source_matrix's raw counts.
+
+    Scale shape: NO shuffle — per-batch Arrow hash-agg (lang, source)
+    count partials fold driver-side (state bounded by |langs|·|sources|);
+    margins and the statistic derive from that table. Exact parity: both
+    engines compute expected = r·c/n and chi2_cell = (o·n − r·c)² /
+    (n·r·c) as SINGLE divisions of exactly-computed integers (Python
+    unbounded ints here, HUGEINT in the oracle)."""
+    import ray
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("o", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lang" not in b.column_names:
+            return part_schema.empty_table()
+        g = b.select(["lang", "source"]).group_by(
+            ["lang", "source"]
+        ).aggregate([("lang", "count")])
+        return pa.table(
+            {"lang": g["lang"], "source": g["source"],
+             "o": g["lang_count"].cast(pa.int64())}
+        )
+
+    docs = _docs(sf_dir, columns=["lang", "source"])
+    obs: dict[tuple, int] = {}
+    for t in ray.get(
+        docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            continue
+        for l_, s_, o_ in zip(
+            t["lang"].to_pylist(), t["source"].to_pylist(),
+            t["o"].to_pylist(),
+        ):
+            obs[(l_, s_)] = obs.get((l_, s_), 0) + o_
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("observed", pa.int64()), ("expected", pa.float64()),
+         ("chi2_cell", pa.float64())]
+    )
+    if not obs:
+        return out_schema.empty_table()
+    rl: dict[str, int] = {}
+    cs: dict[str, int] = {}
+    for (l_, s_), o_ in obs.items():
+        rl[l_] = rl.get(l_, 0) + o_
+        cs[s_] = cs.get(s_, 0) + o_
+    n = sum(obs.values())
+    langs, srcs, os_, exp, chi = [], [], [], [], []
+    for l_ in sorted(rl):
+        for s_ in sorted(cs):
+            o_ = obs.get((l_, s_), 0)
+            rc = rl[l_] * cs[s_]
+            langs.append(l_)
+            srcs.append(s_)
+            os_.append(o_)
+            exp.append(float(rc) / float(n))
+            d = o_ * n - rc
+            chi.append(float(d * d) / float(n * rc))
+    return pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "source": pa.array(srcs, pa.string()),
+         "observed": pa.array(os_, pa.int64()),
+         "expected": pa.array(exp, pa.float64()),
+         "chi2_cell": pa.array(chi, pa.float64())}
+    )
