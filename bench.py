@@ -29,7 +29,8 @@ FLAGSHIP_ROWS = int(os.environ.get("DEDUP_BENCH_ROWS", "50000"))  # headline
 FLAGSHIP_IMG = (96, 160)   # realistic image sizes so decode dominates
 FLAGSHIP_DUP_RATIO = 0.3   # reference benchmark middle cell (dup 0.10/0.30/0.60)
 SCALING_CPUS = (4, 16)    # N vs 4N (fresh processes; sandbox cluster stand-in)
-SCALING_ROWS = 400_000    # scaling runs use a larger input so parallel work
+SCALING_ROWS = int(os.environ.get("DEDUP_SCALING_ROWS", "600000"))
+                          # scaling runs use a larger input so parallel work
                           # dominates the fixed single-node orchestration
                           # floor (~8-10 s: shuffle barriers + driver merges
                           # + executor spin-ups). Round 2 cut per-row CPU
@@ -38,8 +39,10 @@ SCALING_ROWS = 400_000    # scaling runs use a larger input so parallel work
                           # response is to grow the measured input with the
                           # engine's speed, as a real cluster acceptance run
                           # would (fixed wall-minutes per node, not fixed
-                          # rows). 400k rows ~ 17 GB keeps the floor under
-                          # ~25% of the 16-CPU wall.
+                          # rows). 400k rows ~ 17 GB held that line mid-round;
+                          # after the session-10 code got another ~16% faster
+                          # (6.79 s / 50k idle-box), 600k keeps the floor
+                          # under ~20% of the 16-CPU wall.
 
 
 def _sf_tag(sf_dir: str) -> float:
