@@ -100,6 +100,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phash_hamming_search(_corpus(sf_dir))
 
+    def neardup_quality_eval_q(sf_dir: str):
+        """North-rule acceptance metric (dup-pair recall >= 0.99 + precision)
+        computed distributed against the corpus's planted gt sidecar.
+        Rows-only: the flagship detector is not SQL-expressible; pytest
+        asserts recall == precision == 1.0 on the planted corpus."""
+        from dedup_ray.pipelines.neardup import neardup_quality_eval
+
+        return neardup_quality_eval(_corpus(sf_dir))
+
     def decontaminate_images_q(sf_dir: str):
         from dedup_ray.pipelines.neardup import decontaminate_images
 
@@ -410,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_clusters": flagship_clusters,
         "flagship_report": flagship_report,
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
+        "neardup_quality_eval": neardup_quality_eval_q,  # rows-only (non-SQL)
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
         "image_size_filter": image_size_filter,

@@ -897,3 +897,159 @@ def phash_distance_histogram(input_path: str, n_probes: int = 64) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def neardup_quality_eval(input_path: str):
+    """Dup-pair recall + precision of the flagship detector against the
+    corpus's planted ground truth — the acceptance metric ("dup-pair recall
+    >= 0.99 vs reference clusters") surfaced as a first-class operator, so a
+    production run can gate promotion on it instead of trusting the config.
+
+    Pair-level definitions over unordered image pairs:
+
+        gt_pairs      = sum over gt clusters      of C(n, 2)
+        pred_pairs    = sum over detected clusters of C(n, 2)
+        matched_pairs = sum over (gt, pred) cells  of C(n, 2)
+        recall        = matched / gt_pairs,  precision = matched / pred_pairs
+
+    Output: one row per planted dup_class (recall broken down by class —
+    threshold-tail misses in the sampled-edit classes show up HERE, e.g. a
+    caption_near member whose edit landed below the Jaccard threshold is
+    out of the detector's threshold contract and lowers only that class's
+    row) plus a ``__all__`` row carrying the corpus-wide recall AND the
+    precision denominator (pred pairs don't decompose by class: a false
+    positive can span classes).
+
+    Scale shape: pairs are NEVER materialized — every term folds from run
+    lengths of sorted key columns. Predicted labels attach to ground-truth
+    rows via ONE image_id-keyed shuffle_join (big-big safe: the gt table is
+    the corpus size); the recall terms fold inside ONE gt-keyed
+    ``grouped_runs`` (sorted by (gt, label), so both the per-gt-cluster and
+    the per-cell run lengths come from the same pass); the precision
+    denominator folds inside one label-keyed pass over the detector output.
+    Driver state: one partial row per bucket. Rows not in any detected
+    cluster count as singleton predictions (zero pairs) via
+    coalesce(label, image_id).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+    from dedup_ray.stages.join import shuffle_join
+
+    res = run_neardup(input_path)
+    pred = res.clusters  # (cluster_id, image_id): members of size>=2 clusters
+    gt = read_table(
+        os.path.join(os.path.dirname(input_path), "gt_clusters.parquet"),
+        columns=["image_id", "gt_cluster_id", "dup_class"],
+    )
+
+    gt_schema = pa.schema(
+        [("image_id", pa.string()), ("gt_cluster_id", pa.string()),
+         ("dup_class", pa.string())]
+    )
+    pred_schema = pa.schema(
+        [("cluster_id", pa.string()), ("image_id", pa.string())]
+    )
+    joined = shuffle_join(
+        gt, pred, on="image_id", how="left",
+        left_schema=gt_schema, right_schema=pred_schema,
+    )
+
+    lab_schema = pa.schema(
+        [("gt_cluster_id", pa.string()), ("dup_class", pa.string()),
+         ("label", pa.string())]
+    )
+
+    def fill_singletons(b: pa.Table) -> pa.Table:
+        if not b.num_rows or "image_id" not in b.column_names:
+            return lab_schema.empty_table()
+        return pa.table(
+            {"gt_cluster_id": b["gt_cluster_id"],
+             "dup_class": b["dup_class"],
+             "label": pc.coalesce(b["cluster_id"], b["image_id"])}
+        )
+
+    labeled = joined.map_batches(fill_singletons, batch_format="pyarrow")
+
+    def pairs_of(sizes: np.ndarray) -> np.ndarray:
+        return sizes * (sizes - 1) // 2
+
+    def gt_kernel(g: pa.Table) -> pa.Table:
+        # one partial row per dup_class present in the bucket (a gt cluster
+        # has exactly one class, so class partials fold from cluster runs)
+        gk = g["gt_cluster_id"].to_numpy(zero_copy_only=False)
+        lb = g["label"].to_numpy(zero_copy_only=False)
+        cl = g["dup_class"].to_numpy(zero_copy_only=False)
+        n = len(gk)
+        gs = run_starts(gk)
+        gsz = np.diff(np.append(gs, n))
+        gp = pairs_of(gsz)  # per gt cluster
+        cell = np.concatenate(
+            [[0], np.flatnonzero((gk[1:] != gk[:-1]) | (lb[1:] != lb[:-1])) + 1]
+        ) if n else np.empty(0, dtype=np.int64)
+        csz = np.diff(np.append(cell, n))
+        # matched pairs per gt cluster: cells nest inside clusters, so sum
+        # cell-pair counts over each cluster's cell range
+        cell_cluster = np.searchsorted(gs, cell, side="right") - 1
+        mp = np.bincount(cell_cluster, weights=pairs_of(csz),
+                         minlength=len(gs)).astype(np.int64)
+        cls_of_cluster = cl[gs]
+        order = np.argsort(cls_of_cluster, kind="stable")
+        co = cls_of_cluster[order]
+        starts = run_starts(co)
+        bounds = np.append(starts, len(co))
+        out_cls, out_gt, out_m, out_n = [], [], [], []
+        for i in range(len(starts)):
+            sel = order[bounds[i]:bounds[i + 1]]
+            out_cls.append(co[starts[i]])
+            out_gt.append(int(gp[sel].sum()))
+            out_m.append(int(mp[sel].sum()))
+            out_n.append(int(gsz[sel].sum()))
+        return pa.table(
+            {"dup_class": pa.array(out_cls, type=pa.string()),
+             "gt_pairs": pa.array(out_gt, type=pa.int64()),
+             "matched_pairs": pa.array(out_m, type=pa.int64()),
+             "n_images": pa.array(out_n, type=pa.int64())}
+        )
+
+    gt_parts = grouped_runs(
+        labeled, "gt_cluster_id", gt_kernel,
+        sort_cols=["gt_cluster_id", "label"],
+    ).take_all()
+
+    def pred_kernel(g: pa.Table) -> pa.Table:
+        ck = g["cluster_id"].to_numpy(zero_copy_only=False)
+        sz = np.diff(np.append(run_starts(ck), len(ck)))
+        return pa.table(
+            {"pred_pairs": pa.array([int(pairs_of(sz).sum())], type=pa.int64())}
+        )
+
+    pred_parts = grouped_runs(
+        pred.select_columns(["cluster_id"]), "cluster_id", pred_kernel
+    ).take_all()
+    pred_pairs = sum(r["pred_pairs"] for r in pred_parts)
+
+    agg: dict[str, list[int]] = {}
+    for r in gt_parts:
+        a = agg.setdefault(r["dup_class"], [0, 0, 0])
+        a[0] += r["gt_pairs"]; a[1] += r["matched_pairs"]; a[2] += r["n_images"]
+    rows = []
+    tot = [0, 0, 0]
+    for cls in sorted(agg):
+        g, m, ni = agg[cls]
+        tot[0] += g; tot[1] += m; tot[2] += ni
+        rows.append({"dup_class": cls, "n_images": ni, "gt_pairs": g,
+                     "matched_pairs": m,
+                     "pair_recall": (m / g) if g else 1.0,
+                     "pred_pairs": None, "pair_precision": None})
+    rows.append({
+        "dup_class": "__all__", "n_images": tot[2], "gt_pairs": tot[0],
+        "matched_pairs": tot[1],
+        "pair_recall": (tot[1] / tot[0]) if tot[0] else 1.0,
+        "pred_pairs": int(pred_pairs),
+        "pair_precision": (tot[1] / pred_pairs) if pred_pairs else 1.0,
+    })
+    return pd.DataFrame(rows)

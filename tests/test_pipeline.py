@@ -134,3 +134,23 @@ def test_empty_captions_stay_unclustered(tiny_result, tiny_corpus):
     clustered = {r.image_id for r in cl.itertuples() if sizes[r.cluster_id] >= 1}
     # empty-caption rows have distinct images; they must not glom together
     assert not (empties & clustered)
+
+
+def test_neardup_quality_eval(tiny_corpus):
+    """The acceptance-metric operator: perfect precision, perfect recall on
+    every exactly-recoverable class; the sampled-edit classes (caption_near)
+    may have a threshold tail, bounded by the planted-intent sanity margin."""
+    from dedup_ray.pipelines.neardup import neardup_quality_eval
+
+    df = neardup_quality_eval(os.path.join(tiny_corpus, "images.parquet"))
+    by = df.set_index("dup_class")
+    allr = by.loc["__all__"]
+    assert allr["pair_precision"] == 1.0
+    assert allr["pair_recall"] >= 0.95
+    assert allr["matched_pairs"] == allr["pred_pairs"]
+    assert int(allr["n_images"]) == 200
+    for cls in ("exact_byte", "reencode", "phash_near", "caption_substring"):
+        assert by.loc[cls, "pair_recall"] == 1.0, cls
+    # degenerate classes plant no pairs
+    for cls in ("unique", "hot_empty_caption"):
+        assert by.loc[cls, "gt_pairs"] == 0, cls
