@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_stats": text.cascade_stats,
         # --- dedup over documents ---
         "minhash_neardup_docs": text.minhash_neardup_clusters,  # SQL-checked
+        "minhash_funnel_stats": text.minhash_funnel_stats,      # SQL-checked
         "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
         "minhash_keep_longest": text.minhash_keep_longest,      # SQL-checked
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
@@ -696,6 +697,17 @@ def _sketch_oracles() -> dict[str, str]:
         ),
         "minhash_dedup_keep": minhash_keep_sql,
         "minhash_keep_longest": minhash_keep_longest_sql,
+        # candidate-funnel counts: same CTE chain, one aggregate row
+        "minhash_funnel_stats": (
+            minhash_sql.split("nodes AS")[0]
+            + "bb AS (SELECT bd, key FROM bk GROUP BY bd, key "
+            "HAVING count(*) >= 2) "
+            "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+            "(SELECT count(*) FROM sig)::BIGINT AS n_with_sig, "
+            "(SELECT count(*) FROM bb)::BIGINT AS n_buckets, "
+            "(SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs, "
+            "(SELECT count(*) FROM edges)::BIGINT AS n_verified_pairs"
+        ),
         "edit_distance_pairs": edit_sql,
         "neardup_cluster_sizes": minhash_sql.replace(
             "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",

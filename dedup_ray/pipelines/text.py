@@ -272,15 +272,9 @@ def _pairs_from_runs(key_col: str, id_col: str):
     return pairs_fn
 
 
-def _minhash_band_candidates(
-    sf_dir: str, cfg: DedupConfig
-) -> tuple[rd.Dataset, rd.Dataset]:
-    """Shared MinHash-LSH candidate generator: shingle -> minhash -> band
-    bucket groupby -> (a < b) candidate pairs. Returns (sigs, cand); cand
-    may contain cross-band duplicate pairs — verification is idempotent,
-    so callers either tolerate repeats (union-find) or dedup pairs
-    distributed (drop_sorted_dup_pairs)."""
-    sigs = doc_signatures(sf_dir, cfg).materialize()
+def _band_buckets(sigs: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """Signatures -> exploded (combo, doc_id) band-bucket rows, where combo
+    packs (band_key << 6) ^ band_id into one int64 shuffle key."""
 
     def explode(b: pa.Table) -> pa.Table:
         from dedup_ray.stages.signatures import sigs_from_arrow
@@ -309,9 +303,21 @@ def _minhash_band_candidates(
             {"combo": pa.array(combo.view(np.int64)), "doc_id": b["doc_id"]}
         )
 
-    buckets = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
+    return sigs.map_batches(explode, batch_format="pyarrow").map_batches(
         add_combo, batch_format="pyarrow"
     )
+
+
+def _minhash_band_candidates(
+    sf_dir: str, cfg: DedupConfig
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Shared MinHash-LSH candidate generator: shingle -> minhash -> band
+    bucket groupby -> (a < b) candidate pairs. Returns (sigs, cand); cand
+    may contain cross-band duplicate pairs — verification is idempotent,
+    so callers either tolerate repeats (union-find) or dedup pairs
+    distributed (drop_sorted_dup_pairs)."""
+    sigs = doc_signatures(sf_dir, cfg).materialize()
+    buckets = _band_buckets(sigs, cfg)
 
     from dedup_ray.stages.grouped import grouped_runs
 
@@ -1299,3 +1305,119 @@ def source_overlap_matrix(
          "source_b": pa.array([k[1] for k in keys], pa.string()),
          "n_pairs": pa.array([acc[k] for k in keys], pa.int64())}
     )
+
+
+def minhash_funnel_stats(
+    sf_dir: str, cfg: DedupConfig | None = None
+) -> pd.DataFrame:
+    """Candidate-funnel observability for the MinHash-LSH family: docs ->
+    docs-with-signatures -> colliding band buckets -> distinct candidate
+    pairs -> verified pairs, as ONE summary row. These are the numbers an
+    operator watches to tune bands/rows_per_band (candidates per verified
+    pair = LSH precision; buckets per doc = shuffle fan-out) before a
+    100 TB run — the funnel IS the cost model, so it ships as a first-class
+    query, bit-exact against the same-constants DuckDB oracle.
+
+    Scale shape: every count folds map-side. Bucket collisions are counted
+    INSIDE the same combo-keyed grouped_runs that generates the pairs
+    (union-tagged sentinel rows src_id=-1 carry per-bucket partials — no
+    second shuffle over the exploded bucket table); distinct pairs ride the
+    pair-dedup shuffle the verify path needs anyway; verified pairs fold
+    from per-batch counts. Driver state: a handful of integers.
+    """
+    cfg = cfg or DedupConfig()
+    sigs = doc_signatures(sf_dir, cfg).materialize()
+
+    def sig_partial(b: pa.Table) -> pa.Table:
+        has = b["has_sig"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n": pa.array([b.num_rows], pa.int64()),
+             "with_sig": pa.array([int(has.sum())], pa.int64())}
+        )
+
+    import ray
+
+    n_docs = n_with_sig = 0
+    for t in ray.get(
+        sigs.map_batches(sig_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "n" in t.column_names:
+            n_docs += sum(t["n"].to_pylist())
+            n_with_sig += sum(t["with_sig"].to_pylist())
+
+    from dedup_ray.stages.grouped import (
+        drop_sorted_dup_pairs,
+        grouped_runs,
+        run_starts,
+    )
+
+    pairs_fn = _pairs_from_runs("combo", "doc_id")
+
+    def pairs_and_bucket_count(g: pa.Table) -> pa.Table:
+        keys = g["combo"].to_numpy(zero_copy_only=False)
+        sz = np.diff(np.append(run_starts(keys), len(keys)))
+        nb = int((sz >= 2).sum())
+        pairs = pairs_fn(g)
+        sentinel = pa.table(
+            {"src_id": pa.array([-1], pa.int64()),
+             "dst_id": pa.array([nb], pa.int64())}
+        )
+        return pa.concat_tables([pairs, sentinel])
+
+    tagged = grouped_runs(
+        _band_buckets(sigs, cfg), "combo", pairs_and_bucket_count
+    ).materialize()
+
+    n_buckets = 0
+    for t in ray.get(tagged.to_arrow_refs()):
+        if t.num_rows and "src_id" in t.column_names:
+            ft = t.filter(pa.compute.equal(t["src_id"], -1))
+            n_buckets += sum(ft["dst_id"].to_pylist())
+    cand = tagged.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b["src_id"], -1))
+        if b.num_rows and "src_id" in b.column_names else b,
+        batch_format="pyarrow",
+    )
+
+    deduped = grouped_runs(
+        cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
+        sort_cols=["src_id", "dst_id"],
+    ).materialize()
+    n_candidate_pairs = deduped.count()
+
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    attrs = sigs.map_batches(
+        lambda b: pa.table(
+            {"image_id": b["doc_id"], "minhash_sig": b["minhash_sig"]}
+        ),
+        batch_format="pyarrow",
+    )
+    withsig = attach_pair_attrs(deduped, attrs, ["minhash_sig"])
+
+    def vfy_count(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.signatures import sigs_from_arrow
+
+        if b.num_rows == 0 or "src_minhash_sig" not in b.column_names:
+            return pa.table({"nv": pa.array([0], pa.int64())})
+        sa = sigs_from_arrow(b["src_minhash_sig"])
+        sb = sigs_from_arrow(b["dst_minhash_sig"])
+        keep = (sa == sb).mean(axis=1) >= cfg.jaccard_threshold
+        return pa.table({"nv": pa.array([int(keep.sum())], pa.int64())})
+
+    n_verified = 0
+    for t in ray.get(
+        withsig.map_batches(vfy_count, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "nv" in t.column_names:
+            n_verified += sum(t["nv"].to_pylist())
+
+    return pd.DataFrame(
+        [{
+            "n_docs": int(n_docs),
+            "n_with_sig": int(n_with_sig),
+            "n_buckets": int(n_buckets),
+            "n_candidate_pairs": int(n_candidate_pairs),
+            "n_verified_pairs": int(n_verified),
+        }]
+    ).astype("int64")
