@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cfs(_corpus(sf_dir))
 
+    def phash_bitplane_stats_q(sf_dir: str):
+        from dedup_ray.pipelines.neardup import phash_bitplane_stats as pbs
+
+        return pbs(_corpus(sf_dir))
+
     def image_size_filter(sf_dir: str):
         from dedup_ray.pipelines.neardup import image_size_filter as isf
 
@@ -293,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_join_salted": relational.order_revenue_join_salted,
         "customer_order_counts": relational.customer_order_counts,
         "bulk_order_priorities": relational.bulk_order_priorities,
+        "bulk_order_priorities_bloom": relational.bulk_order_priorities_bloom,
         "quiet_order_priorities": relational.quiet_order_priorities,
         "event_gaps": relational.event_gaps,
         "events_debounced": relational.events_debounced,
@@ -423,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_quality_eval": neardup_quality_eval_q,  # rows-only (non-SQL)
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
+        "phash_bitplane_stats": phash_bitplane_stats_q,
         "image_size_filter": image_size_filter,
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
@@ -938,6 +945,20 @@ def oracle_sql() -> dict[str, str]:
         # image-side per-format profile over the synthesised corpus cache
         # (generated/cached by the Ray query BEFORE the oracle runs, like
         # phash_hamming_search)
+        # per-bitplane balance audit of phash (SimHash-over-phash-bitplanes
+        # tier diagnostic); >> is arithmetic in BOTH DuckDB and numpy int64,
+        # so (phash >> bit) & 1 extracts identically incl. the sign bit;
+        # set_fraction is one exact-int double division on both sides
+        "phash_bitplane_stats": (
+            "WITH b AS (SELECT unnest(range(0, 64)) AS bit) "
+            "SELECT bit::BIGINT AS bit, "
+            "sum(CASE WHEN ((phash >> bit) & 1) = 1 THEN 1 ELSE 0 END)::BIGINT AS n_set, "
+            "count(*)::BIGINT AS n_rows, "
+            "sum(CASE WHEN ((phash >> bit) & 1) = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "/ count(*) AS set_fraction "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet') "
+            "CROSS JOIN b GROUP BY bit"
+        ),
         "corpus_format_stats": (
             f"SELECT fmt, count(*)::BIGINT AS n_images, "
             "sum(octet_length(bytes))::BIGINT AS total_bytes, "
@@ -1039,6 +1060,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"
         ),
         "bulk_order_priorities": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
+            "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) "
+            "GROUP BY o_orderpriority"
+        ),
+        # Bloom-prefiltered variant: SAME oracle — the bitmap only prunes
+        # guaranteed misses; a wrong prune (false negative) breaks the hash
+        "bulk_order_priorities_bloom": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
             "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49) "
             "GROUP BY o_orderpriority"

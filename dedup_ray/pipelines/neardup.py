@@ -1053,3 +1053,55 @@ def neardup_quality_eval(input_path: str):
         "pair_precision": (tot[1] / pred_pairs) if pred_pairs else 1.0,
     })
     return pd.DataFrame(rows)
+
+
+def phash_bitplane_stats(input_path: str):
+    """Per-bitplane balance of the corpus phash column: for bit i in 0..63,
+    how many rows have it set and the set fraction. The SimHash-over-phash-
+    bitplanes detector tier assumes roughly balanced bitplanes (a bit stuck
+    at 0/1 contributes nothing to banding and silently weakens LSH recall)
+    — this is the audit an operator runs when a new corpus or a new phash
+    implementation lands.
+
+    Shuffle-free: each batch folds to one 64-long int partial (vectorized
+    (ph >> i) & 1 over a broadcasted bit axis); the driver merges partials
+    bounded by 64 x n_blocks and finishes with single exact-int divisions,
+    so the doubles match the SQL oracle bit-for-bit at any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    cols = read_table(input_path, columns=["phash"])
+    bits = np.arange(64, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ph = b["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        set_counts = ((ph[:, None] >> bits[None, :]) & 1).sum(axis=0)
+        return pa.table(
+            {"bit": pa.array(bits),
+             "n_set": pa.array(set_counts.astype(np.int64)),
+             "n_rows": pa.array(np.full(64, len(ph), dtype=np.int64))}
+        )
+
+    n_set = np.zeros(64, dtype=object)  # Python ints: no overflow at scale
+    n_rows = 0
+    for t in ray.get(
+        cols.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "bit" in t.column_names:
+            bi = t["bit"].to_numpy(zero_copy_only=False)
+            ns = t["n_set"].to_numpy(zero_copy_only=False)
+            for j in range(len(bi)):
+                n_set[bi[j]] += int(ns[j])
+            n_rows += int(t["n_rows"][0].as_py())
+    return pd.DataFrame(
+        {"bit": bits,
+         "n_set": [int(x) for x in n_set],
+         "n_rows": np.full(64, n_rows, dtype=np.int64),
+         "set_fraction": [
+             (int(x) / n_rows) if n_rows else 0.0 for x in n_set
+         ]}
+    )

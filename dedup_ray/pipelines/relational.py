@@ -658,6 +658,12 @@ def _order_priorities_vs_bulk(sf_dir: str, how: str, min_qty: float) -> rd.Datas
     ).map_batches(bulk_keys, batch_format="pyarrow")
     hits = shuffle_join(orders, items, on="o_orderkey", right_on="l_orderkey",
                         how=how)
+    return _priority_counts(hits)
+
+
+def _priority_counts(hits: rd.Dataset) -> rd.Dataset:
+    """(o_orderpriority, n_orders) from semi/anti-join hits: per-batch
+    partial counts before the tiny priority groupby."""
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("o_orderpriority").aggregate(
@@ -679,6 +685,83 @@ def _order_priorities_vs_bulk(sf_dir: str, how: str, min_qty: float) -> rd.Datas
         ),
         batch_format="pyarrow",
     )
+
+
+def bulk_order_priorities_bloom(
+    sf_dir: str, min_qty: float = 49.0, fpp: float = 0.01
+) -> rd.Dataset:
+    """``bulk_order_priorities`` with a Bloom prefilter on the probe side —
+    the 100-TB semi-join reduction made concrete. Value-identical to the
+    plain semi join (same oracle SQL): the Bloom bitmap only drops
+    GUARANTEED-miss probe rows before the co-partitioning shuffle; false
+    positives (~``fpp``) survive to the exact shuffle_join and die there.
+
+    Scale shape: per-batch partial bitmaps (bitwise-OR-mergeable) are built
+    worker-side over the already-distinct key rows and folded on the driver
+    — driver state is ONE bitmap of m/8 bytes, sized from the probe-side
+    metadata row count (an upper bound on distinct keys, so the realized
+    fpp only improves). At 1e9+ keys the fold becomes a tree-reduce of the
+    same OR and the bitmap ships once via ray.put (zero-copy reads in every
+    probe task); the rows the filter prunes never enter the shuffle, which
+    is the whole point. Pruned-row count lands in the ``bloom_pruned_rows``
+    counter."""
+    import ray
+
+    from dedup_ray.functions.bloom import bloom_build, bloom_params, bloom_probe
+    from dedup_ray.stages.join import shuffle_join
+
+    items = read_view(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    m_bits, k = bloom_params(max(items.count(), 1), fpp)
+
+    def bulk_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(pc.greater(b["l_quantity"], min_qty))["l_orderkey"]
+        return pa.table({"l_orderkey": pc.unique(keys)})
+
+    keys_ds = items.map_batches(bulk_keys, batch_format="pyarrow").materialize()
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        bm = bloom_build(
+            b["l_orderkey"].to_numpy(zero_copy_only=False), m_bits, k
+        )
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for t in ray.get(
+        keys_ds.map_batches(bitmap_partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows and "bm" in t.column_names:
+            for buf in t["bm"].to_pylist():
+                bitmap |= np.frombuffer(buf, dtype=np.uint64)
+    ref = ray.put(bitmap)
+
+    orders = read_view(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        keep = bloom_probe(
+            b["o_orderkey"].to_numpy(zero_copy_only=False), bm, k
+        )
+        pruned = int((~keep).sum())
+        if pruned:
+            from dedup_ray.state.metrics import inc_counter
+
+            inc_counter("bloom_pruned_rows", pruned)
+        return b.filter(pa.array(keep))
+
+    survivors = orders.map_batches(probe, batch_format="pyarrow")
+    hits = shuffle_join(
+        survivors, keys_ds, on="o_orderkey", right_on="l_orderkey", how="semi",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+    )
+    return _priority_counts(hits)
 
 
 # Price bands for the range join: [lo, hi) — a small static dimension side.
