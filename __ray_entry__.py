@@ -100,6 +100,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phash_hamming_search(_corpus(sf_dir))
 
+    def flagship_counters(sf_dir: str):
+        """The flagship run's per-stage progress counters as a table —
+        the north-rule "lineage + metrics" surfaced as a query: one
+        (counter, value) row per named counter (pairs_verified,
+        edges_emitted, rows_dropped_unreadable, cascade_dup_phashes,
+        lsh_buckets_capped/salted, ...). Rows-only: counter values are
+        execution metrics, not SQL-derivable relations."""
+        import pandas as pd
+
+        from dedup_ray.pipelines.neardup import run_neardup
+
+        res = run_neardup(_corpus(sf_dir))
+        items = sorted(res.counters.items())
+        return pd.DataFrame(
+            {"counter": [k for k, _ in items],
+             "value": [int(v) for _, v in items]}
+        )
+
     def neardup_quality_eval_q(sf_dir: str):
         """North-rule acceptance metric (dup-pair recall >= 0.99 + precision)
         computed distributed against the corpus's planted gt sidecar.
@@ -427,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_report": flagship_report,
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
         "neardup_quality_eval": neardup_quality_eval_q,  # rows-only (non-SQL)
+        "flagship_counters": flagship_counters,          # rows-only (metrics)
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
         "phash_bitplane_stats": phash_bitplane_stats_q,

@@ -194,6 +194,8 @@ def run_bench(scope: str) -> dict:
             "copurchase_clustering", "overlapping_order_spans",
             "rolling_7d_dau", "source_overlap_matrix",
             "association_rules", "lang_source_chi2_cells",
+            "minhash_funnel_stats", "phash_bitplane_stats",
+            "bulk_order_priorities_bloom",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

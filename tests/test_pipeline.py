@@ -154,3 +154,19 @@ def test_neardup_quality_eval(tiny_corpus):
     # degenerate classes plant no pairs
     for cls in ("unique", "hot_empty_caption"):
         assert by.loc[cls, "gt_pairs"] == 0, cls
+
+
+def test_flagship_counters_query(tiny_corpus, monkeypatch):
+    """queries()['flagship_counters'] emits one row per named counter with
+    positive values for the stages the tiny corpus exercises."""
+    import __ray_entry__ as entry_mod
+
+    monkeypatch.setattr(
+        entry_mod, "_corpus",
+        lambda sf_dir: os.path.join(tiny_corpus, "images.parquet"),
+    )
+    df = entry_mod.queries()["flagship_counters"]("ignored")
+    got = dict(zip(df["counter"], df["value"]))
+    assert got.get("pairs_verified", 0) > 0
+    assert got.get("edges_emitted", 0) > 0
+    assert (df["value"] >= 0).all()
