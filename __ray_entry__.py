@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pbs(_corpus(sf_dir))
 
+    def corpus_dup_estimate_q(sf_dir: str):
+        from dedup_ray.pipelines.neardup import corpus_dup_estimate as cde
+
+        return cde(_corpus(sf_dir))
+
     def image_size_filter(sf_dir: str):
         from dedup_ray.pipelines.neardup import image_size_filter as isf
 
@@ -449,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_hamming_search": phash_search,
         "corpus_format_stats": corpus_format_stats,
         "phash_bitplane_stats": phash_bitplane_stats_q,
+        "corpus_dup_estimate": corpus_dup_estimate_q,
         "image_size_filter": image_size_filter,
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,
@@ -964,6 +970,16 @@ def oracle_sql() -> dict[str, str]:
         # image-side per-format profile over the synthesised corpus cache
         # (generated/cached by the Ray query BEFORE the oracle runs, like
         # phash_hamming_search)
+        # pre-flight dup estimate: exact distinct counts + single int/int
+        # double divisions, literal-identical expressions both sides
+        "corpus_dup_estimate": (
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "count(DISTINCT phash)::BIGINT AS n_distinct_phash, "
+            "count(DISTINCT caption)::BIGINT AS n_distinct_caption, "
+            "1 - (count(DISTINCT phash) / count(*)) AS phash_dup_ratio, "
+            "1 - (count(DISTINCT caption) / count(*)) AS caption_dup_ratio "
+            f"FROM read_parquet('{_CORPUS_CACHE}_1000/images.parquet/*.parquet')"
+        ),
         # per-bitplane balance audit of phash (SimHash-over-phash-bitplanes
         # tier diagnostic); >> is arithmetic in BOTH DuckDB and numpy int64,
         # so (phash >> bit) & 1 extracts identically incl. the sign bit;

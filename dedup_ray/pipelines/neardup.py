@@ -1105,3 +1105,65 @@ def phash_bitplane_stats(input_path: str):
              (int(x) / n_rows) if n_rows else 0.0 for x in n_set
          ]}
     )
+
+
+def corpus_dup_estimate(input_path: str):
+    """Decode-free pre-flight duplicate estimate: row count, exact distinct
+    phash / caption counts, and the phash-collapse dup-ratio upper bound
+    (pixel-equal rows share a phash, so 1 - distinct_phash/rows bounds the
+    exact-tier dup ratio from above). An operator runs THIS before
+    committing a 100-TB flagship run: the dup ratio drives cascade-decode
+    work (README.md:125-146 of the reference — work scales with dups, not
+    corpus), so the estimate is the sizing input for decode concurrency
+    and checkpoint cadence.
+
+    Scale shape: each distinct count rides ONE column-projected
+    grouped_runs shuffle whose kernel emits a per-bucket distinct-run
+    count — only integers leave buckets, the driver folds one int per
+    bucket. At extreme cardinality the documented swap is the HLL sketch
+    (``approx_distinct_users``'s mergeable-register shape) at <6% error.
+    The final ratios are single exact-int double divisions, matching the
+    SQL oracle bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def distinct_count(col: str) -> tuple[int, int]:
+        ds = read_table(input_path, columns=[col])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            keys = g[col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"nd": pa.array([len(run_starts(keys))], pa.int64()),
+                 "n": pa.array([len(keys)], pa.int64())}
+            )
+
+        nd = n = 0
+        for t in ray.get(
+            grouped_runs(ds, col, kernel).to_arrow_refs()
+        ):
+            if t.num_rows and "nd" in t.column_names:
+                nd += sum(t["nd"].to_pylist())
+                n += sum(t["n"].to_pylist())
+        return nd, n
+
+    nd_phash, n_rows = distinct_count("phash")
+    nd_caption, _ = distinct_count("caption")
+    return pd.DataFrame(
+        [{
+            "n_rows": int(n_rows),
+            "n_distinct_phash": int(nd_phash),
+            "n_distinct_caption": int(nd_caption),
+            "phash_dup_ratio": (
+                1 - (nd_phash / n_rows) if n_rows else 0.0
+            ),
+            "caption_dup_ratio": (
+                1 - (nd_caption / n_rows) if n_rows else 0.0
+            ),
+        }]
+    )

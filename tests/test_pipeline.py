@@ -170,3 +170,22 @@ def test_flagship_counters_query(tiny_corpus, monkeypatch):
     assert got.get("pairs_verified", 0) > 0
     assert got.get("edges_emitted", 0) > 0
     assert (df["value"] >= 0).all()
+
+
+def test_corpus_dup_estimate(tiny_corpus):
+    """Pre-flight estimator: exact distinct counts on the planted corpus,
+    ratios consistent with the planted exact-dup classes."""
+    from dedup_ray.pipelines.neardup import corpus_dup_estimate
+
+    row = corpus_dup_estimate(
+        os.path.join(tiny_corpus, "images.parquet")
+    ).iloc[0]
+    assert row["n_rows"] == 200
+    assert 0 < row["n_distinct_phash"] <= 200
+    assert 0 < row["n_distinct_caption"] <= 200
+    # planted exact_byte + reencode + hot_identical classes guarantee
+    # repeated phashes; near/unique classes keep the ratio well below 1
+    assert 0.0 < row["phash_dup_ratio"] < 0.9
+    assert row["phash_dup_ratio"] == 1 - (
+        row["n_distinct_phash"] / row["n_rows"]
+    )
