@@ -147,6 +147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cde(_corpus(sf_dir))
 
+    def wasted_bytes_by_fmt_q(sf_dir: str):
+        """Per-format duplicate-waste breakdown (rows-only: depends on the
+        flagship's non-SQL cluster relation; pytest cross-checks the total
+        against the report's wasted_bytes)."""
+        from dedup_ray.pipelines.neardup import wasted_bytes_by_fmt as wbf
+
+        return wbf(_corpus(sf_dir))
+
     def image_size_filter(sf_dir: str):
         from dedup_ray.pipelines.neardup import image_size_filter as isf
 
@@ -455,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_format_stats": corpus_format_stats,
         "phash_bitplane_stats": phash_bitplane_stats_q,
         "corpus_dup_estimate": corpus_dup_estimate_q,
+        "wasted_bytes_by_fmt": wasted_bytes_by_fmt_q,  # rows-only (non-SQL)
         "image_size_filter": image_size_filter,
         "caption_quality": caption_quality,
         "caption_dup_images": caption_dup_images,

@@ -1167,3 +1167,88 @@ def corpus_dup_estimate(input_path: str):
             ),
         }]
     )
+
+
+def wasted_bytes_by_fmt(input_path: str):
+    """Per-format breakdown of duplicate waste: for every non-keeper member
+    of a detected cluster, its byte cost attributed to its source format —
+    (fmt, n_dup_rows, wasted_bytes). The operational question behind the
+    reference's single wasted-bytes total (src/main.rs report): WHICH codec
+    family pays for the duplication decides where re-encoding or stricter
+    admission buys the most storage back. Σ wasted_bytes equals the
+    flagship report's total exactly (pytest cross-check).
+
+    Scale shape: byte_len is computed at the read (bytes never enter any
+    shuffle); members join to their sizes via ONE image_id-keyed
+    shuffle_join (big-big safe); per-batch (fmt, n, bytes) partials fold
+    driver-side bounded by the format vocabulary.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dedup_ray.stages.join import shuffle_join
+
+    res = run_neardup(input_path)
+
+    def non_keepers(b: pa.Table) -> pa.Table:
+        if not b.num_rows or "image_id" not in b.column_names:
+            return pa.schema([("image_id", pa.string())]).empty_table()
+        keep = pc.not_equal(b["image_id"], b["cluster_id"])
+        return pa.table({"image_id": b["image_id"].filter(keep)})
+
+    dups = res.clusters.map_batches(non_keepers, batch_format="pyarrow")
+
+    def sizes(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"image_id": b["image_id"],
+             "fmt": b["fmt"],
+             "byte_len": pc.binary_length(b["bytes"]).cast(pa.int64())}
+        )
+
+    size_ds = read_table(
+        input_path, columns=["image_id", "fmt", "bytes"]
+    ).map_batches(sizes, batch_format="pyarrow")
+
+    joined = shuffle_join(
+        dups, size_ds, on="image_id", how="inner",
+        left_schema=pa.schema([("image_id", pa.string())]),
+        right_schema=pa.schema(
+            [("image_id", pa.string()), ("fmt", pa.string()),
+             ("byte_len", pa.int64())]
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if not b.num_rows or "fmt" not in b.column_names:
+            return pa.schema(
+                [("fmt", pa.string()), ("n", pa.int64()),
+                 ("wb", pa.int64())]
+            ).empty_table()
+        g = b.group_by("fmt").aggregate(
+            [("byte_len", "count"), ("byte_len", "sum")]
+        )
+        return pa.table(
+            {"fmt": g["fmt"],
+             "n": g["byte_len_count"].cast(pa.int64()),
+             "wb": g["byte_len_sum"].cast(pa.int64())}
+        )
+
+    acc: dict[str, list[int]] = {}
+    for t in ray.get(
+        joined.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "fmt" in t.column_names:
+            for f, n, wb in zip(t["fmt"].to_pylist(), t["n"].to_pylist(),
+                                t["wb"].to_pylist()):
+                a = acc.setdefault(f, [0, 0])
+                a[0] += n; a[1] += wb
+    fmts = sorted(acc)
+    return pd.DataFrame(
+        {"fmt": fmts,
+         "n_dup_rows": [acc[f][0] for f in fmts],
+         "wasted_bytes": [acc[f][1] for f in fmts]}
+    )

@@ -189,3 +189,17 @@ def test_corpus_dup_estimate(tiny_corpus):
     assert row["phash_dup_ratio"] == 1 - (
         row["n_distinct_phash"] / row["n_rows"]
     )
+
+
+def test_wasted_bytes_by_fmt(tiny_result, tiny_corpus):
+    """Per-format waste must partition the report's wasted_bytes total
+    exactly, counting every non-keeper member once."""
+    from dedup_ray.pipelines.neardup import wasted_bytes_by_fmt
+
+    df = wasted_bytes_by_fmt(os.path.join(tiny_corpus, "images.parquet"))
+    assert df["wasted_bytes"].sum() == tiny_result.stats["wasted_bytes"]
+    n_dups = tiny_result.stats["duplicate_rows"] - tiny_result.stats[
+        "duplicate_clusters"
+    ]  # one keeper per cluster
+    assert df["n_dup_rows"].sum() == n_dups
+    assert (df["wasted_bytes"] > 0).all()
