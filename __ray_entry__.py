@@ -205,6 +205,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         generate_corpus(out, n_rows=n, use_ray=False, rot_dups=True)
         return ric(os.path.join(out, "images.parquet"))
 
+    def letterbox_dedup_clusters(sf_dir: str):
+        """Letterbox/frame-invariant exact dedup over a corpus with PLANTED
+        padded duplicates (sources/corpus.py pad_dups mix; cached separately
+        from the default corpus). Rows-only: binary decode is non-SQL;
+        pytest checks vs the planted ground truth + kernel properties."""
+        import os
+
+        from dedup_ray.pipelines.neardup import letterbox_dedup_clusters as ldc
+        from dedup_ray.sources.corpus import generate_corpus
+
+        n = 5000 if sf_dir.rstrip("/").endswith("sf0.1") else 1000
+        out = f"{_CORPUS_CACHE}_pad_{n}"
+        generate_corpus(out, n_rows=n, use_ray=False, pad_dups=True)
+        return ldc(os.path.join(out, "images.parquet"))
+
     def image_histogram_search(sf_dir: str):
         from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import image_histogram_search as ihs
@@ -283,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
         "minhash_keep_longest": text.minhash_keep_longest,      # SQL-checked
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
+        "simhash_dedup_keep": text.simhash_dedup_keep,          # SQL-checked
+        "prefix_dup_groups": text.prefix_dup_groups,            # SQL-checked
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,        # SQL-checked
         "containment_pairs": text.containment_pairs,            # SQL-checked
         "edit_distance_pairs": text.edit_distance_pairs,        # SQL-checked
@@ -473,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_distance_histogram": phash_distance_histogram_q,
         "langid_confusion": analysis.langid_confusion,  # rows-only (trigram model; pytest diagonal)
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
+        "letterbox_dedup_clusters": letterbox_dedup_clusters,  # rows-only (pytest vs planted gt)
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,
@@ -491,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_bigram_fraction": curation.dup_bigram_fraction,
         "pack_sequences": curation.pack_sequences,  # rows-only (sequential greedy is non-SQL)
         "hash_split_docs": curation.hash_split_docs,
+        "leakage_safe_split": curation.leakage_safe_split,  # SQL-checked
         "sample_per_source": curation.sample_per_source,
         "dup_ngrams": curation.dup_ngrams,
         "mix_sources": curation.mix_sources,
@@ -750,6 +769,40 @@ def _sketch_oracles() -> dict[str, str]:
             "(SELECT count(*) FROM edges)::BIGINT AS n_verified_pairs"
         ),
         "edit_distance_pairs": edit_sql,
+        # SimHash dedup APPLY: same pair predicate as simhash_near_pairs,
+        # closed into components via recursive min-label CC, keeper = min
+        # doc_id (mirrors minhash_keep_sql's shape on the simhash relation)
+        "simhash_dedup_keep": (
+            "WITH RECURSIVE "
+            + simhash_sql.split("SELECT x.doc_id AS a")[0][len("WITH "):]
+            + ", edges AS (SELECT x.doc_id AS ca, y.doc_id AS cb "
+            "FROM shx x JOIN shx y ON x.doc_id < y.doc_id "
+            "WHERE bit_count(xor(x.uval, y.uval)) <= 3), "
+            "nodes AS (SELECT DISTINCT n FROM (SELECT ca AS n FROM edges "
+            "UNION ALL SELECT cb FROM edges)), "
+            "und AS (SELECT ca, cb FROM edges UNION SELECT cb, ca FROM edges), "
+            "r(n, l) AS (SELECT n, n FROM nodes "
+            "UNION SELECT u.cb, r.l FROM r JOIN und u ON u.ca = r.n), "
+            "cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid FROM r GROUP BY n) "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "LEFT JOIN cl USING (doc_id) WHERE cl.cid IS NULL "
+            "OR cl.cid = d.doc_id"
+        ),
+        # leakage-safe split: cluster CTEs -> key = coalesce(cid, doc_id) ->
+        # HUGEINT splitmix64 over the DISTINCT keys -> 90/5/5 thresholds
+        # (the same exact integers hash_split_docs compares against)
+        "leakage_safe_split": minhash_sql.replace(
+            "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",
+            ", cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid FROM r GROUP BY n), "
+            "keyed AS (SELECT d.doc_id, coalesce(cl.cid, d.doc_id) AS key "
+            "FROM documents d LEFT JOIN cl USING (doc_id)), "
+            "ks AS (SELECT DISTINCT key AS doc_id FROM keyed), "
+            + _smix_ctes("doc_id", "ks")
+            + f" SELECT k.doc_id, CASE WHEN hx.h < {(1 << 64) * 9 // 10} "
+            f"THEN 'train' WHEN hx.h < {(1 << 64) * 19 // 20} THEN 'val' "
+            "ELSE 'test' END AS split "
+            "FROM keyed k JOIN hx ON hx.doc_id = k.key",
+        ),
         "neardup_cluster_sizes": minhash_sql.replace(
             "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",
             ", cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid FROM r GROUP BY n) "
@@ -765,6 +818,15 @@ def oracle_sql() -> dict[str, str]:
     tok = ("CASE WHEN trim(text) = '' THEN 0 "
            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
     return _sketch_oracles() | {
+        # truncation dups: substr is character-based, matching Python slicing
+        "prefix_dup_groups": (
+            "WITH p AS (SELECT doc_id, substr(text, 1, 32) AS pfx "
+            "FROM documents), "
+            "g AS (SELECT pfx, min(doc_id) AS rep FROM p "
+            "GROUP BY pfx HAVING count(*) >= 2) "
+            "SELECT p.doc_id, g.rep::BIGINT AS group_rep "
+            "FROM p JOIN g USING (pfx)"
+        ),
         "exact_dedup_groups": (
             "SELECT min(doc_id) AS rep_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text HAVING count(*) >= 2"

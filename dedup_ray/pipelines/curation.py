@@ -1379,3 +1379,50 @@ def weighted_sample_docs(sf_dir: str, k: int = 100) -> pa.Table:
         {"doc_id": pa.array(ids[order], pa.int64()),
          "skey": pa.array(skey[order], pa.float64())}
     )
+
+
+def leakage_safe_split(sf_dir: str) -> rd.Dataset:
+    """Near-dup-aware train/val/test split (90/5/5): ``hash_split_docs``'s
+    splitmix64 rule, but the hash KEY is the MinHash near-dup cluster
+    keeper (min-label; the doc's own id when unclustered) — so every
+    near-dup cluster lands wholly in ONE split and near-duplicate
+    train->eval contamination is impossible by construction. This is the
+    split a pretraining pipeline should actually use; splitting by raw
+    doc_id leaks every near-dup pair that straddles the boundary:
+    (doc_id, split).
+
+    Scale shape: clustering is the fully distributed
+    ``text.minhash_neardup_clusters`` path; only the (doc_id, cluster_id)
+    assignment — bounded by the duplicate volume — reaches the driver and
+    broadcasts as two sorted int64 arrays; the split itself is one
+    shuffle-free streamed map (searchsorted key swap + splitmix64). At a
+    dup volume too big to broadcast, the key swap becomes a left
+    shuffle_join on doc_id — the map is unchanged. The DuckDB oracle
+    reproduces the whole chain (bit-exact MinHash CTEs -> recursive CC ->
+    HUGEINT splitmix64) value-identically."""
+    import ray
+
+    from dedup_ray.functions.hashing import splitmix64
+    from dedup_ray.pipelines.text import minhash_neardup_clusters
+
+    cl = minhash_neardup_clusters(sf_dir)
+    d = cl["doc_id"].to_numpy(dtype=np.int64)  # sorted by doc_id
+    c = cl["cluster_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((d, c))
+    t1, t2 = np.uint64(_SPLIT_T1), np.uint64(_SPLIT_T2)
+
+    def assign(b: pa.Table) -> pa.Table:
+        dd, cc = ray.get(ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        key = ids.astype(np.int64, copy=True)
+        if len(dd):
+            pos = np.minimum(np.searchsorted(dd, ids), len(dd) - 1)
+            hit = dd[pos] == ids
+            key[hit] = cc[pos[hit]]
+        h = splitmix64(key)
+        split = np.where(h < t1, "train", np.where(h < t2, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"], "split": pa.array(split)})
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -1252,3 +1252,104 @@ def wasted_bytes_by_fmt(input_path: str):
          "n_dup_rows": [acc[f][0] for f in fmts],
          "wasted_bytes": [acc[f][1] for f in fmts]}
     )
+
+
+def letterbox_crop(px):
+    """Canonical uniform-border strip, applied to fixpoint: from each of the
+    four edges, strip the maximal run of full rows/cols that are entirely
+    the color of that edge's corner pixel (top/left anchor = px[0,0],
+    bottom/right anchor = px[-1,-1], so one-sided bars and two-tone frames
+    both strip). Deterministic and idempotent — letterboxed / pillarboxed /
+    framed re-posts of the same content all canonicalize to the same pixel
+    array (nested borders handled by the fixpoint loop). An all-constant
+    image is returned unchanged (no content to anchor on)."""
+    import numpy as np
+
+    def _run(uniform: np.ndarray) -> int:
+        # length of the leading True run
+        nz = np.flatnonzero(~uniform)
+        return int(nz[0]) if nz.size else len(uniform)
+
+    while True:
+        h, w = px.shape[0], px.shape[1]
+        top = (px == px[0, 0]).all(axis=(1, 2))
+        bot = (px == px[-1, -1]).all(axis=(1, 2))
+        left = (px == px[0, 0]).all(axis=(0, 2))
+        right = (px == px[-1, -1]).all(axis=(0, 2))
+        r0, r1 = _run(top), h - _run(bot[::-1])
+        c0, c1 = _run(left), w - _run(right[::-1])
+        if r0 >= r1 or c0 >= c1:
+            return px  # stripping would leave nothing: no content to anchor
+        if r0 == 0 and c0 == 0 and r1 == h and c1 == w:
+            return px
+        px = px[r0:r1, c0:c1]
+
+
+def letterbox_dedup_clusters(input_path: str) -> rd.Dataset:
+    """Letterbox/frame-invariant exact dedup: clusters of images whose
+    DECODED pixels are identical after stripping uniform-color borders —
+    the re-post tier plain ``pixel_hash`` cannot see (letterboxed,
+    pillarboxed or framed copies of the same content):
+    (image_id, cluster_id) member rows for clusters of >= 2, cluster_id =
+    min member image_id.
+
+    Key = pixel_hash(letterbox_crop(pixels)), computed INSIDE the
+    scan-side decode task — bytes and pixels never shuffle (the flagship
+    keys-stage rule); then one hash-partitioned shuffle on the digest and
+    a vectorized HAVING >= 2 run kernel, exactly the
+    ``rotation_invariant_clusters`` shape. The canonical crop is exact
+    (no threshold), so grouping is equality — no verify tier needed.
+    Rows-only query: binary decode is not SQL-expressible;
+    tests/test_letterbox.py checks planted padded-copy ground truth plus
+    kernel properties (idempotence, nested borders, all-constant)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.functions import codecs
+    from dedup_ray.functions.hashing import pixel_hash
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    ds = read_table(input_path, columns=["image_id", "bytes", "fmt"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        data = b["bytes"]
+        fmts = b["fmt"].to_pylist()
+        dig = np.empty(n, dtype=object)
+        ok = np.ones(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode(data[i].as_py(), fmts[i])
+                dig[i] = pixel_hash(letterbox_crop(px)).hex()
+            except Exception:
+                ok[i] = False
+                dig[i] = ""
+        t = pa.table(
+            {"image_id": b["image_id"],
+             "lhash": pa.array(list(dig), type=pa.string())}
+        )
+        return t.filter(pa.array(ok))
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow", batch_size=256)
+
+    out_schema = pa.schema(
+        [("image_id", pa.string()), ("cluster_id", pa.string())]
+    )
+
+    def emit_clusters(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        lh = np.asarray(g["lhash"].to_pylist(), dtype=object)
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        starts = run_starts(lh)
+        sizes = np.diff(np.append(starts, len(lh)))
+        rep = np.repeat(ids[starts], sizes)  # sorted (lhash, id): min id first
+        keep = np.repeat(sizes >= 2, sizes)
+        return pa.table(
+            {"image_id": pa.array(ids[keep], type=pa.string()),
+             "cluster_id": pa.array(rep[keep], type=pa.string())}
+        )
+
+    return grouped_runs(
+        keyed, "lhash", emit_clusters, sort_cols=["lhash", "image_id"]
+    )

@@ -1421,3 +1421,95 @@ def minhash_funnel_stats(
             "n_verified_pairs": int(n_verified),
         }]
     ).astype("int64")
+
+
+def prefix_dup_groups(sf_dir: str, n_chars: int = 32) -> rd.Dataset:
+    """Truncation-duplicate groups: documents sharing their first
+    ``n_chars`` CHARACTERS, grouped HAVING >= 2 — the web-scrape staple for
+    catching truncated/re-crawled copies that exact-hash dedup misses
+    because the tails differ: (doc_id, group_rep), group_rep = min doc_id
+    of the prefix group (the usual deterministic keeper rule, D3).
+
+    Scale shape: one map computes the prefix (Python slicing is
+    character-based exactly like the oracle's ``substr``), then ONE
+    hash-partitioned grouped_runs shuffle keyed on it with a vectorized
+    run kernel (run_starts + two repeats) — per-group Python never runs.
+    Only (doc_id, 32-char prefix) rows move; at 10^12 rows the prefix
+    would be digested to 8 bytes before the shuffle (collision-free in
+    practice), kept raw here for oracle byte-parity."""
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    def pfx(b: pa.Table) -> pa.Table:
+        p = [(t or "")[:n_chars] for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "pfx": pa.array(p, type=pa.string())}
+        )
+
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pfx, batch_format="pyarrow"
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("group_rep", pa.int64())])
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        p = np.asarray(g["pfx"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        starts = run_starts(p)
+        sizes = np.diff(np.append(starts, len(p)))
+        rep = np.repeat(ids[starts], sizes)  # sorted (pfx, id): min id first
+        keep = np.repeat(sizes >= 2, sizes)
+        return pa.table(
+            {"doc_id": pa.array(ids[keep], type=pa.int64()),
+             "group_rep": pa.array(rep[keep], type=pa.int64())}
+        )
+
+    return grouped_runs(keyed, "pfx", emit, sort_cols=["pfx", "doc_id"])
+
+
+def simhash_dedup_keep(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """SimHash dedup APPLY — the surviving corpus after collapsing SimHash
+    near-dup components (keeper = min doc_id per connected component):
+    (doc_id, lang, source). The bitwise twin of ``minhash_dedup_keep``:
+    same keeper rule and broadcast drop-set probe, but the duplicate
+    relation is hamming(simhash) <= max_hamming closed under connectivity.
+
+    Scale shape: everything up to confirmed pairs is the fully distributed
+    ``simhash_near_pairs`` path (band-bucket grouped_runs + vectorized
+    hamming verify); the confirmed pair set is dup-bounded, so components
+    fold on the driver and the drop set broadcasts as one sorted int64
+    array — swap the probe for a hash anti-join at extreme dup volume,
+    exactly as minhash_dedup_keep documents."""
+    import ray
+
+    pairs = simhash_near_pairs(sf_dir, max_hamming)
+    edges = [
+        (f"{a:012d}", f"{b:012d}") for a, b in zip(pairs["a"], pairs["b"])
+    ]
+    comp = connected_components(edges)
+    drop = np.sort(
+        np.array(
+            [int(k) for k, v in comp.items() if int(k) != int(v)],
+            dtype=np.int64,
+        )
+    )
+    ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d):
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            hit = d[pos] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        m = pa.array(~hit)
+        return pa.table(
+            {"doc_id": b["doc_id"].filter(m),
+             "lang": b["lang"].filter(m),
+             "source": b["source"].filter(m)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

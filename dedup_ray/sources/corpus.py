@@ -58,6 +58,16 @@ _CLASS_MIX_ROT = [
     ("rotated", 0.08, (2, 4)),
 ] + _CLASS_MIX[1:]
 
+# opt-in mix (spec.pad_dups): adds letterboxed/framed duplicate clusters —
+# members are member 0's pixels wrapped in a uniform-color border, in a
+# LOSSLESS fmt, so the planted ground truth is exactly recoverable by the
+# canonical border-strip digest (pipelines/neardup.letterbox_crop). Weight
+# comes out of `unique`, like _CLASS_MIX_ROT.
+_CLASS_MIX_PAD = [
+    ("unique", 0.34, (1, 1)),
+    ("padded", 0.08, (2, 4)),
+] + _CLASS_MIX[1:]
+
 _FMTS = ["raw", "png", "qnt"]
 _FMT_W = [0.4, 0.4, 0.2]
 
@@ -88,6 +98,7 @@ class CorpusSpec:
     # (None = legacy class-mix behaviour ~0.7; the reference benchmarks at
     # 0.10/0.30/0.60 — benchmark/config.py:20-22)
     rot_dups: bool = False  # opt-in: plant rotated/flipped duplicate clusters
+    pad_dups: bool = False  # opt-in: plant letterboxed/framed duplicate clusters
 
     @property
     def vocab_size(self) -> int:
@@ -107,7 +118,8 @@ def plan_corpus(spec: CorpusSpec) -> pa.Table:
     member_idx:int32, dup_class:string, fmt:string
     """
     rng = np.random.default_rng(spec.seed)
-    mix = _CLASS_MIX_ROT if spec.rot_dups else _CLASS_MIX
+    mix = (_CLASS_MIX_ROT if spec.rot_dups
+           else _CLASS_MIX_PAD if spec.pad_dups else _CLASS_MIX)
     names = [c[0] for c in mix]
     weights = np.array([c[1] for c in mix])
     weights = weights / weights.sum()
@@ -150,7 +162,7 @@ def plan_corpus(spec: CorpusSpec) -> pa.Table:
             elif cls == "reencode":
                 # force distinct fmts across members (the class's point)
                 fmt = ["raw", "png", "qnt"][m % 3]
-            elif cls == "rotated":
+            elif cls in ("rotated", "padded"):
                 # lossless only: members must decode to EXACT transforms
                 fmt = ["raw", "png"][int(rng.integers(0, 2))]
             else:
@@ -254,6 +266,19 @@ def materialize_rows(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
                     if i == k:
                         pixels = np.ascontiguousarray(t)
                         break
+        elif cls == "padded":
+            if m > 0:
+                # member 0's pixels wrapped in a uniform-color border of
+                # per-member deterministic color/widths; caption stays the
+                # cluster caption (a letterboxed copy keeps its label).
+                # w/h columns are fixed up below from the actual shape.
+                col = mrng.integers(0, 256, size=3, dtype=np.int64).astype(np.uint8)
+                t, b_, l, r = (int(x) for x in mrng.integers(1, max(2, min(w, h) // 6), size=4))
+                ph, pw2 = pixels.shape[0] + t + b_, pixels.shape[1] + l + r
+                framed = np.empty((ph, pw2, 3), dtype=np.uint8)
+                framed[:, :] = col
+                framed[t : t + pixels.shape[0], l : l + pixels.shape[1]] = pixels
+                pixels = framed
         elif cls == "phash_near":
             if m > 0:
                 # perturb a small patch; caption fully different
@@ -319,6 +344,7 @@ def generate_corpus(
     img_max: int | None = None,
     dup_ratio: float | None = None,
     rot_dups: bool = False,
+    pad_dups: bool = False,
 ) -> dict:
     """Generate the corpus + sidecars into ``out_dir``; returns metadata.
 
@@ -329,7 +355,7 @@ def generate_corpus(
     """
     spec = CorpusSpec(
         n_rows=n_rows or SCALES[scale], seed=seed, dup_ratio=dup_ratio,
-        rot_dups=rot_dups,
+        rot_dups=rot_dups, pad_dups=pad_dups,
     )
     if img_min or img_max:
         from dataclasses import replace
@@ -341,6 +367,7 @@ def generate_corpus(
         f"{spec.n_rows}-{spec.seed}-{spec.hot_cluster_size}"
         f"-{spec.img_min}-{spec.img_max}-{spec.vocab_size}-{spec.dup_ratio}-v7"
         + ("-rot1" if spec.rot_dups else "")
+        + ("-pad1" if spec.pad_dups else "")
     )
     meta_path = os.path.join(out_dir, "metadata.json")
     if os.path.exists(meta_path):
