@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup over documents ---
         "minhash_neardup_docs": text.minhash_neardup_clusters,  # SQL-checked
         "minhash_funnel_stats": text.minhash_funnel_stats,      # SQL-checked
+        "minhash_threshold_sweep": text.minhash_threshold_sweep,  # SQL-checked
         "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
         "minhash_keep_longest": text.minhash_keep_longest,      # SQL-checked
         "simhash_near_pairs": text.simhash_near_pairs,          # rows-only
@@ -513,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": curation.sample_per_source,
         "dup_ngrams": curation.dup_ngrams,
         "mix_sources": curation.mix_sources,
+        "temperature_mix_weights": curation.temperature_mix_weights,  # SQL-checked
         "remove_dup_passages": curation.remove_dup_passages,
         "curate_docs": curation.curate_docs,
     }
@@ -769,6 +771,18 @@ def _sketch_oracles() -> dict[str, str]:
             "(SELECT count(*) FROM edges)::BIGINT AS n_verified_pairs"
         ),
         "edit_distance_pairs": edit_sql,
+        # threshold-sweep histogram: same DISTINCT-candidate + signature
+        # CTEs, agreement count per pair, grouped; est_jaccard is the same
+        # single IEEE division the verify stage performs
+        "minhash_threshold_sweep": (
+            minhash_sql.split("edges AS")[0]
+            + f"m AS (SELECT len(list_filter(range(1,{np_}+1), "
+            "i -> sa.s[i] = sb.s[i]))::BIGINT AS n_matches "
+            "FROM cand JOIN sig sa ON sa.doc_id = ca "
+            "JOIN sig sb ON sb.doc_id = cb) "
+            f"SELECT n_matches, n_matches / {float(np_)} AS est_jaccard, "
+            "count(*)::BIGINT AS n_pairs FROM m GROUP BY n_matches"
+        ),
         # SimHash dedup APPLY: same pair predicate as simhash_near_pairs,
         # closed into components via recursive min-label CC, keeper = min
         # doc_id (mirrors minhash_keep_sql's shape on the simhash relation)
@@ -2471,6 +2485,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # 90/5/5 thresholds are the EXACT integers (2^64*9//10, 2^64*19//20)
         # both sides compare against; h is splitmix64(doc_id) in HUGEINT
+        # n^alpha temperature sampling weights; both sides round to 8
+        # places (pow/sum association differs across engines)
+        "temperature_mix_weights": (
+            "WITH c AS (SELECT source, count(*)::BIGINT AS n_docs "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT sum(pow(n_docs, 0.7)) AS tot, "
+            "sum(n_docs)::DOUBLE AS ntot FROM c) "
+            "SELECT source, n_docs, "
+            "round(pow(n_docs, 0.7) / tot, 8) AS weight, "
+            "round((pow(n_docs, 0.7) / tot) / (n_docs::DOUBLE / ntot), 8) "
+            "AS boost FROM c CROSS JOIN t"
+        ),
         "hash_split_docs": (
             f"WITH {_smix_ctes('doc_id', 'documents')} "
             f"SELECT doc_id, CASE WHEN h < {(1 << 64) * 9 // 10} THEN 'train' "

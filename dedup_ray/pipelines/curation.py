@@ -1426,3 +1426,50 @@ def leakage_safe_split(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def temperature_mix_weights(sf_dir: str, alpha: float = 0.7):
+    """Temperature-based source-mixing weights — the multilingual/multi-
+    source sampling standard (p_i proportional to n_i^alpha, alpha < 1
+    upweights small sources): (source, n_docs, weight, boost) where weight
+    = n^alpha / sum(n^alpha) and boost = weight / natural share (>1 means
+    the source is sampled above its natural frequency). This op COMPUTES
+    the config that ``mix_sources`` applies.
+
+    Scale shape: per-batch partial (source, count) folds — the driver
+    holds one row per source (vocabulary-bounded, like
+    ``wasted_bytes_by_fmt``); the power/normalize math is a few scalars.
+    Floats are rounded to 8 places on both sides (pow/sum association
+    differs between numpy and the oracle's aggregate order)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b["source"].value_counts()
+        return pa.table(
+            {"source": vc.field("values"),
+             "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    acc: dict[str, int] = {}
+    for t in ray.get(
+        _docs(sf_dir, columns=["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        if t.num_rows and "source" in t.column_names:
+            for s, n in zip(t["source"].to_pylist(), t["n"].to_pylist()):
+                acc[s] = acc.get(s, 0) + int(n)
+
+    srcs = sorted(acc)
+    n = np.array([acc[s] for s in srcs], dtype=np.float64)
+    pw = n ** alpha
+    w = pw / pw.sum()
+    nat = n / n.sum()
+    return pd.DataFrame(
+        {
+            "source": srcs,
+            "n_docs": n.astype("int64"),
+            "weight": np.round(w, 8),
+            "boost": np.round(w / nat, 8),
+        }
+    )

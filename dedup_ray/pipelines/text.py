@@ -1513,3 +1513,68 @@ def simhash_dedup_keep(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def minhash_threshold_sweep(
+    sf_dir: str, cfg: DedupConfig | None = None
+) -> pd.DataFrame:
+    """Jaccard-threshold tuning curve in ONE pass: for every distinct
+    signature-agreement count over the deduped MinHash-LSH candidate pairs,
+    the number of pairs at that estimated similarity:
+    (n_matches, est_jaccard, n_pairs). Sweeping the verify threshold is
+    then a cumulative sum over this table instead of a re-run per
+    threshold — the knob-tuning companion to ``minhash_funnel_stats``
+    (which fixes the threshold) and ``phash_distance_histogram`` (the
+    image-side analog).
+
+    Scale shape: candidates come from the distributed band grouped_runs,
+    cross-band duplicates are deduped DISTRIBUTED (drop_sorted_dup_pairs —
+    the histogram must count each pair once), signatures attach to pair
+    rows only, and each batch folds to a (num_perm+1)-long bincount —
+    driver state is one small int vector. est_jaccard is the same single
+    IEEE division (matches / num_perm) the verify stage uses, so the
+    DuckDB oracle matches bit-exactly."""
+    import ray
+
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs, grouped_runs
+    from dedup_ray.stages.join import attach_pair_attrs
+
+    cfg = cfg or DedupConfig()
+    sigs, cand = _minhash_band_candidates(sf_dir, cfg)
+    deduped = grouped_runs(
+        cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
+        sort_cols=["src_id", "dst_id"],
+    )
+    attrs = sigs.map_batches(
+        lambda b: pa.table(
+            {"image_id": b["doc_id"], "minhash_sig": b["minhash_sig"]}
+        ),
+        batch_format="pyarrow",
+    )
+    withsig = attach_pair_attrs(deduped, attrs, ["minhash_sig"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        from dedup_ray.stages.signatures import sigs_from_arrow
+
+        if b.num_rows == 0 or "src_minhash_sig" not in b.column_names:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        sa = sigs_from_arrow(b["src_minhash_sig"])
+        sb = sigs_from_arrow(b["dst_minhash_sig"])
+        matches = (sa == sb).sum(axis=1).astype(np.int64)
+        counts = np.bincount(matches, minlength=cfg.num_perm + 1)
+        return pa.table({"h": pa.array(counts, type=pa.int64())})
+
+    acc = np.zeros(cfg.num_perm + 1, dtype=np.int64)
+    for t in ray.get(
+        withsig.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows and "h" in t.column_names:
+            acc += t["h"].to_numpy(zero_copy_only=False)
+    nz = np.flatnonzero(acc)
+    return pd.DataFrame(
+        {
+            "n_matches": nz.astype("int64"),
+            "est_jaccard": nz / cfg.num_perm,
+            "n_pairs": acc[nz].astype("int64"),
+        }
+    )

@@ -130,3 +130,39 @@ def test_leakage_safe_split_unclustered_matches_hash_split(ray_session):
     for d, s in ls.items():
         if int(d) not in clustered:
             assert s == hs[d]
+
+
+def test_threshold_sweep_consistent_with_funnel(ray_session):
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.text import minhash_funnel_stats, minhash_threshold_sweep
+
+    cfg = DedupConfig()
+    sweep = minhash_threshold_sweep(SF)
+    funnel = minhash_funnel_stats(SF).iloc[0]
+    # the sweep histogram partitions the DISTINCT candidate-pair set
+    assert int(sweep["n_pairs"].sum()) == int(funnel["n_candidate_pairs"])
+    # pairs at/above the configured threshold == the funnel's verified count
+    thr = cfg.jaccard_threshold
+    above = int(sweep.loc[sweep["est_jaccard"] >= thr, "n_pairs"].sum())
+    assert above == int(funnel["n_verified_pairs"])
+    assert (sweep["n_pairs"] > 0).all()
+
+
+def test_temperature_mix_weights_properties(ray_session):
+    import pyarrow.parquet as _pq
+
+    from dedup_ray.pipelines.curation import temperature_mix_weights
+
+    w = temperature_mix_weights(SF)
+    t = _pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+    counts = {}
+    for s in t["source"].to_pylist():
+        counts[s] = counts.get(s, 0) + 1
+    assert dict(zip(w["source"], w["n_docs"])) == counts
+    assert abs(w["weight"].sum() - 1.0) < 1e-6
+    # alpha < 1 boosts the smallest source above natural share, and
+    # deflates the largest
+    smallest = w.loc[w["n_docs"].idxmin()]
+    largest = w.loc[w["n_docs"].idxmax()]
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["boost"] > 1.0 > largest["boost"]
