@@ -196,6 +196,9 @@ def run_bench(scope: str) -> dict:
             "association_rules", "lang_source_chi2_cells",
             "minhash_funnel_stats", "phash_bitplane_stats",
             "bulk_order_priorities_bloom",
+            "prefix_dup_groups", "simhash_dedup_keep", "leakage_safe_split",
+            "letterbox_dedup_clusters", "minhash_threshold_sweep",
+            "temperature_mix_weights", "doc_neardup_clusters",
         ):
             t0 = time.time()
             out = qs[name](sf_dir)

@@ -328,11 +328,10 @@ def _minhash_band_candidates(
     return sigs, cand
 
 
-def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering over documents: shingle -> minhash ->
-    band bucket groupby -> est-Jaccard verify -> union-find. Returns
-    (doc_id, cluster_id) — empty on an all-distinct corpus."""
-    cfg = cfg or DedupConfig()
+def _minhash_edge_table(sf_dir: str, cfg: DedupConfig) -> pa.Table | None:
+    """Confirmed MinHash est-Jaccard edges (a, b) as one small driver-side
+    table (None when the corpus is all-distinct). Everything upstream is
+    distributed; only the dup-bounded edge set is collected."""
     sigs, cand = _minhash_band_candidates(sf_dir, cfg)
 
     from dedup_ray.stages.join import attach_pair_attrs
@@ -372,10 +371,18 @@ def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.
         )
         if t.num_rows and "a" in t.column_names
     ]
-    if not edge_tables:
+    return pa.concat_tables(edge_tables) if edge_tables else None
+
+
+def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering over documents: shingle -> minhash ->
+    band bucket groupby -> est-Jaccard verify -> union-find. Returns
+    (doc_id, cluster_id) — empty on an all-distinct corpus."""
+    cfg = cfg or DedupConfig()
+    et = _minhash_edge_table(sf_dir, cfg)
+    if et is None:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})
-    et = pa.concat_tables(edge_tables)
     edges = [(f"{a:012d}", f"{b:012d}") for a, b in
              zip(et["a"].to_pylist(), et["b"].to_pylist())]
     comp = connected_components(edges)
@@ -1578,3 +1585,92 @@ def minhash_threshold_sweep(
             "n_pairs": acc[nz].astype("int64"),
         }
     )
+
+
+def doc_neardup_clusters(
+    sf_dir: str, cfg: DedupConfig | None = None, max_hamming: int = 3
+) -> pd.DataFrame:
+    """The DOCUMENT flagship — multi-tier near-dup clustering composing all
+    three detector families over one edge set, mirroring the image
+    pipeline's cascade (pipelines/neardup.run_neardup; the reference's
+    cascade-then-verify shape, /root/reference/src/main.rs:188-205):
+
+      tier 1  exact text equality   -> star edges to the min member
+      tier 2  MinHash est-Jaccard   -> verified band-candidate edges
+      tier 3  SimHash hamming <= t  -> verified band-candidate edges
+
+    then ONE union-find over the union of edges: (doc_id, cluster_id),
+    cluster_id = min member (D2/D3). A pair caught by any tier lands in the
+    same cluster, so the result is strictly coarser than each single-tier
+    operator — the corpus-level dedup a user actually wants.
+
+    Scale shape: each tier is its existing fully distributed path (exact
+    star edges via one text_hash grouped_runs; MinHash/SimHash via band
+    grouped_runs + vectorized verify); only dup-bounded EDGES reach the
+    driver, where components fold once (the flagship's edges-only
+    union-find rule, stages/cluster.py). The DuckDB oracle reproduces all
+    three edge relations bit-exactly and the same CC, so the composed
+    cluster assignment is value-checked end to end."""
+    import ray
+
+    from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    cfg = cfg or DedupConfig()
+
+    # tier 1: exact-text star edges (rep=min member -> others), distributed
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def star_edges(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["text_hash"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pair_schema.empty_table()
+        starts = run_starts(keys)
+        sizes = np.diff(np.append(starts, len(keys)))
+        rep = np.repeat(ids[starts], sizes)  # sorted (hash, id): min first
+        member = ids
+        nonrep = member != rep
+        return pa.table(
+            {"a": pa.array(rep[nonrep], type=pa.int64()),
+             "b": pa.array(member[nonrep], type=pa.int64())}
+        )
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _add_text_hash, batch_format="pyarrow"
+    )
+    exact_ds = grouped_runs(
+        hashed.select_columns(["doc_id", "text_hash"]), "text_hash",
+        star_edges, sort_cols=["text_hash", "doc_id"],
+    )
+    exact_tables = [
+        t for t in ray.get(exact_ds.to_arrow_refs())
+        if t.num_rows and "a" in t.column_names
+    ]
+
+    edges: list[tuple[str, str]] = []
+    for t in exact_tables:
+        edges += [
+            (f"{a:012d}", f"{b:012d}")
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        ]
+    # tier 2: MinHash verified edges
+    et = _minhash_edge_table(sf_dir, cfg)
+    if et is not None:
+        edges += [
+            (f"{a:012d}", f"{b:012d}")
+            for a, b in zip(et["a"].to_pylist(), et["b"].to_pylist())
+        ]
+    # tier 3: SimHash verified pairs
+    sp = simhash_near_pairs(sf_dir, max_hamming, cfg)
+    edges += [
+        (f"{a:012d}", f"{b:012d}") for a, b in zip(sp["a"], sp["b"])
+    ]
+
+    if not edges:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    comp = connected_components(edges)
+    out = sorted((int(k), int(v)) for k, v in comp.items())
+    return pd.DataFrame(
+        {"doc_id": [a for a, _ in out], "cluster_id": [b for _, b in out]}
+    ).astype("int64")

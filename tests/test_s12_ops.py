@@ -166,3 +166,32 @@ def test_temperature_mix_weights_properties(ray_session):
     largest = w.loc[w["n_docs"].idxmax()]
     if smallest["n_docs"] < largest["n_docs"]:
         assert smallest["boost"] > 1.0 > largest["boost"]
+
+
+def test_doc_neardup_clusters_coarsens_every_tier(ray_session):
+    from dedup_ray.pipelines.text import (
+        doc_neardup_clusters,
+        minhash_neardup_clusters,
+        simhash_near_pairs,
+    )
+
+    comp = dict(
+        zip(*(lambda df: (df["doc_id"].astype(int), df["cluster_id"]))(
+            doc_neardup_clusters(SF)
+        ))
+    )
+    # every minhash cluster is contained in one composed cluster
+    mh = minhash_neardup_clusters(SF)
+    for _, grp in mh.groupby("cluster_id"):
+        assert len({comp[int(d)] for d in grp["doc_id"]}) == 1
+    # every simhash pair is joined
+    sp = simhash_near_pairs(SF)
+    for a, b in zip(sp["a"], sp["b"]):
+        assert comp[int(a)] == comp[int(b)]
+    # cluster_id is the min member
+    by_c: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        by_c.setdefault(int(c), []).append(int(d))
+    for c, members in by_c.items():
+        assert c == min(members)
+        assert len(members) >= 2
