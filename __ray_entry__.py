@@ -220,6 +220,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         generate_corpus(out, n_rows=n, use_ray=False, pad_dups=True)
         return ldc(os.path.join(out, "images.parquet"))
 
+    def letterbox_stats(sf_dir: str):
+        """Corpus letterboxing audit over the padded-dup corpus (rows-only:
+        binary decode is non-SQL; pytest replays the kernel)."""
+        import os
+
+        from dedup_ray.pipelines.neardup import letterbox_stats as lbs
+        from dedup_ray.sources.corpus import generate_corpus
+
+        n = 5000 if sf_dir.rstrip("/").endswith("sf0.1") else 1000
+        out = f"{_CORPUS_CACHE}_pad_{n}"
+        generate_corpus(out, n_rows=n, use_ray=False, pad_dups=True)
+        return lbs(os.path.join(out, "images.parquet"))
+
     def image_histogram_search(sf_dir: str):
         from dedup_ray.sources.io import read_view
         from dedup_ray.stages.multimodal import image_histogram_search as ihs
@@ -493,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": analysis.langid_confusion,  # rows-only (trigram model; pytest diagonal)
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "letterbox_dedup_clusters": letterbox_dedup_clusters,  # rows-only (pytest vs planted gt)
+        "letterbox_stats": letterbox_stats,  # rows-only (pytest kernel replay)
         "image_histogram_search": image_histogram_search,  # rows-only (binary decode; pytest vs brute force)
         "image_feature_extract": image_feature_extract,
         "image_resize": image_resize,

@@ -1094,9 +1094,12 @@ def phash_bitplane_stats(input_path: str):
         if t.num_rows and "bit" in t.column_names:
             bi = t["bit"].to_numpy(zero_copy_only=False)
             ns = t["n_set"].to_numpy(zero_copy_only=False)
+            nr = t["n_rows"].to_numpy(zero_copy_only=False)
             for j in range(len(bi)):
                 n_set[bi[j]] += int(ns[j])
-            n_rows += int(t["n_rows"][0].as_py())
+            # one 64-row partial per processed batch; blocks may pack
+            # several — count each batch's row total exactly once (bit 0)
+            n_rows += int(nr[bi == 0].sum())
     return pd.DataFrame(
         {"bit": bits,
          "n_set": [int(x) for x in n_set],
@@ -1352,4 +1355,73 @@ def letterbox_dedup_clusters(input_path: str) -> rd.Dataset:
 
     return grouped_runs(
         keyed, "lhash", emit_clusters, sort_cols=["lhash", "image_id"]
+    )
+
+
+def letterbox_stats(input_path: str) -> "pd.DataFrame":
+    """Corpus letterboxing audit: how many images carry a uniform-color
+    border and how much of their area it wastes — the pre-flight sizing
+    input for ``letterbox_dedup_clusters`` (run the strip tier only when
+    the corpus actually contains framed re-posts, the same role
+    ``corpus_dup_estimate`` plays for the cascade): one row
+    (n_images, n_letterboxed, letterboxed_frac, mean_border_area_frac).
+
+    Scale shape: decode + canonical crop happen INSIDE the scan task;
+    each batch folds to three scalars (count, bordered count, border-area
+    sum) — no shuffle at all, driver state is one partial row per block.
+    Rows-only: binary decode is non-SQL; pytest replays the kernel on a
+    planted padded corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from dedup_ray.functions import codecs
+
+    ds = read_table(input_path, columns=["bytes", "fmt"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        data = b["bytes"]
+        fmts = b["fmt"].to_pylist()
+        n_ok = 0
+        n_box = 0
+        area = 0.0
+        for i in range(n):
+            try:
+                px = codecs.decode(data[i].as_py(), fmts[i])
+            except Exception:
+                continue
+            n_ok += 1
+            c = letterbox_crop(px)
+            if c.shape != px.shape:
+                n_box += 1
+                area += 1.0 - (c.shape[0] * c.shape[1]) / (
+                    px.shape[0] * px.shape[1]
+                )
+        return pa.table(
+            {"n": pa.array([n_ok], pa.int64()),
+             "nb": pa.array([n_box], pa.int64()),
+             "area": pa.array([area], pa.float64())}
+        )
+
+    n_tot = n_box = 0
+    area = 0.0
+    for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .to_arrow_refs()
+    ):
+        if t.num_rows and "n" in t.column_names:
+            # one partial ROW per processed batch; blocks may pack several
+            n_tot += int(pa.compute.sum(t["n"]).as_py())
+            n_box += int(pa.compute.sum(t["nb"]).as_py())
+            area += float(pa.compute.sum(t["area"]).as_py())
+    return pd.DataFrame(
+        [{
+            "n_images": n_tot,
+            "n_letterboxed": n_box,
+            "letterboxed_frac": round(n_box / n_tot, 8) if n_tot else 0.0,
+            "mean_border_area_frac": round(area / n_box, 8) if n_box else 0.0,
+        }]
     )

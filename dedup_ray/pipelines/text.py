@@ -1576,7 +1576,10 @@ def minhash_threshold_sweep(
         withsig.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
     ):
         if t.num_rows and "h" in t.column_names:
-            acc += t["h"].to_numpy(zero_copy_only=False)
+            # one (num_perm+1)-long partial per processed batch; blocks may
+            # pack several — fold them all
+            h = t["h"].to_numpy(zero_copy_only=False)
+            acc += h.reshape(-1, cfg.num_perm + 1).sum(axis=0)
     nz = np.flatnonzero(acc)
     return pd.DataFrame(
         {

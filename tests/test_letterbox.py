@@ -120,3 +120,25 @@ def test_pipeline_matches_bruteforce_and_planted_gt(pad_corpus, ray_session):
     for members in by_gt.values():
         reps = {got.get(m) for m in members}
         assert len(reps) == 1 and None not in reps, members
+
+
+def test_letterbox_stats_matches_kernel_replay(pad_corpus, ray_session):
+    from dedup_ray.functions import codecs
+    from dedup_ray.pipelines.neardup import letterbox_stats
+
+    got = letterbox_stats(os.path.join(pad_corpus, "images.parquet")).iloc[0]
+    t = pq.read_table(os.path.join(pad_corpus, "images.parquet"),
+                      columns=["bytes", "fmt"])
+    n = nb = 0
+    area = 0.0
+    for raw, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        px = codecs.decode(raw, fmt)
+        n += 1
+        c = letterbox_crop(px)
+        if c.shape != px.shape:
+            nb += 1
+            area += 1.0 - (c.shape[0] * c.shape[1]) / (px.shape[0] * px.shape[1])
+    assert int(got["n_images"]) == n
+    assert int(got["n_letterboxed"]) == nb
+    assert nb > 0  # the planted mix actually letterboxed some
+    assert abs(got["mean_border_area_frac"] - area / nb) < 1e-6
