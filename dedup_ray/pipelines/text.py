@@ -309,14 +309,17 @@ def _band_buckets(sigs: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
 
 
 def _minhash_band_candidates(
-    sf_dir: str, cfg: DedupConfig
+    sf_dir: str, cfg: DedupConfig, sigs: rd.Dataset | None = None
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """Shared MinHash-LSH candidate generator: shingle -> minhash -> band
     bucket groupby -> (a < b) candidate pairs. Returns (sigs, cand); cand
     may contain cross-band duplicate pairs — verification is idempotent,
     so callers either tolerate repeats (union-find) or dedup pairs
-    distributed (drop_sorted_dup_pairs)."""
-    sigs = doc_signatures(sf_dir, cfg).materialize()
+    distributed (drop_sorted_dup_pairs). ``sigs``: a pre-materialized
+    doc_signatures dataset to share across tiers (doc_neardup_clusters
+    signs the corpus ONCE for its MinHash and SimHash tiers)."""
+    if sigs is None:
+        sigs = doc_signatures(sf_dir, cfg).materialize()
     buckets = _band_buckets(sigs, cfg)
 
     from dedup_ray.stages.grouped import grouped_runs
@@ -328,11 +331,13 @@ def _minhash_band_candidates(
     return sigs, cand
 
 
-def _minhash_edge_table(sf_dir: str, cfg: DedupConfig) -> pa.Table | None:
+def _minhash_edge_table(
+    sf_dir: str, cfg: DedupConfig, sigs: rd.Dataset | None = None
+) -> pa.Table | None:
     """Confirmed MinHash est-Jaccard edges (a, b) as one small driver-side
     table (None when the corpus is all-distinct). Everything upstream is
     distributed; only the dup-bounded edge set is collected."""
-    sigs, cand = _minhash_band_candidates(sf_dir, cfg)
+    sigs, cand = _minhash_band_candidates(sf_dir, cfg, sigs)
 
     from dedup_ray.stages.join import attach_pair_attrs
 
@@ -559,14 +564,17 @@ def token_count_regex(sf_dir: str) -> rd.Dataset:
 
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
-                       cfg: DedupConfig | None = None) -> pd.DataFrame:
+                       cfg: DedupConfig | None = None,
+                       sigs: rd.Dataset | None = None) -> pd.DataFrame:
     """SimHash near-dup pairs over documents via 4x16-bit band candidates +
     exact Hamming verify (pigeonhole: complete for hamming <= 3). Returns
     (a, b, hamming). Fully distributed: exploded band rows -> grouped_runs
     pair generation -> broadcast-attach simhash -> vectorized hamming64;
-    only confirmed pairs (tiny) reach the driver."""
+    only confirmed pairs (tiny) reach the driver. ``sigs``: optional
+    pre-materialized doc_signatures to share (see doc_neardup_clusters)."""
     cfg = cfg or DedupConfig()
-    sigs = doc_signatures(sf_dir, cfg).materialize()
+    if sigs is None:
+        sigs = doc_signatures(sf_dir, cfg).materialize()
 
     def explode(b: pa.Table) -> pa.Table:
         u = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -1656,15 +1664,17 @@ def doc_neardup_clusters(
             (f"{a:012d}", f"{b:012d}")
             for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
         ]
+    # tiers 2+3 share ONE signature pass (sign once, verify twice)
+    sigs = doc_signatures(sf_dir, cfg).materialize()
     # tier 2: MinHash verified edges
-    et = _minhash_edge_table(sf_dir, cfg)
+    et = _minhash_edge_table(sf_dir, cfg, sigs)
     if et is not None:
         edges += [
             (f"{a:012d}", f"{b:012d}")
             for a, b in zip(et["a"].to_pylist(), et["b"].to_pylist())
         ]
     # tier 3: SimHash verified pairs
-    sp = simhash_near_pairs(sf_dir, max_hamming, cfg)
+    sp = simhash_near_pairs(sf_dir, max_hamming, cfg, sigs)
     edges += [
         (f"{a:012d}", f"{b:012d}") for a, b in zip(sp["a"], sp["b"])
     ]
