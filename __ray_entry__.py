@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup over documents ---
         "minhash_neardup_docs": text.minhash_neardup_clusters,  # SQL-checked
         "doc_neardup_clusters": text.doc_neardup_clusters,      # SQL-checked
+        "doc_neardup_report": text.doc_neardup_report,          # SQL-checked
         "minhash_funnel_stats": text.minhash_funnel_stats,      # SQL-checked
         "minhash_threshold_sweep": text.minhash_threshold_sweep,  # SQL-checked
         "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
@@ -754,6 +755,30 @@ def _sketch_oracles() -> dict[str, str]:
         "FROM sp GROUP BY source_a, source_b"
     )
 
+    # shared CTE chain for the composed document flagship (clusters +
+    # report): minhash edges CTE ("edges"), simhash pair CTEs -> "sedges",
+    # exact star edges -> "xedges", union -> recursive min-label CC "ar"
+    doc_flagship_ctes = (
+        minhash_sql.split("nodes AS")[0]
+        + simhash_sql.split("SELECT x.doc_id AS a")[0][len("WITH "):]
+        + ", sedges AS (SELECT x.doc_id AS ca, y.doc_id AS cb "
+        "FROM shx x JOIN shx y ON x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(x.uval, y.uval)) <= 3), "
+        "xg AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "
+        "AS rep FROM documents), "
+        "xedges AS (SELECT rep AS ca, doc_id AS cb FROM xg "
+        "WHERE doc_id <> rep), "
+        "all_e AS (SELECT ca, cb FROM edges "
+        "UNION SELECT ca, cb FROM sedges "
+        "UNION SELECT ca, cb FROM xedges), "
+        "anodes AS (SELECT DISTINCT n FROM (SELECT ca AS n FROM all_e "
+        "UNION ALL SELECT cb FROM all_e)), "
+        "aund AS (SELECT ca, cb FROM all_e "
+        "UNION SELECT cb, ca FROM all_e), "
+        "ar(n, l) AS (SELECT n, n FROM anodes "
+        "UNION SELECT u.cb, ar.l FROM ar JOIN aund u ON u.ca = ar.n) "
+    )
+
     return {
         "simhash_near_pairs": simhash_sql,
         "source_overlap_matrix": source_overlap_sql,
@@ -836,26 +861,24 @@ def _sketch_oracles() -> dict[str, str]:
         # and SimHash edge relations (each the SAME bit-exact CTEs as its
         # single-tier oracle) closed by one recursive min-label CC
         "doc_neardup_clusters": (
-            minhash_sql.split("nodes AS")[0]
-            + simhash_sql.split("SELECT x.doc_id AS a")[0][len("WITH "):]
-            + ", sedges AS (SELECT x.doc_id AS ca, y.doc_id AS cb "
-            "FROM shx x JOIN shx y ON x.doc_id < y.doc_id "
-            "WHERE bit_count(xor(x.uval, y.uval)) <= 3), "
-            "xg AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "
-            "AS rep FROM documents), "
-            "xedges AS (SELECT rep AS ca, doc_id AS cb FROM xg "
-            "WHERE doc_id <> rep), "
-            "all_e AS (SELECT ca, cb FROM edges "
-            "UNION SELECT ca, cb FROM sedges "
-            "UNION SELECT ca, cb FROM xedges), "
-            "anodes AS (SELECT DISTINCT n FROM (SELECT ca AS n FROM all_e "
-            "UNION ALL SELECT cb FROM all_e)), "
-            "aund AS (SELECT ca, cb FROM all_e "
-            "UNION SELECT cb, ca FROM all_e), "
-            "ar(n, l) AS (SELECT n, n FROM anodes "
-            "UNION SELECT u.cb, ar.l FROM ar JOIN aund u ON u.ca = ar.n) "
-            "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id "
+            doc_flagship_ctes
+            + "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id "
             "FROM ar GROUP BY n"
+        ),
+        # aggregate report over the same composition: per-tier DISTINCT
+        # edge counts + component counts, one row
+        "doc_neardup_report": (
+            doc_flagship_ctes
+            + "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+            "(SELECT count(*) FROM anodes)::BIGINT AS clustered_docs, "
+            "(SELECT count(DISTINCT cid) FROM (SELECT n, min(l) AS cid "
+            "FROM ar GROUP BY n))::BIGINT AS n_clusters, "
+            "(SELECT count(*) FROM (SELECT DISTINCT ca, cb FROM xedges))"
+            "::BIGINT AS exact_edges, "
+            "(SELECT count(*) FROM (SELECT DISTINCT ca, cb FROM edges))"
+            "::BIGINT AS minhash_edges, "
+            "(SELECT count(*) FROM (SELECT DISTINCT ca, cb FROM sedges))"
+            "::BIGINT AS simhash_edges"
         ),
         "neardup_cluster_sizes": minhash_sql.replace(
             "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id FROM r GROUP BY n",

@@ -1598,30 +1598,14 @@ def minhash_threshold_sweep(
     )
 
 
-def doc_neardup_clusters(
-    sf_dir: str, cfg: DedupConfig | None = None, max_hamming: int = 3
-) -> pd.DataFrame:
-    """The DOCUMENT flagship — multi-tier near-dup clustering composing all
-    three detector families over one edge set, mirroring the image
-    pipeline's cascade (pipelines/neardup.run_neardup; the reference's
-    cascade-then-verify shape, /root/reference/src/main.rs:188-205):
-
-      tier 1  exact text equality   -> star edges to the min member
-      tier 2  MinHash est-Jaccard   -> verified band-candidate edges
-      tier 3  SimHash hamming <= t  -> verified band-candidate edges
-
-    then ONE union-find over the union of edges: (doc_id, cluster_id),
-    cluster_id = min member (D2/D3). A pair caught by any tier lands in the
-    same cluster, so the result is strictly coarser than each single-tier
-    operator — the corpus-level dedup a user actually wants.
-
-    Scale shape: each tier is its existing fully distributed path (exact
-    star edges via one text_hash grouped_runs; MinHash/SimHash via band
-    grouped_runs + vectorized verify); only dup-bounded EDGES reach the
-    driver, where components fold once (the flagship's edges-only
-    union-find rule, stages/cluster.py). The DuckDB oracle reproduces all
-    three edge relations bit-exactly and the same CC, so the composed
-    cluster assignment is value-checked end to end."""
+def _doc_neardup_state(
+    sf_dir: str, cfg: DedupConfig, max_hamming: int
+) -> tuple[list, list, list, dict]:
+    """Shared edge/component computation for the composed document
+    flagship: returns (exact_edges, minhash_edges, simhash_edges,
+    components) with edges as zero-padded id-string tuples. Each tier is
+    its fully distributed path; one signature pass is shared by the
+    MinHash and SimHash tiers."""
     import ray
 
     from dedup_ray.stages.grouped import grouped_runs, run_starts
@@ -1658,9 +1642,9 @@ def doc_neardup_clusters(
         if t.num_rows and "a" in t.column_names
     ]
 
-    edges: list[tuple[str, str]] = []
+    e_exact: list[tuple[str, str]] = []
     for t in exact_tables:
-        edges += [
+        e_exact += [
             (f"{a:012d}", f"{b:012d}")
             for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
         ]
@@ -1668,22 +1652,75 @@ def doc_neardup_clusters(
     sigs = doc_signatures(sf_dir, cfg).materialize()
     # tier 2: MinHash verified edges
     et = _minhash_edge_table(sf_dir, cfg, sigs)
-    if et is not None:
-        edges += [
-            (f"{a:012d}", f"{b:012d}")
-            for a, b in zip(et["a"].to_pylist(), et["b"].to_pylist())
-        ]
+    e_mh: list[tuple[str, str]] = [] if et is None else [
+        (f"{a:012d}", f"{b:012d}")
+        for a, b in zip(et["a"].to_pylist(), et["b"].to_pylist())
+    ]
     # tier 3: SimHash verified pairs
     sp = simhash_near_pairs(sf_dir, max_hamming, cfg, sigs)
-    edges += [
-        (f"{a:012d}", f"{b:012d}") for a, b in zip(sp["a"], sp["b"])
-    ]
+    e_sh = [(f"{a:012d}", f"{b:012d}") for a, b in zip(sp["a"], sp["b"])]
+    edges = e_exact + e_mh + e_sh
+    comp = connected_components(edges) if edges else {}
+    return e_exact, e_mh, e_sh, comp
 
-    if not edges:
+
+def doc_neardup_clusters(
+    sf_dir: str, cfg: DedupConfig | None = None, max_hamming: int = 3
+) -> pd.DataFrame:
+    """The DOCUMENT flagship — multi-tier near-dup clustering composing all
+    three detector families over one edge set, mirroring the image
+    pipeline's cascade (pipelines/neardup.run_neardup; the reference's
+    cascade-then-verify shape, /root/reference/src/main.rs:188-205):
+
+      tier 1  exact text equality   -> star edges to the min member
+      tier 2  MinHash est-Jaccard   -> verified band-candidate edges
+      tier 3  SimHash hamming <= t  -> verified band-candidate edges
+
+    then ONE union-find over the union of edges: (doc_id, cluster_id),
+    cluster_id = min member (D2/D3). A pair caught by any tier lands in the
+    same cluster, so the result is strictly coarser than each single-tier
+    operator — the corpus-level dedup a user actually wants.
+
+    Scale shape: each tier is its existing fully distributed path (exact
+    star edges via one text_hash grouped_runs; MinHash/SimHash via band
+    grouped_runs + vectorized verify over ONE shared signature pass); only
+    dup-bounded EDGES reach the driver, where components fold once (the
+    flagship's edges-only union-find rule, stages/cluster.py). The DuckDB
+    oracle reproduces all three edge relations bit-exactly and the same
+    CC, so the composed cluster assignment is value-checked end to end."""
+    _, _, _, comp = _doc_neardup_state(
+        sf_dir, cfg or DedupConfig(), max_hamming
+    )
+    if not comp:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})
-    comp = connected_components(edges)
     out = sorted((int(k), int(v)) for k, v in comp.items())
     return pd.DataFrame(
         {"doc_id": [a for a, _ in out], "cluster_id": [b for _, b in out]}
+    ).astype("int64")
+
+
+def doc_neardup_report(
+    sf_dir: str, cfg: DedupConfig | None = None, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Aggregate report over the composed document flagship — the analog of
+    the image pipeline's DuplicateReport (A1, /root/reference/src/output.rs:
+    39-73) with a per-tier edge breakdown: one row (n_docs, clustered_docs,
+    n_clusters, exact_edges, minhash_edges, simhash_edges). Distinct edge
+    counts per tier (a pair found by two tiers counts in each — the funnel
+    view an operator tunes against). Same distributed tiers and driver
+    edge fold as doc_neardup_clusters; the DuckDB oracle counts the same
+    three DISTINCT edge relations and the same components."""
+    cfg = cfg or DedupConfig()
+    e_exact, e_mh, e_sh, comp = _doc_neardup_state(sf_dir, cfg, max_hamming)
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    return pd.DataFrame(
+        [{
+            "n_docs": int(n_docs),
+            "clustered_docs": len(comp),
+            "n_clusters": len(set(comp.values())),
+            "exact_edges": len(set(e_exact)),
+            "minhash_edges": len(set(e_mh)),
+            "simhash_edges": len(set(e_sh)),
+        }]
     ).astype("int64")
