@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_docs": text.minhash_neardup_clusters,  # SQL-checked
         "doc_neardup_clusters": text.doc_neardup_clusters,      # SQL-checked
         "doc_neardup_report": text.doc_neardup_report,          # SQL-checked
+        "doc_neardup_keep": text.doc_neardup_keep,              # SQL-checked
         "minhash_funnel_stats": text.minhash_funnel_stats,      # SQL-checked
         "minhash_threshold_sweep": text.minhash_threshold_sweep,  # SQL-checked
         "minhash_dedup_keep": text.minhash_dedup_keep,          # SQL-checked
@@ -864,6 +865,16 @@ def _sketch_oracles() -> dict[str, str]:
             doc_flagship_ctes
             + "SELECT n AS doc_id, min(l)::BIGINT AS cluster_id "
             "FROM ar GROUP BY n"
+        ),
+        # APPLY over the same composition: unclustered docs or component
+        # keepers (min label) survive
+        "doc_neardup_keep": (
+            doc_flagship_ctes
+            + ", cl AS (SELECT n AS doc_id, min(l)::BIGINT AS cid "
+            "FROM ar GROUP BY n) "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "LEFT JOIN cl USING (doc_id) WHERE cl.cid IS NULL "
+            "OR cl.cid = d.doc_id"
         ),
         # aggregate report over the same composition: per-tier DISTINCT
         # edge counts + component counts, one row

@@ -199,7 +199,7 @@ def run_bench(scope: str) -> dict:
             "prefix_dup_groups", "simhash_dedup_keep", "leakage_safe_split",
             "letterbox_dedup_clusters", "minhash_threshold_sweep",
             "temperature_mix_weights", "doc_neardup_clusters",
-            "doc_neardup_report",
+            "doc_neardup_report", "doc_neardup_keep",
             "letterbox_stats",
         ):
             t0 = time.time()

@@ -1724,3 +1724,50 @@ def doc_neardup_report(
             "simhash_edges": len(set(e_sh)),
         }]
     ).astype("int64")
+
+
+def doc_neardup_keep(
+    sf_dir: str, cfg: DedupConfig | None = None, max_hamming: int = 3
+) -> rd.Dataset:
+    """The composed flagship's APPLY step — the surviving corpus after
+    collapsing every multi-tier near-dup component to its min-doc_id
+    keeper (the reference keeper rule, /root/reference/src/actions.rs:
+    21-26, over the doc_neardup_clusters relation): (doc_id, lang,
+    source). Completes the document flagship family: detect
+    (doc_neardup_clusters), report (doc_neardup_report), apply (this).
+
+    Scale shape: identical to minhash_dedup_keep — the drop set is
+    dup-bounded, broadcasts as one sorted int64 array, and each batch
+    filters via searchsorted; swap for a hash anti-join at extreme dup
+    volume."""
+    import ray
+
+    _, _, _, comp = _doc_neardup_state(
+        sf_dir, cfg or DedupConfig(), max_hamming
+    )
+    drop = np.sort(
+        np.array(
+            [int(k) for k, v in comp.items() if int(k) != int(v)],
+            dtype=np.int64,
+        )
+    )
+    ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d):
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            hit = d[pos] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        m = pa.array(~hit)
+        return pa.table(
+            {"doc_id": b["doc_id"].filter(m),
+             "lang": b["lang"].filter(m),
+             "source": b["source"].filter(m)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

@@ -195,3 +195,15 @@ def test_doc_neardup_clusters_coarsens_every_tier(ray_session):
     for c, members in by_c.items():
         assert c == min(members)
         assert len(members) >= 2
+
+
+def test_doc_neardup_keep_drops_exactly_nonkeepers(ray_session):
+    from dedup_ray.pipelines.text import doc_neardup_clusters, doc_neardup_keep
+
+    cl = doc_neardup_clusters(SF)
+    drop = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].astype(int))
+    kept = set(doc_neardup_keep(SF).to_pandas()["doc_id"].astype(int))
+    n_docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows
+    assert kept.isdisjoint(drop)
+    assert len(kept) == n_docs - len(drop)
+    assert set(cl["cluster_id"].astype(int)).issubset(kept)
