@@ -901,6 +901,16 @@ def _sketch_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # DEFAULT-KNOB CONTRACT (round-2 advice): every SQL string below bakes
+    # in the same defaults the queries() callables use when invoked with no
+    # arguments — DedupConfig() for shingle/band/threshold geometry, and the
+    # literal per-query defaults (hamming <= 3, alpha = 0.7, 32-char prefix,
+    # jaccard/containment thresholds, top-k sizes). The harness always calls
+    # queries() entries as f(sf_dir), so the pair is consistent BY
+    # CONSTRUCTION; calling a pipeline directly with non-default parameters
+    # is outside what these oracles verify (parameterize the SQL from the
+    # same defaults if a new knob needs gate coverage).
+    #
     # empty/whitespace-only docs: Python ''.split() yields 0 tokens, but
     # regexp_split_to_array('') yields [''] (1 token) — align the SQL side
     tok = ("CASE WHEN trim(text) = '' THEN 0 "

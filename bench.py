@@ -30,6 +30,10 @@ FLAGSHIP_IMG = (96, 160)   # realistic image sizes so decode dominates
 FLAGSHIP_DUP_RATIO = 0.3   # reference benchmark middle cell (dup 0.10/0.30/0.60)
 SCALING_CPUS = (4, 16)    # N vs 4N (fresh processes; sandbox cluster stand-in)
 SCALING_ROWS = int(os.environ.get("DEDUP_SCALING_ROWS", "600000"))
+# 1-min loadavg above which a scaling leg is flagged `contended` (ambient
+# load only ever slows legs — asymmetrically, so the efficiency headline is
+# untrustworthy on a busy box; 2.0 ~ a couple of stray processes on 32 cores)
+SCALING_LOAD_MAX = float(os.environ.get("DEDUP_SCALING_LOAD_MAX", "2.0"))
                           # scaling runs use a larger input so parallel work
                           # dominates the fixed single-node orchestration
                           # floor (~8-10 s: shuffle barriers + driver merges
@@ -248,8 +252,14 @@ def run_scaling() -> dict:
     # across both levels instead of biasing whichever level ran last, and
     # min-per-level rejects the noise (which only ever ADDS time).
     out = {}
+    legs = []  # per-leg loadavg bookkeeping (round-2 review #6: the
+    # official number must be machine-checkable as uncontended, not
+    # narrated) — a leg that STARTS on a loaded box is flagged, and the
+    # headline carries `contended` so a dirty measurement can't silently
+    # become the official row.
     lo_, hi_ = SCALING_CPUS
     for ncpu in (hi_, lo_, hi_, lo_):
+        load_before = os.getloadavg()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCOPE="flagship",
                    DEDUP_BENCH_ROWS=str(SCALING_ROWS))
         r = subprocess.run(
@@ -258,11 +268,19 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         got = json.loads(r.stdout.strip().splitlines()[-1])
+        leg_contended = load_before[0] > SCALING_LOAD_MAX
+        legs.append(
+            {"cpus": ncpu, "sec": got["queries"]["flagship_neardup"],
+             "loadavg_before": [round(x, 2) for x in load_before],
+             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+             "contended": leg_contended}
+        )
         prev = out.get(ncpu)
         if prev is None or (
             got["queries"]["flagship_neardup"] < prev["queries"]["flagship_neardup"]
         ):
             out[ncpu] = got
+            out[ncpu]["_contended"] = leg_contended
         time.sleep(10)  # let the torn-down Ray session settle
     lo, hi = SCALING_CPUS
     t_lo = out[lo]["queries"]["flagship_neardup"]
@@ -278,6 +296,11 @@ def run_scaling() -> dict:
         f"images_per_sec_{hi}": out[hi]["images_per_sec"],
         "flagship_rows": SCALING_ROWS,
         "cpus": list(SCALING_CPUS),
+        # headline validity: True when EITHER selected best-of leg started
+        # on a box above the load gate — rerun on a quiet box in that case
+        "contended": bool(out[lo]["_contended"] or out[hi]["_contended"]),
+        "load_gate_1min": SCALING_LOAD_MAX,
+        "legs": legs,
     }
 
 

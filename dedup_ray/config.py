@@ -60,6 +60,12 @@ class DedupConfig:
                                   # keeps rendezvous groups ~cap/2 w.h.p.
 
     # --- physical execution ---
+    distributed_prepass: bool = False  # LSH pre-pass physical plan: False =
+    # driver-merged per-block partials (bitmap OR-fold + distinct-key count
+    # merge — fastest on one node); True = the at-scale shape: log-depth
+    # tree-reduce of the pairable bitmaps + groupby-sum count exchange (the
+    # driver receives one 8 MiB bitmap + the aggregated key table). Output
+    # is bit-identical either way (merge is associative; pytest-checked).
     batch_size: int = 4096        # rows per map_batches batch for sig stages
     driver_unionfind_max_edges: int = 2_000_000  # below -> driver union-find
     ckpt_chunk_files: int = 8     # per-partition lineage: input part files

@@ -249,31 +249,48 @@ def ann_ivf_topk(
     ref = ray.put((qids, q, cent, q_cells))
 
     def block(batch: pa.Table) -> pa.Table:
+        # per-batch LOCAL top-k (the _TopKScorer shape the exact path uses):
+        # each batch ships at most n_queries*k rows to the driver instead of
+        # every probed candidate (round-2 review item #4 — the per-candidate
+        # Python appends + full-candidate to_pandas were ~corpus/n_cells *
+        # n_probe * n_queries rows of driver traffic at scale). The local
+        # cut uses the SAME total order as the global one (sim desc,
+        # neighbor_id asc), so the global top-k is contained in the union of
+        # local top-ks — output identical, ties included.
         bids, bm = _mat(batch)
         bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
         qi, qm, cc, qcells = ray.get(ref)
         cells = (bm @ cc.T).argmax(axis=1)
         out_q, out_n, out_s = [], [], []
-        for row in range(qm.shape[0]):
-            probe = np.isin(cells, qcells[row])
+        for row in range(qm.shape[0]):  # n_queries is tiny (a search request)
+            probe = np.isin(cells, qcells[row]) & (bids != qi[row])
             if not probe.any():
                 continue
             sims = qm[row] @ bm[probe].T
             cand_ids = bids[probe]
-            for i in range(len(cand_ids)):
-                out_q.append(int(qi[row]))
-                out_n.append(int(cand_ids[i]))
-                out_s.append(float(sims[i]))
+            order = np.lexsort((cand_ids, -sims))[:k]
+            out_q.append(np.full(order.size, qi[row], dtype=np.int64))
+            out_n.append(cand_ids[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                 ("sim", pa.float64())]
+            ).empty_table()
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(
+                    np.concatenate(out_n).astype(np.int64), type=pa.int64()
+                ),
+                "sim": pa.array(
+                    np.concatenate(out_s).astype(np.float64), type=pa.float64()
+                ),
             }
         )
 
+    # bounded driver merge: n_queries * k rows per block
     local = emb.map_batches(block, batch_format="pyarrow", batch_size=4096).to_pandas()
-    local = local[local.query_id != local.neighbor_id]
     local = local.sort_values(
         ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
     )

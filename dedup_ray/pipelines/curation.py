@@ -1465,11 +1465,17 @@ def temperature_mix_weights(sf_dir: str, alpha: float = 0.7):
     pw = n ** alpha
     w = pw / pw.sum()
     nat = n / n.sum()
+    # half-AWAY-from-zero at 8 places (one convention with the oracle's SQL
+    # round(); np.round is half-to-even and diverges on exact ties —
+    # round-2 advice). Values are positive, so floor(x*1e8 + 0.5) suffices.
+    def r8(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e8 + 0.5) / 1e8
+
     return pd.DataFrame(
         {
             "source": srcs,
             "n_docs": n.astype("int64"),
-            "weight": np.round(w, 8),
-            "boost": np.round(w / nat, 8),
+            "weight": r8(w),
+            "boost": r8(w / nat),
         }
     )

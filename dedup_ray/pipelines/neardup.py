@@ -171,9 +171,20 @@ def run_neardup(
     # persisted (the extra driver pass is not free on the bench hot path)
     sample = None
     if checkpoint_dir and stats.get("duplicate_clusters"):
-        cl = clusters.to_pandas()
-        top = cl.groupby("cluster_id").size().nlargest(5)
-        sample = [{"cluster_id": cid, "n": int(n)} for cid, n in top.items()]
+        # distributed size count + top-5 — the driver sees 5 rows, never the
+        # cluster table (round-2 review #7: to_pandas() here was a driver
+        # OOM at 10^9 dup rows for a cosmetic sample). Tie order matches the
+        # previous pandas nlargest (count desc, then cluster_id asc).
+        top = (
+            clusters.groupby("cluster_id")
+            .count()
+            .sort(["count()", "cluster_id"], descending=[True, False])
+            .limit(5)
+            .take_all()
+        )
+        sample = [
+            {"cluster_id": r["cluster_id"], "n": int(r["count()"])} for r in top
+        ]
     report = {"stats": stats, "counters": counters, "groups_sample": sample}
     if checkpoint_dir:
         report = write_report(

@@ -245,31 +245,37 @@ def doc_signatures(sf_dir: str, cfg: DedupConfig | None = None) -> rd.Dataset:
     )
 
 
-def _pairs_from_runs(key_col: str, id_col: str):
-    """Build a grouped_runs fn emitting all (a < b) id pairs per key-run."""
-    from dedup_ray.stages.grouped import run_starts
+def _doc_candidate_pairs(
+    buckets: rd.Dataset,
+    key_col: str,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Document-path bucket rows -> (src_id, dst_id) candidate pairs via the
+    SHARED skew-safe pair kernel (stages/pairgen.py — one copy with the
+    flagship, round-2 review: this path previously re-implemented an
+    uncapped per-run Python loop that was O(n^2) on a hot band bucket).
 
-    def pairs_fn(g: pa.Table) -> pa.Table:
-        keys = g[key_col].to_numpy(zero_copy_only=False)
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        starts = run_starts(keys)
-        bounds = np.append(starts, len(keys))
-        out_a, out_b = [], []
-        for r in np.flatnonzero(np.diff(bounds) >= 2):
-            run = np.sort(ids[bounds[r] : bounds[r + 1]])
-            iu, ju = np.triu_indices(len(run), 1)
-            out_a.append(run[iu])
-            out_b.append(run[ju])
-        if not out_a:
-            return pa.schema([("src_id", pa.int64()), ("dst_id", pa.int64())]).empty_table()
-        return pa.table(
-            {
-                "src_id": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "dst_id": pa.array(np.concatenate(out_b), type=pa.int64()),
-            }
-        )
+    strict=True: over-cap buckets are split by EXACT rendezvous salting
+    (pair-set-preserving), never degraded to star+chain — required because
+    the document queries are oracle-checked pair/cluster LISTINGS (the
+    deduped pair set must be byte-identical to the brute-force one; the
+    extra duplicates salting emits are absorbed by the same idempotent
+    verify + distributed pair-dedup that already handles cross-band
+    duplicates)."""
+    from dedup_ray.stages.pairgen import salted_candidate_pairs
 
-    return pairs_fn
+    cfg = cfg or DedupConfig()
+    return salted_candidate_pairs(
+        buckets,
+        key_col,
+        id_col,
+        cap=cfg.bucket_pair_cap,
+        slack=cfg.salt_slack,
+        strict=True,
+        distributed_counts=cfg.distributed_prepass,
+        counter_prefix="docs_lsh",
+    )
 
 
 def _band_buckets(sigs: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
@@ -322,12 +328,10 @@ def _minhash_band_candidates(
         sigs = doc_signatures(sf_dir, cfg).materialize()
     buckets = _band_buckets(sigs, cfg)
 
-    from dedup_ray.stages.grouped import grouped_runs
-
     # candidate pairs stay a Dataset; cross-band duplicate pairs are NOT
     # deduped (a shuffle saved) — verification is idempotent and union-find
     # ignores repeated edges, mirroring the flagship trade (stages/lsh.py)
-    cand = grouped_runs(buckets, "combo", _pairs_from_runs("combo", "doc_id"))
+    cand = _doc_candidate_pairs(buckets, "combo", cfg)
     return sigs, cand
 
 
@@ -397,7 +401,96 @@ def minhash_neardup_clusters(sf_dir: str, cfg: DedupConfig | None = None) -> pd.
     ).astype("int64")
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.DataFrame:
+def _vocab_order_ref(sets_ds, vocab_rank: str):
+    """Build + broadcast the prefix-filter token order (functions/vocab.py):
+    'exact' = exact rarest-first df ranks (driver state bounded by the
+    vocabulary); 'mg' = distributed Misra-Gries top-k summary + content-hash
+    ids (bounded by k — the unbounded-vocabulary fallback; the prefix filter
+    is lossless under ANY total order, so the verified pair set is identical
+    — pytest-checked). Returns (ray ObjectRef, vocab_n or None)."""
+    import ray
+
+    from dedup_ray.functions.vocab import exact_token_order, mg_token_order
+
+    to = (
+        exact_token_order(sets_ds)
+        if vocab_rank == "exact"
+        else mg_token_order(sets_ds)
+    )
+    if to is None:
+        return None, None
+    return ray.put(to), to.vocab_n
+
+
+def _explode_prefix_fn(order_ref, threshold: float, flagged: bool):
+    """Vectorized prefix-token explode: one probe (Arrow index_in + numpy
+    gather), one lexsort, no per-doc Python (round-2 review #5 replaced a
+    per-doc per-gram dict-probe loop). ``flagged=False`` emits only each
+    doc's first L tokens in rarity order (Jaccard prefix filter);
+    ``flagged=True`` emits every token with a bool marking the prefix
+    (containment's index side)."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        to = ray.get(order_ref)
+        g = b["grams"].combine_chunks()
+        flat = g.flatten()
+        lens = g.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        order_key, tok_id = to.probe(flat)
+        n_docs = len(lens)
+        total = int(lens.sum())
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        sort = np.lexsort((order_key, doc_idx))  # rarity order within doc
+        ti = tok_id[sort]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n_docs else np.empty(0, np.int64)
+        rank_in_doc = np.arange(total) - np.repeat(starts, lens)
+        # ceil with an fp-safety epsilon: a LONGER prefix is always safe
+        L = lens - np.ceil(threshold * lens - 1e-9).astype(np.int64) + 1
+        pfx = rank_in_doc < np.repeat(L, lens)
+        docs = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), lens)
+        if flagged:
+            return pa.table(
+                {"tok": pa.array(ti, type=pa.int64()),
+                 "doc_id": pa.array(docs, type=pa.int64()),
+                 "pfx": pa.array(pfx, type=pa.bool_())}
+            )
+        return pa.table(
+            {"tok": pa.array(ti[pfx], type=pa.int64()),
+             "doc_id": pa.array(docs[pfx], type=pa.int64())}
+        )
+
+    return fn
+
+
+def _to_ids_fn(order_ref):
+    """Vectorized (doc_id, sorted tok_ids list) attr builder for the exact
+    set-intersection verify — same probe, one lexsort, ListArray from
+    offsets; no per-doc Python."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        to = ray.get(order_ref)
+        g = b["grams"].combine_chunks()
+        flat = g.flatten()
+        lens = g.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        _, tok_id = to.probe(flat)
+        n_docs = len(lens)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        sort = np.lexsort((tok_id, doc_idx))  # id-sorted within doc
+        vals = tok_id[sort]
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(vals, type=pa.int64()),
+        )
+        return pa.table({"image_id": b["doc_id"], "tok_ids": arr})
+
+    return fn
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.5, n: int = 1, vocab_rank: str = "exact"
+) -> pd.DataFrame:
     """EXACT token n-gram Jaccard near-dup pairs: all (a < b) with
     J(ngrams(a), ngrams(b)) >= threshold. Returns (a, b) sorted.
 
@@ -433,63 +526,22 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.D
         tokenize, batch_format="pyarrow"
     ).materialize()  # consumed twice: df pre-pass + explode/attrs
 
-    # ---- doc-frequency pre-pass (no shuffle; tiny driver merge) ----
-    def df_partial(b: pa.Table) -> pa.Table:
-        g = b["grams"].combine_chunks()
-        vals = g.flatten()  # grams are distinct within a doc
-        if len(vals) == 0:
-            return pa.schema([("tok", pa.string()), ("n", pa.int64())]).empty_table()
-        t = pa.table({"tok": vals}).group_by("tok").aggregate([("tok", "count")])
-        return t.rename_columns(["tok", "n"])
-
-    parts = [
-        t for t in ray.get(
-            sets_ds.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
-        )
-        if t.num_rows and "tok" in t.column_names
-    ]
-    if not parts:
+    # ---- token order pre-pass (exact df ranks or Misra-Gries fallback) ----
+    order_ref, _ = _vocab_order_ref(sets_ds, vocab_rank)
+    if order_ref is None:
         return pd.DataFrame(columns=["a", "b"]).astype("int64")
-    merged = pa.concat_tables(parts).group_by("tok").aggregate([("n", "sum")])
-    mdf = merged.to_pandas().sort_values(["n_sum", "tok"]).reset_index(drop=True)
-    rank = {t: i for i, t in enumerate(mdf["tok"])}  # rarest-first total order
-    rank_ref = ray.put(rank)
-
-    # ---- explode prefix tokens + build sorted-int-id attr table ----
-    def explode_prefix(b: pa.Table) -> pa.Table:
-        r = ray.get(rank_ref)
-        out_tok, out_doc = [], []
-        for doc, grams in zip(b["doc_id"].to_pylist(), b["grams"].to_pylist()):
-            ids = sorted(r[g] for g in grams)
-            ld = len(ids)
-            if ld == 0:
-                continue
-            # ceil with an fp-safety epsilon: a LONGER prefix is always safe
-            L = ld - int(np.ceil(threshold * ld - 1e-9)) + 1
-            out_tok.extend(ids[:L])
-            out_doc.extend([doc] * L)
-        return pa.table(
-            {
-                "tok": pa.array(out_tok, type=pa.int64()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-            }
-        )
-
-    def to_ids(b: pa.Table) -> pa.Table:
-        r = ray.get(rank_ref)
-        ids = [sorted(r[g] for g in grams) for grams in b["grams"].to_pylist()]
-        return pa.table(
-            {
-                "image_id": b["doc_id"],
-                "tok_ids": pa.array(ids, type=pa.list_(pa.int64())),
-            }
-        )
 
     from dedup_ray.stages.grouped import grouped_runs
     from dedup_ray.stages.join import attach_pair_attrs
 
-    exploded = sets_ds.map_batches(explode_prefix, batch_format="pyarrow")
-    cand = grouped_runs(exploded, "tok", _pairs_from_runs("tok", "doc_id"))
+    exploded = sets_ds.map_batches(
+        _explode_prefix_fn(order_ref, threshold, flagged=False),
+        batch_format="pyarrow",
+    )
+    # strict salting: prefix-filter candidates are LOSSLESS by construction —
+    # a star+chain degradation here would lose true pairs, so over-cap token
+    # groups (stopword-ish prefix tokens) split exactly instead
+    cand = _doc_candidate_pairs(exploded, "tok")
 
     # dedup candidates (a pair appears once per shared prefix token): key on
     # src_id co-locates all copies; drop consecutive duplicates of the
@@ -500,8 +552,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 1) -> pd.D
         cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
         sort_cols=["src_id", "dst_id"],
     )
-    withsets = attach_pair_attrs(deduped, sets_ds.map_batches(to_ids, batch_format="pyarrow"),
-                                 ["tok_ids"])
+    withsets = attach_pair_attrs(
+        deduped,
+        sets_ds.map_batches(_to_ids_fn(order_ref), batch_format="pyarrow"),
+        ["tok_ids"],
+    )
 
     def vfy(b: pa.Table) -> pa.Table:
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -598,7 +653,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
     buckets = sigs.select_columns(["doc_id", "simhash"]).map_batches(
         explode, batch_format="pyarrow"
     )
-    cand = grouped_runs(buckets, "combo", _pairs_from_runs("combo", "doc_id"))
+    cand = _doc_candidate_pairs(buckets, "combo")
     attrs = sigs.map_batches(
         lambda b: pa.table({"image_id": b["doc_id"], "simhash": b["simhash"]}),
         batch_format="pyarrow",
@@ -999,7 +1054,9 @@ def neardup_cluster_sizes(
     )
 
 
-def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+def containment_pairs(
+    sf_dir: str, threshold: float = 0.8, vocab_rank: str = "exact"
+) -> rd.Dataset:
     """EXACT token containment near-dup pairs: all (a < b) where
     |A∩B| >= threshold·min(|A|,|B|) — the ASYMMETRIC partial-duplicate
     detector (quotes, boilerplate, doc-inside-doc) that Jaccard misses
@@ -1033,43 +1090,13 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         tokenize, batch_format="pyarrow"
     ).materialize()  # consumed twice: df pre-pass + explode/attrs
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        vals = b["grams"].combine_chunks().flatten()
-        if len(vals) == 0:
-            return pa.schema([("tok", pa.string()), ("n", pa.int64())]).empty_table()
-        t = pa.table({"tok": vals}).group_by("tok").aggregate([("tok", "count")])
-        return t.rename_columns(["tok", "n"])
-
-    parts = [
-        t for t in ray.get(
-            sets_ds.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+    order_ref, vocab_n = _vocab_order_ref(sets_ds, vocab_rank)
+    if order_ref is None:
+        return rd.from_arrow(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
         )
-        if t.num_rows and "tok" in t.column_names
-    ]
-    if not parts:
-        return pd.DataFrame(columns=["a", "b"]).astype("int64")
-    merged = pa.concat_tables(parts).group_by("tok").aggregate([("n", "sum")])
-    mdf = merged.to_pandas().sort_values(["n_sum", "tok"]).reset_index(drop=True)
-    rank = {t: i for i, t in enumerate(mdf["tok"])}
-    rank_ref = ray.put(rank)
 
-    def explode_flagged(b: pa.Table) -> pa.Table:
-        r = ray.get(rank_ref)
-        out_tok, out_doc, out_pfx = [], [], []
-        for doc, grams in zip(b["doc_id"].to_pylist(), b["grams"].to_pylist()):
-            ids = sorted(r[g] for g in grams)
-            ld = len(ids)
-            if ld == 0:
-                continue
-            L = ld - int(np.ceil(threshold * ld - 1e-9)) + 1
-            out_tok.extend(ids)
-            out_doc.extend([doc] * ld)
-            out_pfx.extend([True] * L + [False] * (ld - L))
-        return pa.table(
-            {"tok": pa.array(out_tok, type=pa.int64()),
-             "doc_id": pa.array(out_doc, type=pa.int64()),
-             "pfx": pa.array(out_pfx, type=pa.bool_())}
-        )
+    explode_flagged = _explode_prefix_fn(order_ref, threshold, flagged=True)
 
     def flagged_pairs(g: pa.Table) -> pa.Table:
         # a pair qualifies only if >=1 side posted a prefix token, so
@@ -1107,14 +1134,6 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
              "dst_id": pa.array(np.concatenate(out_b), type=pa.int64())}
         )
 
-    def to_ids(b: pa.Table) -> pa.Table:
-        r = ray.get(rank_ref)
-        ids = [sorted(r[g] for g in grams) for grams in b["grams"].to_pylist()]
-        return pa.table(
-            {"image_id": b["doc_id"],
-             "tok_ids": pa.array(ids, type=pa.list_(pa.int64()))}
-        )
-
     exploded = sets_ds.map_batches(explode_flagged, batch_format="pyarrow")
     cand = grouped_runs(exploded, "tok", flagged_pairs)
     deduped = grouped_runs(
@@ -1122,14 +1141,14 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         sort_cols=["src_id", "dst_id"],
     )
     withsets = attach_pair_attrs(
-        deduped, sets_ds.map_batches(to_ids, batch_format="pyarrow"),
+        deduped,
+        sets_ds.map_batches(_to_ids_fn(order_ref), batch_format="pyarrow"),
         ["tok_ids"],
     )
     # threshold as an exact rational k_num/k_den for the integer test
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1000)
-    vocab_n = len(rank) + 1
 
     def vfy(b: pa.Table) -> pa.Table:
         # fully vectorized exact intersection: per-pair token lists are
@@ -1145,7 +1164,15 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         vb, ob = lb.values.to_numpy(zero_copy_only=False), lb.offsets.to_numpy()
         na = np.diff(oa).astype(np.int64)
         nb = np.diff(ob).astype(np.int64)
-        V = np.int64(vocab_n)  # int closure, not the rank dict
+        if vocab_n is not None:
+            V = np.int64(vocab_n)  # int closure (dense exact-rank id space)
+        else:
+            # mg mode: ids are 62-bit hashes — densify per batch (monotone
+            # map keeps each list sorted) so the segment-offset trick fits
+            u = np.unique(np.concatenate([va, vb]))
+            va = np.searchsorted(u, va)
+            vb = np.searchsorted(u, vb)
+            V = np.int64(len(u) + 1)
         seg_a = np.repeat(np.arange(b.num_rows, dtype=np.int64), na)
         seg_b = np.repeat(np.arange(b.num_rows, dtype=np.int64), nb)
         av = va.astype(np.int64) + seg_a * V
@@ -1366,7 +1393,13 @@ def minhash_funnel_stats(
         run_starts,
     )
 
-    pairs_fn = _pairs_from_runs("combo", "doc_id")
+    # funnel semantics: n_buckets counts PRE-salt band buckets (the metric's
+    # definition, shared with the oracle), so this fused pass stays unsalted
+    # — shared vectorized kernel, no cap (diagnostic query; the production
+    # candidate path _doc_candidate_pairs is the skew-safe one)
+    from dedup_ray.stages.pairgen import pairs_from_runs
+
+    pairs_fn = pairs_from_runs("combo", "doc_id", cap=None)
 
     def pairs_and_bucket_count(g: pa.Table) -> pa.Table:
         keys = g["combo"].to_numpy(zero_copy_only=False)
@@ -1380,7 +1413,8 @@ def minhash_funnel_stats(
         return pa.concat_tables([pairs, sentinel])
 
     tagged = grouped_runs(
-        _band_buckets(sigs, cfg), "combo", pairs_and_bucket_count
+        _band_buckets(sigs, cfg), "combo", pairs_and_bucket_count,
+        sort_cols=["combo", "doc_id"],
     ).materialize()
 
     n_buckets = 0
@@ -1455,7 +1489,14 @@ def prefix_dup_groups(sf_dir: str, n_chars: int = 32) -> rd.Dataset:
     from dedup_ray.stages.grouped import grouped_runs, run_starts
 
     def pfx(b: pa.Table) -> pa.Table:
-        p = [(t or "")[:n_chars] for t in b["text"].to_pylist()]
+        # SQL-mirroring NULL semantics (round-2 advice): the oracle's
+        # substr(NULL,..) is NULL, and its JOIN ... USING (pfx) never
+        # matches NULL — so NULL-text docs are EXCLUDED here too instead of
+        # being coalesced into the '' group.
+        texts = b["text"].to_pylist()
+        keep = pa.array([t is not None for t in texts])
+        b = b.filter(keep)
+        p = [t[:n_chars] for t in b["text"].to_pylist()]
         return pa.table(
             {"doc_id": b["doc_id"], "pfx": pa.array(p, type=pa.string())}
         )
@@ -1598,6 +1639,13 @@ def minhash_threshold_sweep(
     )
 
 
+# single-entry memo: clusters/report/keep run back-to-back over the same
+# corpus (bench does exactly this), so the three-tier edge computation runs
+# ONCE per (sf_dir, config) instead of three times (round-2 advice). One
+# entry bounds driver memory; a different corpus/config evicts it.
+_DOC_NEARDUP_CACHE: dict[tuple, tuple] = {}
+
+
 def _doc_neardup_state(
     sf_dir: str, cfg: DedupConfig, max_hamming: int
 ) -> tuple[list, list, list, dict]:
@@ -1605,8 +1653,14 @@ def _doc_neardup_state(
     flagship: returns (exact_edges, minhash_edges, simhash_edges,
     components) with edges as zero-padded id-string tuples. Each tier is
     its fully distributed path; one signature pass is shared by the
-    MinHash and SimHash tiers."""
+    MinHash and SimHash tiers. Memoized per (sf_dir, config_hash,
+    max_hamming) — see _DOC_NEARDUP_CACHE."""
     import ray
+
+    memo_key = (sf_dir, (cfg or DedupConfig()).config_hash(), max_hamming)
+    hit = _DOC_NEARDUP_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
 
     from dedup_ray.stages.grouped import grouped_runs, run_starts
 
@@ -1661,6 +1715,8 @@ def _doc_neardup_state(
     e_sh = [(f"{a:012d}", f"{b:012d}") for a, b in zip(sp["a"], sp["b"])]
     edges = e_exact + e_mh + e_sh
     comp = connected_components(edges) if edges else {}
+    _DOC_NEARDUP_CACHE.clear()
+    _DOC_NEARDUP_CACHE[memo_key] = (e_exact, e_mh, e_sh, comp)
     return e_exact, e_mh, e_sh, comp
 
 

@@ -153,76 +153,34 @@ def bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
 
 
 def _pairs_from_runs(cap: int, phash_hamming_max: int):
-    """Vectorized pair generation over all bucket-runs of a coarse group
-    (stages/grouped.py): rows sorted by (combo key, image_id); per run of
-    size n emit triu pairs (n<=cap) or star+chain (n>cap, counted).
-    phash-generated runs (gen==1) are Hamming-filtered in place — the bucket
-    co-membership only guarantees one matching band-pair, and re-checking the
-    full 64-bit distance here costs one vectorized popcount instead of
+    """Vectorized pair generation over all bucket-runs of a coarse group —
+    the SHARED kernel (stages/pairgen.py; the document path uses the same
+    one) specialized with the flagship's phash Hamming re-check: phash-
+    generated runs (gen==1, combo encodes band_id encodes gen) re-check the
+    full 64-bit distance in place, one vectorized popcount instead of
     shipping ~n^2/65536 junk pairs into the attach+verify stages."""
+    from dedup_ray.functions.hashing import hamming64
+    from dedup_ray.stages.pairgen import pairs_from_runs
 
-    def fn(g: pa.Table) -> pa.Table:
-        keys = g["combo"].to_numpy(zero_copy_only=False)
-        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+    def phash_filter(g: pa.Table):
         gens = g["gen"].to_numpy(zero_copy_only=False)
         phs = g["phash"].to_numpy(zero_copy_only=False)
-        from dedup_ray.functions.hashing import hamming64
-        from dedup_ray.stages.grouped import run_starts
 
-        starts = run_starts(keys)
-        bounds = np.append(starts, len(keys))
-        sizes = np.diff(bounds)
-        src_parts, dst_parts = [], []
-        capped = 0
-        capped_rows = 0
-        # triu pairs for every in-cap run at once, batched BY RUN SIZE: one
-        # triu_indices + one fancy-index per distinct size (<= cap distinct
-        # values) instead of one Python iteration per run — the per-run loop
-        # was ~70 CPU-s at 1.2M candidate pairs
-        in_cap = (sizes >= 2) & (sizes <= cap)
-        if in_cap.any():
-            offs_all = bounds[:-1][in_cap]
-            sz_all = sizes[in_cap]
-            for s in np.unique(sz_all):
-                offs = offs_all[sz_all == s]
-                iu, ju = np.triu_indices(int(s), 1)
-                gi = (offs[:, None] + iu[None, :]).ravel()
-                gj = (offs[:, None] + ju[None, :]).ravel()
-                # runs are gen-uniform (combo encodes band_id encodes gen);
-                # phash buckets get the exact Hamming re-check in place
-                is_ph = gens[gi] == 1
-                if is_ph.any():
-                    keep = np.ones(gi.size, dtype=bool)
-                    keep[is_ph] = (
-                        hamming64(phs[gi[is_ph]], phs[gj[is_ph]])
-                        <= phash_hamming_max
-                    )
-                    gi, gj = gi[keep], gj[keep]
-                src_parts.append(ids[gi])
-                dst_parts.append(ids[gj])
-        for r in np.flatnonzero(sizes > cap):
-            s, e = int(bounds[r]), int(bounds[r + 1])
-            n = e - s
-            run = ids[s:e]
-            capped += 1
-            capped_rows += n
-            src_parts.append(np.concatenate([np.repeat(run[0], n - 1), run[1:-1]]))
-            dst_parts.append(np.concatenate([run[1:], run[2:]]))
-        if capped:
-            inc_counter("lsh_buckets_capped", capped)
-            inc_counter("lsh_capped_rows", capped_rows)
-        if not src_parts:
-            return PAIR_SCHEMA.empty_table()
-        src = np.concatenate(src_parts)
-        dst = np.concatenate(dst_parts)
-        return pa.table(
-            {
-                "src_id": pa.array(list(src), type=pa.string()),
-                "dst_id": pa.array(list(dst), type=pa.string()),
-            }
-        )
+        def per_pair(gi: np.ndarray, gj: np.ndarray) -> np.ndarray:
+            keep = np.ones(gi.size, dtype=bool)
+            is_ph = gens[gi] == 1
+            if is_ph.any():
+                keep[is_ph] = (
+                    hamming64(phs[gi[is_ph]], phs[gj[is_ph]]) <= phash_hamming_max
+                )
+            return keep
 
-    return fn
+        return per_pair
+
+    return pairs_from_runs(
+        "combo", "image_id", cap=cap, pair_filter=phash_filter,
+        counter_prefix="lsh",
+    )
 
 
 _BITMAP_LOG2 = 26  # 64 Mbit = 8 MiB per bitmap; sized so the driver merge
@@ -231,21 +189,70 @@ _BITMAP_LOG2 = 26  # 64 Mbit = 8 MiB per bitmap; sized so the driver merge
 # _pairable_bitmap), it never loses a candidate pair.
 
 
-def _pairable_bitmap(buckets: rd.Dataset) -> np.ndarray | None:
+def _merge_bitmap_tables(tables) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Fold (once, twice) bitmap rows: twice |= t | (once_acc & o);
+    once_acc |= o. This fold IS the associative-commutative merge
+    ((o1,t1)+(o2,t2) = (o1|o2, t1|t2|(o1&o2)) — saturating seen-count at 2),
+    so any grouping/order, sequential or tree, yields identical bits."""
+    words = 1 << (_BITMAP_LOG2 - 6)
+    once_g = np.zeros(words, dtype=np.uint64)
+    twice_g = np.zeros(words, dtype=np.uint64)
+    seen_any = False
+    for t in tables:
+        if t.num_rows == 0 or "once" not in t.column_names:
+            continue
+        for i in range(t.num_rows):
+            ob = np.frombuffer(t["once"][i].as_py(), dtype=np.uint64)
+            tb = np.frombuffer(t["twice"][i].as_py(), dtype=np.uint64)
+            twice_g |= tb | (once_g & ob)
+            once_g |= ob
+            seen_any = True
+    return once_g, twice_g, seen_any
+
+
+@ray.remote
+def _merge_bitmaps_task(*items):
+    """Tree-reduce node: items are arrow bitmap tables (leaves) or
+    (once_bytes, twice_bytes, seen) tuples (inner nodes); returns a tuple."""
+    words = 1 << (_BITMAP_LOG2 - 6)
+    once_g = np.zeros(words, dtype=np.uint64)
+    twice_g = np.zeros(words, dtype=np.uint64)
+    seen_any = False
+    for it in items:
+        if isinstance(it, tuple):
+            ob = np.frombuffer(it[0], dtype=np.uint64)
+            tb = np.frombuffer(it[1], dtype=np.uint64)
+            twice_g |= tb | (once_g & ob)
+            once_g |= ob
+            seen_any |= bool(it[2])
+        else:
+            o, t, s = _merge_bitmap_tables([it])
+            twice_g |= t | (once_g & o)
+            once_g |= o
+            seen_any |= s
+    return once_g.tobytes(), twice_g.tobytes(), seen_any
+
+
+def _pairable_bitmap(buckets: rd.Dataset, distributed: bool = False) -> np.ndarray | None:
     """Approximate global "combo seen >= 2 times" filter as a bit array.
 
     Per block (one elastic task each): hash every combo into a 2^26-bit
-    space and emit (seen-once, seen-twice) bitmaps; the driver merges with
-    three ORs per block — global_twice |= block_twice | (global_once &
-    block_once). ~16 MiB per block crosses the object store instead of the
-    per-block distinct-combo tables (~100 MiB+ and an O(n log n) driver
-    merge at 100k rows — profiled 3.1 s, vs ~0.9 s for this).
+    space and emit (seen-once, seen-twice) bitmaps; merged with three ORs
+    per block — global_twice |= block_twice | (global_once & block_once).
+    ~16 MiB per block crosses the object store instead of the per-block
+    distinct-combo tables (~100 MiB+ and an O(n log n) driver merge at 100k
+    rows — profiled 3.1 s, vs ~0.9 s for this).
 
     One-sided error: hash collisions can mark a globally-unique combo
     "pairable" (its rows ride the shuffle and produce no pairs — run length
     1 is skipped by pair-gen), but a combo with >= 2 rows is ALWAYS marked.
-    Recall-exact, like every cheap tier in the cascade. At cluster scale the
-    driver OR-merge becomes a log-depth tree reduce of the same bitmaps.
+    Recall-exact, like every cheap tier in the cascade.
+
+    ``distributed=True`` (DedupConfig.distributed_prepass): the merge runs
+    as a log-depth fan-in-8 tree of Ray tasks over the block bitmaps — the
+    at-scale shape (driver receives ONE 8 MiB bitmap regardless of block
+    count). The merge is associative+commutative, so the result is
+    bit-identical to the sequential driver fold (pytest-checked).
     Returns None when no combo is pairable (or the dataset is empty)."""
     words = 1 << (_BITMAP_LOG2 - 6)
     mix = np.uint64(0x9E3779B97F4A7C15)
@@ -268,117 +275,63 @@ def _pairable_bitmap(buckets: rd.Dataset) -> np.ndarray | None:
              "twice": pa.array([twice.tobytes()], type=pa.binary())}
         )
 
-    once_g = np.zeros(words, dtype=np.uint64)
-    twice_g = np.zeros(words, dtype=np.uint64)
-    seen_any = False
-    for t in ray.get(
-        buckets.map_batches(
-            block_bitmaps, batch_format="pyarrow", batch_size=None
-        ).to_arrow_refs()
-    ):
-        if t.num_rows == 0 or "once" not in t.column_names:
-            continue
-        for i in range(t.num_rows):
-            ob = np.frombuffer(t["once"][i].as_py(), dtype=np.uint64)
-            tb = np.frombuffer(t["twice"][i].as_py(), dtype=np.uint64)
-            twice_g |= tb | (once_g & ob)
-            once_g |= ob
-            seen_any = True
+    refs = buckets.map_batches(
+        block_bitmaps, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    if distributed:
+        while len(refs) > 1:
+            refs = [
+                _merge_bitmaps_task.remote(*refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
+        merged = ray.get(refs[0]) if refs else None
+        if merged is None:
+            return None
+        if isinstance(merged, tuple):
+            twice_g = np.frombuffer(merged[1], dtype=np.uint64)
+            seen_any = bool(merged[2])
+        else:  # single leaf: one arrow table, no task ran
+            _, twice_g, seen_any = _merge_bitmap_tables([merged])
+    else:
+        _, twice_g, seen_any = _merge_bitmap_tables(ray.get(refs))
     if not seen_any or not twice_g.any():
         return None
-    return twice_g
+    return twice_g.copy()  # frombuffer views are read-only
 
 
-def _count_combos(buckets: rd.Dataset) -> tuple[np.ndarray, np.ndarray] | None:
-    """Shuffle-free global bucket-size counts: per-block partial (combo, n)
-    counts merged on the driver — the cascade-pre-pass pattern. The merged
-    table is counts over DISTINCT bucket keys (bounded by reps x bands, far
-    smaller than the row set); at cluster scale this driver merge becomes a
-    semi-join of the bucket table against a distributed count table
-    (same plan shape, one more shuffle — the driver never sees row data)."""
+def _count_combos(
+    buckets: rd.Dataset, distributed: bool = False
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Global bucket-size counts (shared kernel, stages/pairgen.py).
 
-    def partial_counts(b: pa.Table) -> pa.Table:
-        u, c = np.unique(b["combo"].to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"combo": pa.array(u), "n": pa.array(c)})
+    Default: per-block partial (combo, n) counts merged on the driver — the
+    cascade-pre-pass pattern; driver state bounded by DISTINCT bucket keys
+    (reps x bands, far smaller than the row set). ``distributed=True``
+    (DedupConfig.distributed_prepass) routes the partials through ONE
+    groupby-sum exchange so the driver reads back the already-aggregated
+    distinct-key table — the at-scale shape when even the distinct-key set
+    outgrows one machine's merge budget."""
+    from dedup_ray.stages.pairgen import bucket_counts
 
-    parts = [
-        t for t in ray.get(
-            buckets.map_batches(partial_counts, batch_format="pyarrow").to_arrow_refs()
-        )
-        if t.num_rows and "combo" in t.column_names
-    ]
-    if not parts:
-        return None
-    from dedup_ray.stages.grouped import merge_partial_counts
-
-    merged = pa.concat_tables(parts)
-    return merge_partial_counts(
-        merged["combo"].to_numpy(zero_copy_only=False),
-        merged["n"].to_numpy(zero_copy_only=False),
-    )
+    return bucket_counts(buckets, "combo", distributed=distributed)
 
 
 def _apply_salt(
     buckets: rd.Dataset, cfg: DedupConfig, u: np.ndarray, tot: np.ndarray
 ) -> rd.Dataset:
-    """EXACT hot-bucket salting (north-rule named feature; SURVEY §4 skew row).
-
-    Each hot-bucket row (count > bucket_pair_cap; salt s = crc32(id) % k,
-    k = ceil(slack*n/cap)) is re-emitted into every rendezvous group
-    p(min(s,t), max(s,t)) for t in 0..k-1 — pairs WITHIN salt s arise in the
-    diagonal group (s,s), pairs ACROSS salts s<t in group (s,t), so triu over
-    each rendezvous group regenerates the complete pair set, just partitioned
-    into groups of ~2n/k <= cap rows (duplicates are absorbed by idempotent
-    verify + union-find). Cold rows pass through untouched. Bucket counts
-    come precomputed from ``_count_combos`` (one count pass shared with the
-    singleton prefilter).
-    """
-    import zlib
+    """EXACT hot-bucket salting (north-rule named feature; SURVEY §4 skew
+    row) — shared rendezvous-group kernel in stages/pairgen.py (one copy
+    with the document path). Bucket counts come precomputed from
+    ``_count_combos`` (one count pass shared with the singleton prefilter)."""
+    from dedup_ray.stages.pairgen import apply_salt
 
     hot_mask = tot > cfg.bucket_pair_cap
     if not hot_mask.any():
         return buckets
-    hot = u[hot_mask]  # sorted
-    hot_k = np.ceil(cfg.salt_slack * tot[hot_mask] / cfg.bucket_pair_cap).astype(np.int64)
-    inc_counter("lsh_buckets_salted", int(hot.size))
-    hot_ref = ray.put((hot, hot_k))
-    mix = np.uint64(0x9E3779B97F4A7C15)
-
-    def add_salt(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        hot_c, hot_kk = ray.get(hot_ref)
-        combo = b["combo"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(hot_c, combo)
-        pos[pos >= hot_c.size] = hot_c.size - 1
-        is_hot = hot_c[pos] == combo
-        cold = b.filter(pa.array(~is_hot))
-        hi = np.flatnonzero(is_hot)
-        if hi.size == 0:
-            return cold
-        ks = hot_kk[pos[hi]]
-        ids = b["image_id"].take(pa.array(hi)).to_pylist()
-        salts = np.fromiter(
-            (zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
-        ) % ks
-        # expand: row i -> k_i rendezvous groups (its salt vs every t)
-        rep = np.repeat(np.arange(hi.size), ks)
-        t_idx = np.concatenate([np.arange(k) for k in ks]) if hi.size else np.empty(0, np.int64)
-        s_rep = salts[rep]
-        lo = np.minimum(s_rep, t_idx)
-        hh = np.maximum(s_rep, t_idx)
-        p = hh * (hh + 1) // 2 + lo  # triangular index of the salt pair
-        combo2 = (
-            combo[hi][rep].view(np.uint64)
-            ^ ((p.astype(np.uint64) + np.uint64(1)) * mix)
-        ).view(np.int64)
-        hot_tbl = b.take(pa.array(hi[rep]))
-        hot_tbl = hot_tbl.set_column(
-            hot_tbl.schema.get_field_index("combo"), "combo", pa.array(combo2)
-        )
-        return pa.concat_tables([cold, hot_tbl]) if cold.num_rows else hot_tbl
-
-    return buckets.map_batches(add_salt, batch_format="pyarrow")
+    return apply_salt(
+        buckets, "combo", "image_id", u[hot_mask], tot[hot_mask],
+        cfg.bucket_pair_cap, cfg.salt_slack, counter_prefix="lsh",
+    )
 
 
 def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
@@ -409,7 +362,7 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     buckets = signatures.map_batches(
         explode_with_combo, batch_format="pyarrow"
     ).materialize()  # consumed by the bitmap pass + the filtered shuffle
-    bitmap = _pairable_bitmap(buckets)
+    bitmap = _pairable_bitmap(buckets, distributed=cfg.distributed_prepass)
     if bitmap is None:
         return rd.from_arrow(PAIR_SCHEMA.empty_table())
     bm_ref = ray.put(bitmap)
@@ -432,7 +385,9 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     if cfg.salt_hot_buckets:
         # exact counts for hot-bucket detection, taken over the SURVIVORS
         # (bitmap false positives have count 1 and can never look hot)
-        counts = _count_combos(buckets.materialize())
+        counts = _count_combos(
+            buckets.materialize(), distributed=cfg.distributed_prepass
+        )
         if counts is not None:
             buckets = _apply_salt(buckets, cfg, *counts)
     pairs = grouped_runs(

@@ -1,0 +1,350 @@
+"""Shared LSH-bucket pair generation: size-batched triu, cap, exact salting.
+
+ONE kernel for every bucket->candidate-pairs stage in the engine (round-2
+review: the flagship's skew-safe generator lived only in stages/lsh.py while
+the document path re-implemented an uncapped per-run Python loop —
+pipelines/text.py round-2 `_pairs_from_runs` — which was O(n^2) on a hot band
+bucket. Both now route here).
+
+Semantics per key-run of size n (rows arrive sorted by (key, id) from
+stages/grouped.grouped_runs):
+
+    n <= cap              all C(n,2) (a < b) pairs, one vectorized
+                          triu_indices + fancy-index per DISTINCT run size
+    n > cap, salted       the run was split BEFORE the shuffle into salted
+                          rendezvous groups (apply_salt) whose triu pairs
+                          regenerate the EXACT pair set, partitioned into
+                          groups of ~2n/k <= cap rows
+    n > cap, unsalted     star-from-min + chain: connectivity-preserving
+                          O(n) degradation, counted in metrics
+
+Duplicate pairs (cross-band, cross-salt-rendezvous) are emitted freely:
+every consumer either verifies idempotently + union-finds (cluster paths)
+or drops them with one distributed sorted-pair dedup (pair-output paths) —
+the same contract the flagship established (stages/lsh.py lsh_candidates).
+
+Hot-key counting offers two physical plans behind ``distributed=``:
+driver-merged per-block partial counts (bounded by DISTINCT bucket keys —
+fine on one node), or the at-scale shape: per-block partials ->
+``groupby(key).sum(n)`` -> collect ONLY keys with count > cap (bounded by
+the hot-bucket count, never the key-space). The flagship exposes the same
+switch as ``DedupConfig.distributed_prepass`` (SCALE.md "prepass" row).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from dedup_ray.state.metrics import inc_counter
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ids_np(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Id column -> numpy array preserving sort order: zero-copy for ints,
+    object dtype for strings (np.sort/fancy-index both work)."""
+    if pa.types.is_integer(col.type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.to_numpy(zero_copy_only=False)
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
+def _ids_arrow(a: np.ndarray, proto: pa.DataType) -> pa.Array:
+    if pa.types.is_integer(proto):
+        return pa.array(a, type=proto)
+    return pa.array(list(a), type=proto)
+
+
+def pairs_from_runs(
+    key_col: str,
+    id_col: str,
+    cap: int | None,
+    pair_filter: Callable[[pa.Table], Callable[[np.ndarray, np.ndarray], np.ndarray]]
+    | None = None,
+    out_cols: tuple[str, str] = ("src_id", "dst_id"),
+    counter_prefix: str = "lsh",
+) -> Callable[[pa.Table], pa.Table]:
+    """Build the grouped_runs fn emitting (a < b) id pairs per key-run.
+
+    ``pair_filter``: optional factory — called once per bucket table, returns
+    a vectorized ``(gi, gj) -> keep`` mask over row-index pairs (the flagship
+    uses it for the in-place phash Hamming re-check). Applied to triu pairs
+    only, matching the flagship's historical behavior (star/chain fallback
+    pairs go to the verifier unfiltered — they are already the lossy branch).
+    """
+
+    def fn(g: pa.Table) -> pa.Table:
+        from dedup_ray.stages.grouped import run_starts
+
+        id_type = g.schema.field(id_col).type
+        schema = pa.schema([(out_cols[0], id_type), (out_cols[1], id_type)])
+        if g.num_rows == 0:
+            return schema.empty_table()
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ids = _ids_np(g[id_col])
+        per_pair = pair_filter(g) if pair_filter is not None else None
+
+        starts = run_starts(keys)
+        bounds = np.append(starts, len(keys))
+        sizes = np.diff(bounds)
+        src_parts: list[np.ndarray] = []
+        dst_parts: list[np.ndarray] = []
+        # triu pairs for every in-cap run at once, batched BY RUN SIZE: one
+        # triu_indices + one fancy-index per distinct size instead of one
+        # Python iteration per run (profiled ~70 CPU-s/1.2M pairs saved)
+        in_cap = sizes >= 2 if cap is None else (sizes >= 2) & (sizes <= cap)
+        if in_cap.any():
+            offs_all = bounds[:-1][in_cap]
+            sz_all = sizes[in_cap]
+            for s in np.unique(sz_all):
+                offs = offs_all[sz_all == s]
+                iu, ju = np.triu_indices(int(s), 1)
+                gi = (offs[:, None] + iu[None, :]).ravel()
+                gj = (offs[:, None] + ju[None, :]).ravel()
+                if per_pair is not None:
+                    keep = per_pair(gi, gj)
+                    if not keep.all():
+                        gi, gj = gi[keep], gj[keep]
+                src_parts.append(ids[gi])
+                dst_parts.append(ids[gj])
+        if cap is not None:
+            capped = 0
+            capped_rows = 0
+            for r in np.flatnonzero(sizes > cap):
+                s, e = int(bounds[r]), int(bounds[r + 1])
+                n = e - s
+                run = ids[s:e]
+                capped += 1
+                capped_rows += n
+                src_parts.append(
+                    np.concatenate([np.repeat(run[0], n - 1), run[1:-1]])
+                )
+                dst_parts.append(np.concatenate([run[1:], run[2:]]))
+            if capped:
+                inc_counter(f"{counter_prefix}_buckets_capped", capped)
+                inc_counter(f"{counter_prefix}_capped_rows", capped_rows)
+        if not src_parts:
+            return schema.empty_table()
+        return pa.table(
+            {
+                out_cols[0]: _ids_arrow(np.concatenate(src_parts), id_type),
+                out_cols[1]: _ids_arrow(np.concatenate(dst_parts), id_type),
+            }
+        )
+
+    return fn
+
+
+# ------------------------------------------------- hot-key count pre-pass
+
+
+def bucket_counts(
+    buckets: rd.Dataset, key_col: str, distributed: bool = False
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Global (distinct_key_sorted, count) over a bucket dataset, shuffle-free.
+
+    Default: per-block partial (key, n) counts merged on the driver — driver
+    state bounded by DISTINCT bucket keys (reps x bands), never rows.
+    ``distributed=True`` is the at-scale shape: the partials go through ONE
+    ``groupby(key).sum(n)`` exchange and the driver reads back the already-
+    aggregated distinct-key table (use ``hot_bucket_counts`` to read back
+    only the over-cap slice)."""
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b[key_col].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"k": pa.array(u), "n": pa.array(c)})
+
+    partials = buckets.map_batches(partial_counts, batch_format="pyarrow")
+    if distributed:
+        agg = partials.groupby("k").sum("n")
+        parts = [x for x in ray.get(agg.to_arrow_refs()) if x.num_rows]
+        if not parts:
+            return None
+        t = pa.concat_tables(parts)
+        u = t["k"].to_numpy(zero_copy_only=False)
+        tot = t["sum(n)"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u)
+        return u[order], tot[order]
+    parts = [
+        t
+        for t in ray.get(partials.to_arrow_refs())
+        if t.num_rows and "k" in t.column_names
+    ]
+    if not parts:
+        return None
+    from dedup_ray.stages.grouped import merge_partial_counts
+
+    merged = pa.concat_tables(parts)
+    return merge_partial_counts(
+        merged["k"].to_numpy(zero_copy_only=False),
+        merged["n"].to_numpy(zero_copy_only=False),
+    )
+
+
+def hot_bucket_counts(
+    buckets: rd.Dataset, key_col: str, cap: int, distributed: bool = False
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(sorted_hot_keys, their_counts) for keys with count > cap, or None.
+
+    In distributed mode the over-cap filter runs INSIDE the count exchange,
+    so the driver collects only the hot slice — bounded by the number of hot
+    buckets (tiny by construction), valid at any key-space size."""
+    if distributed:
+
+        def partial_counts(b: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                b[key_col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table({"k": pa.array(u), "n": pa.array(c)})
+
+        def over_cap(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "sum(n)" not in b.column_names:
+                return pa.schema([("k", pa.int64()), ("sum(n)", pa.int64())]).empty_table()
+            n = b["sum(n)"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(n > cap))
+
+        hot_t = (
+            buckets.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("k")
+            .sum("n")
+            .map_batches(over_cap, batch_format="pyarrow")
+        )
+        parts = [t for t in ray.get(hot_t.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return None
+        t = pa.concat_tables(parts)
+        u = t["k"].to_numpy(zero_copy_only=False)
+        tot = t["sum(n)"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u)
+        return u[order], tot[order]
+    counts = bucket_counts(buckets, key_col, distributed=False)
+    if counts is None:
+        return None
+    u, tot = counts
+    hot = tot > cap
+    if not hot.any():
+        return None
+    return u[hot], tot[hot]
+
+
+# ---------------------------------------------------------- exact salting
+
+
+def _salt_values(ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic (process-independent) per-row salt hash. Strings use
+    crc32 (the flagship's historical choice — checkpoint-resume stability);
+    ints one Fibonacci-mix pass (vectorized)."""
+    if pa.types.is_integer(ids.type):
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        a = ids.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return ((a.view(np.uint64) * _MIX) >> np.uint64(33)).astype(np.int64)
+    vals = ids.to_pylist()
+    return np.fromiter(
+        (zlib.crc32(x.encode()) for x in vals), dtype=np.int64, count=len(vals)
+    )
+
+
+def apply_salt(
+    buckets: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    hot_keys: np.ndarray,
+    hot_counts: np.ndarray,
+    cap: int,
+    slack: int = 4,
+    counter_prefix: str = "lsh",
+) -> rd.Dataset:
+    """EXACT hot-bucket salting (north-rule named feature; SURVEY §4 skew).
+
+    Each hot-bucket row (salt s = hash(id) % k, k = ceil(slack*n/cap)) is
+    re-emitted into every rendezvous group p(min(s,t), max(s,t)) for t in
+    0..k-1 — pairs WITHIN salt s arise in the diagonal group (s,s), pairs
+    ACROSS salts s<t in group (s,t), so triu over each rendezvous group
+    regenerates the complete pair set, just partitioned into groups of
+    ~2n/k <= cap rows (duplicates absorbed downstream). Cold rows pass
+    through untouched. ``hot_keys`` must be sorted ascending."""
+    hot_k = np.ceil(slack * hot_counts / cap).astype(np.int64)
+    inc_counter(f"{counter_prefix}_buckets_salted", int(hot_keys.size))
+    hot_ref = ray.put((hot_keys, hot_k))
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        hot_c, hot_kk = ray.get(hot_ref)
+        key = b[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hot_c, key)
+        pos[pos >= hot_c.size] = hot_c.size - 1
+        is_hot = hot_c[pos] == key
+        cold = b.filter(pa.array(~is_hot))
+        hi = np.flatnonzero(is_hot)
+        if hi.size == 0:
+            return cold
+        ks = hot_kk[pos[hi]]
+        salts = _salt_values(b[id_col].take(pa.array(hi))) % ks
+        # expand: row i -> k_i rendezvous groups (its salt vs every t)
+        rep = np.repeat(np.arange(hi.size), ks)
+        t_idx = np.concatenate([np.arange(k) for k in ks])
+        s_rep = salts[rep]
+        lo = np.minimum(s_rep, t_idx)
+        hh = np.maximum(s_rep, t_idx)
+        p = hh * (hh + 1) // 2 + lo  # triangular index of the salt pair
+        key2 = (
+            key[hi][rep].astype(np.int64).view(np.uint64)
+            ^ ((p.astype(np.uint64) + np.uint64(1)) * _MIX)
+        ).view(np.int64)
+        hot_tbl = b.take(pa.array(hi[rep]))
+        hot_tbl = hot_tbl.set_column(
+            hot_tbl.schema.get_field_index(key_col), key_col, pa.array(key2)
+        )
+        return pa.concat_tables([cold, hot_tbl]) if cold.num_rows else hot_tbl
+
+    return buckets.map_batches(add_salt, batch_format="pyarrow")
+
+
+def salted_candidate_pairs(
+    buckets: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    cap: int = 64,
+    slack: int = 4,
+    strict: bool = True,
+    distributed_counts: bool = False,
+    out_cols: tuple[str, str] = ("src_id", "dst_id"),
+    counter_prefix: str = "docs_lsh",
+) -> rd.Dataset:
+    """Bucket rows -> candidate pairs, skew-safe and (with strict) EXACT.
+
+    The document-path entry point (MinHash bands, SimHash bands, ngram
+    prefix groups): one hot-key count pre-pass, exact salting of over-cap
+    buckets, then ONE coarse hash-partitioned shuffle with the shared
+    vectorized pair kernel. ``strict=True`` keeps full triu even on a salted
+    sub-run that still exceeds ``cap`` (expected size ~cap/2, so the O(n^2)
+    bound is ~cap^2 worst-case per group) — required when the output pair
+    set feeds an EXACT operator (ngram prefix filtering) or an
+    oracle-checked pair listing; ``strict=False`` degrades such runs to
+    star+chain like the flagship's unsalted fallback."""
+    from dedup_ray.stages.grouped import grouped_runs
+
+    hot = hot_bucket_counts(buckets, key_col, cap, distributed=distributed_counts)
+    if hot is not None:
+        buckets = apply_salt(
+            buckets, key_col, id_col, hot[0], hot[1], cap, slack,
+            counter_prefix=counter_prefix,
+        )
+    fn = pairs_from_runs(
+        key_col,
+        id_col,
+        cap=None if strict else cap,
+        out_cols=out_cols,
+        counter_prefix=counter_prefix,
+    )
+    return grouped_runs(buckets, key_col, fn, sort_cols=[key_col, id_col])
