@@ -34,6 +34,7 @@ SCALING_ROWS = int(os.environ.get("DEDUP_SCALING_ROWS", "600000"))
 # load only ever slows legs — asymmetrically, so the efficiency headline is
 # untrustworthy on a busy box; 2.0 ~ a couple of stray processes on 32 cores)
 SCALING_LOAD_MAX = float(os.environ.get("DEDUP_SCALING_LOAD_MAX", "2.0"))
+SCALING_SETTLE_MAX = float(os.environ.get("DEDUP_SCALING_SETTLE_MAX", "180"))
                           # scaling runs use a larger input so parallel work
                           # dominates the fixed single-node orchestration
                           # floor (~8-10 s: shuffle barriers + driver merges
@@ -259,6 +260,14 @@ def run_scaling() -> dict:
     # become the official row.
     lo_, hi_ = SCALING_CPUS
     for ncpu in (hi_, lo_, hi_, lo_):
+        # settle-wait: the PREVIOUS leg's load lingers in the 1-min loadavg
+        # for ~a minute after its process exits; without this wait every
+        # leg after the first reads as "contended" from our own decay.
+        # Bounded (default 180 s) so a genuinely busy box still proceeds —
+        # flagged — rather than hanging.
+        settle_deadline = time.time() + SCALING_SETTLE_MAX
+        while os.getloadavg()[0] > SCALING_LOAD_MAX and time.time() < settle_deadline:
+            time.sleep(10)
         load_before = os.getloadavg()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCOPE="flagship",
                    DEDUP_BENCH_ROWS=str(SCALING_ROWS))
@@ -362,6 +371,43 @@ def run_matrix() -> dict:
     ray.shutdown()
     return {"metric": "matrix", "cells": cells,
             "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}
+
+
+def render_matrix(matrix: dict) -> str:
+    """Text rendering of a --matrix result: a markdown table plus an ASCII
+    throughput bar chart per (profile, dup_ratio) cell — the sandbox analog
+    of the reference's plotted benchmark matrix
+    (/root/reference/benchmark/plotting.py renders the same sweep as
+    images; no plotting libs are available here, so bars are rendered as
+    text and saved alongside the JSON)."""
+    cells = matrix.get("cells", [])
+    if not cells:
+        return "(empty matrix)"
+    lines = [
+        f"# Benchmark matrix ({matrix.get('num_cpus', '?')} CPUs)",
+        "",
+        "| profile | dup_ratio | rows | sec | img/s | clusters | recall | precision |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for c in cells:
+        lines.append(
+            "| {profile} | {dup_ratio} | {rows} | {sec} | {images_per_sec} "
+            "| {clusters} | {recall} | {precision} |".format(**c)
+        )
+    lines += ["", "## Throughput (img/s)", ""]
+    peak = max(c["images_per_sec"] for c in cells) or 1.0
+    for c in cells:
+        bar = "#" * max(1, int(40 * c["images_per_sec"] / peak))
+        label = f"{c['profile']}/r{c['dup_ratio']}"
+        lines.append(f"{label:<22} {bar} {c['images_per_sec']:.0f}")
+    lines += ["", "## Accuracy", ""]
+    for c in cells:
+        flag = "" if c["recall"] >= 0.99 and c["precision"] >= 0.99 else "  <-- CHECK"
+        lines.append(
+            f"{c['profile']}/r{c['dup_ratio']:<6} recall={c['recall']:.4f} "
+            f"precision={c['precision']:.4f}{flag}"
+        )
+    return "\n".join(lines) + "\n"
 
 
 # incremental-bench cells: (tag, rows, (img_min, img_max)). The flagship
@@ -500,7 +546,22 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--matrix" in sys.argv:
-        print(json.dumps(run_matrix()))
+        m = run_matrix()
+        print(json.dumps(m))
+        # render the text chart next to the JSON (reference plotting analog)
+        with open("/tmp/dedup_matrix.md", "w") as f:
+            f.write(render_matrix(m))
+        print("matrix chart written to /tmp/dedup_matrix.md", file=sys.stderr)
+    elif "--plot" in sys.argv:
+        # --plot <matrix.json> [out.md]: render a saved matrix result
+        i = sys.argv.index("--plot")
+        src = sys.argv[i + 1]
+        dst = sys.argv[i + 2] if len(sys.argv) > i + 2 else "/tmp/dedup_matrix.md"
+        with open(src) as f:
+            txt = render_matrix(json.load(f))
+        with open(dst, "w") as f:
+            f.write(txt)
+        print(txt)
     elif "--incremental-phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--incremental-phase") + 1]
         print(json.dumps(_incremental_phase(phase)))
