@@ -220,13 +220,18 @@ def run_neardup_incremental(
     if sigs.count() == 0:
         near_new = rd.from_arrow(EDGE_SCHEMA.empty_table())
     else:
+        from dedup_ray.stages.verify import verify_batch
+
         cands = lsh_candidates(sigs, cfg).map_batches(
             delta_touching, batch_format="pyarrow"
         )
-        attrs = attach_pair_attrs(
-            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"]
+        # verify fused into the attach task (post_fn) — see
+        # pipelines/neardup._near_edges for the attach->verify traffic math
+        near_new = attach_pair_attrs(
+            cands, sigs,
+            ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"],
+            post_fn=lambda b: verify_batch(b, cfg),
         )
-        near_new = verify_stage(attrs, cfg, concurrency)
 
     # ---- replayed prior near edges + fresh edges -> clusters --------------
     prior_near = rd.read_parquet(os.path.join(prior_ckpt_dir, "edges_near"))

@@ -141,14 +141,21 @@ def run_neardup(
 
     def _near_edges() -> rd.Dataset:
         from dedup_ray.stages.exact import EDGE_SCHEMA
+        from dedup_ray.stages.verify import verify_batch
 
         # sigs is pinned -> count() is metadata, not a new barrier
         if sigs.count() == 0:  # e.g. filters removed every row
             return rd.from_arrow(EDGE_SCHEMA.empty_table())
-        attrs = attach_pair_attrs(
-            cands, sigs, ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"]
+        # verify FUSED into the attach task (post_fn): attached batches are
+        # ~kB/pair and reduce to ~tens of B per confirmed edge — fusing
+        # keeps that blow-up out of the object store (profiled ~145 GB of
+        # transient attach->verify traffic at 2M rows / 56M pairs, the
+        # spill-stress driver; see stages/join.attach_pair_attrs)
+        return attach_pair_attrs(
+            cands, sigs,
+            ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"],
+            post_fn=lambda b: verify_batch(b, cfg),
         )
-        return verify_stage(attrs, cfg, concurrency)
 
     # near_edges is PINNED even though it has one consumer: letting the
     # driver union-find's iter_batches stream the verify lineage throttles

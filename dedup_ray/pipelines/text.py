@@ -355,7 +355,6 @@ def _minhash_edge_table(
         ),
         batch_format="pyarrow",
     )
-    withsig = attach_pair_attrs(cand, attrs, ["minhash_sig"])
 
     def vfy(b: pa.Table) -> pa.Table:
         from dedup_ray.stages.signatures import sigs_from_arrow
@@ -374,10 +373,12 @@ def _minhash_edge_table(
 
     import ray
 
+    # verify fused into the attach task (post_fn): per-pair signature
+    # columns (~1 KB/side) reduce to the confirmed edge rows inside the
+    # task instead of crossing the object store (see stages/join.py)
+    edges_ds = attach_pair_attrs(cand, attrs, ["minhash_sig"], post_fn=vfy)
     edge_tables = [
-        t for t in ray.get(
-            withsig.map_batches(vfy, batch_format="pyarrow").to_arrow_refs()
-        )
+        t for t in ray.get(edges_ds.to_arrow_refs())
         if t.num_rows and "a" in t.column_names
     ]
     return pa.concat_tables(edge_tables) if edge_tables else None
@@ -552,12 +553,6 @@ def ngram_jaccard_pairs(
         cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
         sort_cols=["src_id", "dst_id"],
     )
-    withsets = attach_pair_attrs(
-        deduped,
-        sets_ds.map_batches(_to_ids_fn(order_ref), batch_format="pyarrow"),
-        ["tok_ids"],
-    )
-
     def vfy(b: pa.Table) -> pa.Table:
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
         if b.num_rows == 0 or "src_tok_ids" not in b.column_names:
@@ -586,11 +581,16 @@ def ngram_jaccard_pairs(
             }
         )
 
+    # verify fused into the attach task (post_fn, stages/join.py): attached
+    # token-id lists reduce to confirmed pairs inside the task
+    withsets = attach_pair_attrs(
+        deduped,
+        sets_ds.map_batches(_to_ids_fn(order_ref), batch_format="pyarrow"),
+        ["tok_ids"],
+        post_fn=vfy,
+    )
     parts = [
-        t for t in ray.get(
-            withsets.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
-            .to_arrow_refs()
-        )
+        t for t in ray.get(withsets.to_arrow_refs())
         if t.num_rows and "a" in t.column_names
     ]
     if not parts:
@@ -658,8 +658,6 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
         lambda b: pa.table({"image_id": b["doc_id"], "simhash": b["simhash"]}),
         batch_format="pyarrow",
     )
-    withsig = attach_pair_attrs(cand, attrs, ["simhash"])
-
     def vfy(b: pa.Table) -> pa.Table:
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                             ("hamming", pa.int64())])
@@ -680,10 +678,10 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
 
     import ray
 
+    # verify fused into the attach task (post_fn, stages/join.py)
+    withsig = attach_pair_attrs(cand, attrs, ["simhash"], post_fn=vfy)
     parts = [
-        t for t in ray.get(
-            withsig.map_batches(vfy, batch_format="pyarrow").to_arrow_refs()
-        )
+        t for t in ray.get(withsig.to_arrow_refs())
         if t.num_rows and "a" in t.column_names
     ]
     if not parts:
@@ -859,8 +857,6 @@ def edit_distance_pairs(
         lambda b: pa.table({"image_id": b["doc_id"], "text": b["text"]}),
         batch_format="pyarrow",
     )
-    withtext = attach_pair_attrs(deduped, texts, ["text"])
-
     def vfy(b: pa.Table) -> pa.Table:
         schema = pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("edit_dist", pa.int64())]
@@ -885,11 +881,11 @@ def edit_distance_pairs(
             }
         )
 
+    # verify fused into the attach task (post_fn, stages/join.py): full
+    # texts on both endpoints never cross the object store
+    withtext = attach_pair_attrs(deduped, texts, ["text"], post_fn=vfy)
     parts = [
-        t for t in ray.get(
-            withtext.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
-            .to_arrow_refs()
-        )
+        t for t in ray.get(withtext.to_arrow_refs())
         if t.num_rows and "a" in t.column_names
     ]
     if not parts:
@@ -1140,11 +1136,6 @@ def containment_pairs(
         cand, "src_id", lambda g: drop_sorted_dup_pairs(g, "src_id", "dst_id"),
         sort_cols=["src_id", "dst_id"],
     )
-    withsets = attach_pair_attrs(
-        deduped,
-        sets_ds.map_batches(_to_ids_fn(order_ref), batch_format="pyarrow"),
-        ["tok_ids"],
-    )
     # threshold as an exact rational k_num/k_den for the integer test
     from fractions import Fraction
 
@@ -1194,8 +1185,15 @@ def containment_pairs(
 
     # STREAMING result: at sf0.1 this is a 10M-row pair set — it stays a
     # Dataset (write/consume downstream) instead of a driver concat; the
-    # harness compare canonicalizes order itself
-    return withsets.map_batches(vfy, batch_format="pyarrow", batch_size=4096)
+    # harness compare canonicalizes order itself. Verify is fused into the
+    # attach task (post_fn, stages/join.py): attached token-id lists reduce
+    # to confirmed pairs inside the task.
+    return attach_pair_attrs(
+        deduped,
+        sets_ds.map_batches(_to_ids_fn(order_ref), batch_format="pyarrow"),
+        ["tok_ids"],
+        post_fn=vfy,
+    )
 
 
 def decontaminate_docs_fuzzy(
@@ -1230,8 +1228,6 @@ def decontaminate_docs_fuzzy(
         lambda b: pa.table({"image_id": b["doc_id"], "source": b["source"]}),
         batch_format="pyarrow",
     )
-    withsrc = attach_pair_attrs(withsig, src_attrs, ["source"])
-
     def vfy(b: pa.Table) -> pa.Table:
         from dedup_ray.stages.signatures import sigs_from_arrow
 
@@ -1252,9 +1248,10 @@ def decontaminate_docs_fuzzy(
         return pa.table({"doc_id": pa.array(np.unique(flagged), pa.int64())})
 
     schema = pa.schema([("doc_id", pa.int64())])
-    agg = withsrc.map_batches(vfy, batch_format="pyarrow").groupby(
-        "doc_id"
-    ).count()
+    # verify fused into the SECOND attach (post_fn): the sig-laden pair
+    # batches reduce to flagged doc ids inside the task
+    withsrc = attach_pair_attrs(withsig, src_attrs, ["source"], post_fn=vfy)
+    agg = withsrc.groupby("doc_id").count()
     return agg.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())})
         if b.num_rows and "doc_id" in b.column_names
@@ -1302,7 +1299,6 @@ def source_overlap_matrix(
         batch_format="pyarrow",
     )
     withsig = attach_pair_attrs(deduped, sig_attrs, ["minhash_sig"])
-    withsrc = attach_pair_attrs(withsig, src_attrs, ["source"])
 
     part_schema = pa.schema(
         [("source_a", pa.string()), ("source_b", pa.string()),
@@ -1329,11 +1325,12 @@ def source_overlap_matrix(
              "n": g["source_a_count"].cast(pa.int64())}
         )
 
+    # count-verify fused into the second attach (post_fn, stages/join.py)
+    withsrc = attach_pair_attrs(
+        withsig, src_attrs, ["source"], post_fn=vfy_count
+    )
     acc: dict[tuple, int] = {}
-    for t in ray.get(
-        withsrc.map_batches(vfy_count, batch_format="pyarrow")
-        .to_arrow_refs()
-    ):
+    for t in ray.get(withsrc.to_arrow_refs()):
         if t.num_rows == 0 or "source_a" not in t.column_names:
             continue
         for sa_, sb_, n in zip(
@@ -1442,8 +1439,6 @@ def minhash_funnel_stats(
         ),
         batch_format="pyarrow",
     )
-    withsig = attach_pair_attrs(deduped, attrs, ["minhash_sig"])
-
     def vfy_count(b: pa.Table) -> pa.Table:
         from dedup_ray.stages.signatures import sigs_from_arrow
 
@@ -1454,10 +1449,12 @@ def minhash_funnel_stats(
         keep = (sa == sb).mean(axis=1) >= cfg.jaccard_threshold
         return pa.table({"nv": pa.array([int(keep.sum())], pa.int64())})
 
+    # count-verify fused into the attach task (post_fn, stages/join.py)
+    withsig = attach_pair_attrs(
+        deduped, attrs, ["minhash_sig"], post_fn=vfy_count
+    )
     n_verified = 0
-    for t in ray.get(
-        withsig.map_batches(vfy_count, batch_format="pyarrow").to_arrow_refs()
-    ):
+    for t in ray.get(withsig.to_arrow_refs()):
         if t.num_rows and "nv" in t.column_names:
             n_verified += sum(t["nv"].to_pylist())
 
@@ -1607,8 +1604,6 @@ def minhash_threshold_sweep(
         ),
         batch_format="pyarrow",
     )
-    withsig = attach_pair_attrs(deduped, attrs, ["minhash_sig"])
-
     def hist(b: pa.Table) -> pa.Table:
         from dedup_ray.stages.signatures import sigs_from_arrow
 
@@ -1620,10 +1615,10 @@ def minhash_threshold_sweep(
         counts = np.bincount(matches, minlength=cfg.num_perm + 1)
         return pa.table({"h": pa.array(counts, type=pa.int64())})
 
+    # histogram fold fused into the attach task (post_fn, stages/join.py)
+    withsig = attach_pair_attrs(deduped, attrs, ["minhash_sig"], post_fn=hist)
     acc = np.zeros(cfg.num_perm + 1, dtype=np.int64)
-    for t in ray.get(
-        withsig.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
-    ):
+    for t in ray.get(withsig.to_arrow_refs()):
         if t.num_rows and "h" in t.column_names:
             # one (num_perm+1)-long partial per processed batch; blocks may
             # pack several — fold them all

@@ -247,9 +247,12 @@ class _BroadcastAttacher:
     actor pool ramp-up. The object-store read itself is zero-copy; only the
     id->row index build is cached."""
 
-    def __init__(self, attrs_ref: ray.ObjectRef, columns: list[str]) -> None:
+    def __init__(
+        self, attrs_ref: ray.ObjectRef, columns: list[str], post_fn=None
+    ) -> None:
         self.ref = attrs_ref
         self.columns = columns
+        self.post_fn = post_fn
 
     def _lookup(self):
         import pandas as pd
@@ -274,7 +277,7 @@ class _BroadcastAttacher:
         if batch.num_rows == 0:
             # empty blocks may arrive with a DROPPED schema (no src_id/dst_id)
             # from an upstream groupby; pass them through untouched
-            return batch
+            return batch if self.post_fn is None else self.post_fn(batch)
         index, attrs = self._lookup()
         out = batch
         for side in ("src", "dst"):
@@ -282,7 +285,14 @@ class _BroadcastAttacher:
             taken = attrs.take(pa.array(rows, type=pa.int64()))
             for col in self.columns:
                 out = out.append_column(f"{side}_{col}", taken[col])
-        return out
+        # fused consumer (usually the verifier): the attached columns —
+        # ~kilobytes per pair against tens of bytes for the pair itself —
+        # are reduced to the consumer's (tiny) output INSIDE this task and
+        # never cross the object store. Profiled at 2M rows / 56M candidate
+        # pairs: the unfused attach->verify boundary shipped ~145 GB of
+        # attached batches through the store (the spill driver; the
+        # stage-split profile run overflowed the disk outright).
+        return out if self.post_fn is None else self.post_fn(out)
 
 
 def attach_pair_attrs(
@@ -291,20 +301,29 @@ def attach_pair_attrs(
     columns: list[str],
     broadcast_max_rows: int = ATTACH_BROADCAST_MAX_ROWS,
     num_partitions: int = 64,
+    post_fn=None,
 ) -> rd.Dataset:
     """pairs(src_id, dst_id, ...) + attrs(image_id, ...) ->
     pairs + {src,dst}_{col...}.
 
     Strategy auto-selected on the attr row count (a cheap metadata count for
     checkpointed parquet inputs).
-    """
+
+    ``post_fn``: optional per-batch reducer (typically the pair VERIFIER)
+    applied to each attached batch INSIDE the attach task. Attached batches
+    are ~kilobytes per pair (signatures + captions on both endpoints) while
+    verify output is tens of bytes per CONFIRMED pair, so fusing the
+    consumer keeps that blow-up out of the object store — differing
+    batch_size settings otherwise prevent Ray's map fusion between the two
+    stages, and at 56M candidate pairs the unfused boundary measured
+    ~145 GB of transient store traffic (the round-3 spill-stress driver)."""
     n = attrs.count()
     if n <= broadcast_max_rows:
         # pass the block REFS, not a driver-concatenated copy: workers pull
         # shared object-store blocks directly (no driver round-trip, no
         # duplicate copy of the attrs table)
         refs = list(attrs.select_columns(["image_id"] + columns).to_arrow_refs())
-        attacher = _BroadcastAttacher(refs, columns)
+        attacher = _BroadcastAttacher(refs, columns, post_fn=post_fn)
         return pairs.map_batches(
             attacher, batch_format="pyarrow", batch_size=4096
         )
@@ -344,6 +363,12 @@ def attach_pair_attrs(
             + [(n, t) for n, t in zip(left_schema.names, left_schema.types) if n != key]
             + [(f.name, f.type) for f in right_schema if f.name != "image_id"]
         )
+    if post_fn is not None:
+        # shuffle path: the reducer runs right after the second join's
+        # bucket tasks (the join output still crosses the store once — the
+        # join IS a shuffle — but the verify blow-down happens before any
+        # further stage boundary)
+        out = out.map_batches(post_fn, batch_format="pyarrow")
     return out
 
 
