@@ -40,11 +40,28 @@ _FREQ_BASE = np.int64(1) << np.int64(62)
 
 
 def _hash62(flat: pa.Array) -> np.ndarray:
-    """Deterministic vectorized 62-bit string hash (polars ahash with fixed
-    seeds — stable across worker processes for one polars version)."""
-    import polars as pl
+    """Deterministic 62-bit string hash, self-contained (round-3 advice:
+    the previous polars-ahash version tied token identity to the installed
+    polars VERSION — a mixed-version cluster or an upgrade between a run
+    and a checkpoint resume would silently change ids mid-run). crc32
+    double-hash + splitmix64 finish: stdlib-only, process- and
+    version-stable, the same recipe as stages/join._key_hash64."""
+    import zlib
 
-    h = pl.from_arrow(flat).hash(seed=0).to_numpy()
+    from dedup_ray.functions.hashing import splitmix64
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    vals = flat.to_pylist()
+    n = len(vals)
+    lo = np.fromiter(
+        (zlib.crc32(v.encode()) for v in vals), dtype=np.uint64, count=n
+    )
+    hi = np.fromiter(
+        (zlib.crc32(v.encode(), 0x9E3779B9) for v in vals),
+        dtype=np.uint64, count=n,
+    )
+    h = splitmix64(((hi << np.uint64(32)) | lo).view(np.int64))
     return (h >> np.uint64(2)).astype(np.int64)
 
 
@@ -65,6 +82,17 @@ class TokenOrder:
             return z, z
         pos = pc.index_in(flat, value_set=self.tokens_lex)
         if not self.hash_unknown:
+            # exact mode has no unknown-token story: a null position would
+            # become a garbage index after the NaN->int cast below. Unreachable
+            # when the vocab was built from the probed corpus, but this is a
+            # public reuse API — fail loudly instead (round-3 advice).
+            n_unknown = pos.null_count
+            if n_unknown:
+                raise ValueError(
+                    f"TokenOrder.probe: {n_unknown} token(s) not in the exact "
+                    "vocabulary; build the order from the probed corpus or "
+                    "use mg mode (hash_unknown) for open vocabularies"
+                )
             p = pos.to_numpy(zero_copy_only=False).astype(np.int64)
             order = self.order_lex[p]
             ids = order if self.ids_lex is None else self.ids_lex[p]

@@ -302,6 +302,7 @@ def attach_pair_attrs(
     broadcast_max_rows: int = ATTACH_BROADCAST_MAX_ROWS,
     num_partitions: int = 64,
     post_fn=None,
+    batch_size: int = 4096,
 ) -> rd.Dataset:
     """pairs(src_id, dst_id, ...) + attrs(image_id, ...) ->
     pairs + {src,dst}_{col...}.
@@ -316,7 +317,12 @@ def attach_pair_attrs(
     consumer keeps that blow-up out of the object store — differing
     batch_size settings otherwise prevent Ray's map fusion between the two
     stages, and at 56M candidate pairs the unfused boundary measured
-    ~145 GB of transient store traffic (the round-3 spill-stress driver)."""
+    ~145 GB of transient store traffic (the round-3 spill-stress driver).
+
+    ``batch_size``: rows per attach (and therefore fused-``post_fn``) batch
+    on the broadcast path — exposed so a fused verifier can keep its own
+    batch sizing (round-3 advice: fusing silently moved verify from 2048 to
+    the attach default)."""
     n = attrs.count()
     if n <= broadcast_max_rows:
         # pass the block REFS, not a driver-concatenated copy: workers pull
@@ -325,7 +331,7 @@ def attach_pair_attrs(
         refs = list(attrs.select_columns(["image_id"] + columns).to_arrow_refs())
         attacher = _BroadcastAttacher(refs, columns, post_fn=post_fn)
         return pairs.map_batches(
-            attacher, batch_format="pyarrow", batch_size=4096
+            attacher, batch_format="pyarrow", batch_size=batch_size
         )
     # shuffle path: two co-partitioned hash joins through the same
     # grouped_runs machinery as every other wide stage (Dataset.join carries
