@@ -342,12 +342,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_matrix": analysis.lang_source_matrix,
         "lang_shared_terms": analysis.lang_shared_terms,
         "lang_exclusive_shingles": analysis.lang_exclusive_shingles,
-        "bpe_merges": analysis.bpe_merges,              # rows-only (iterative learner)
-        "lm_perplexity_scores": analysis.lm_perplexity_scores,  # rows-only (transcendental; pytest kernel replay)
-        "compression_ratio": analysis.compression_ratio,  # rows-only (zlib; pytest replay + separation)
-        "char_entropy": analysis.char_entropy,  # rows-only (log2; pytest extremes)
-        "self_repetition": analysis.self_repetition,  # rows-only (suffix search; pytest planted blocks)
-        "bpe_token_counts": analysis.bpe_token_counts,  # rows-only (trained-model apply)
+        # --- image family, SQL-checked (placed INSIDE the driver's first-50
+        # sample window — round-3 verdict #5: every prior CORRECTNESS sample
+        # was doc/relational-only because the driver takes the first 50
+        # entries and the image family sat past position 50; the six
+        # rows-only analysis entries that used to sit here moved down — they
+        # produced no_oracle rows in the gate anyway) ---
+        "corpus_format_stats": corpus_format_stats,
+        "image_size_filter": image_size_filter,
+        "phash_bitplane_stats": phash_bitplane_stats_q,
+        "corpus_dup_estimate": corpus_dup_estimate_q,
+        "caption_dup_images": caption_dup_images,
+        "caption_keep_best_image": caption_keep_best_image,
+        "aspect_bucket_batches": aspect_bucket_batches,
+        "phash_distance_histogram": phash_distance_histogram_q,
+        "phash_hamming_search": phash_search,
+        "decontaminate_images": decontaminate_images_q,
         # --- relational core ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "filter_count": relational.filter_count,
@@ -384,7 +394,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_value_median": relational.exact_value_median,
         "diff_snapshots": curation.diff_snapshots,
         "events_window_dedup": relational.events_window_dedup,
-        "decontaminate_images": decontaminate_images_q,
         "latest_event_per_user": relational.latest_event_per_user,
         "funnel_conversions": relational.funnel_conversions,
         "shipping_priority": relational.shipping_priority,
@@ -493,18 +502,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_incremental": flagship_incremental,  # rows-only (non-SQL)
         "neardup_quality_eval": neardup_quality_eval_q,  # rows-only (non-SQL)
         "flagship_counters": flagship_counters,          # rows-only (metrics)
-        "phash_hamming_search": phash_search,
-        "corpus_format_stats": corpus_format_stats,
-        "phash_bitplane_stats": phash_bitplane_stats_q,
-        "corpus_dup_estimate": corpus_dup_estimate_q,
         "wasted_bytes_by_fmt": wasted_bytes_by_fmt_q,  # rows-only (non-SQL)
-        "image_size_filter": image_size_filter,
         "caption_quality": caption_quality,
-        "caption_dup_images": caption_dup_images,
-        "caption_keep_best_image": caption_keep_best_image,
-        "aspect_bucket_batches": aspect_bucket_batches,
         "quadrant_crop_pairs": quadrant_crop_pairs_q,  # rows-only (decode; pytest planted crops)
-        "phash_distance_histogram": phash_distance_histogram_q,
+        # rows-only analysis entries (moved out of the driver's first-50
+        # sample window — non-SQL by nature, pytest-replay-verified)
+        "bpe_merges": analysis.bpe_merges,              # rows-only (iterative learner)
+        "lm_perplexity_scores": analysis.lm_perplexity_scores,  # rows-only (transcendental; pytest kernel replay)
+        "compression_ratio": analysis.compression_ratio,  # rows-only (zlib; pytest replay + separation)
+        "char_entropy": analysis.char_entropy,  # rows-only (log2; pytest extremes)
+        "self_repetition": analysis.self_repetition,  # rows-only (suffix search; pytest planted blocks)
+        "bpe_token_counts": analysis.bpe_token_counts,  # rows-only (trained-model apply)
         "langid_confusion": analysis.langid_confusion,  # rows-only (trigram model; pytest diagonal)
         "rotation_invariant_clusters": rotation_invariant_clusters,  # rows-only (pytest vs planted gt)
         "letterbox_dedup_clusters": letterbox_dedup_clusters,  # rows-only (pytest vs planted gt)

@@ -37,7 +37,13 @@ class DedupConfig:
     jaccard_threshold: float = 0.60   # verify: estimated Jaccard >= t -> edge
 
     # --- phash / SimHash banding (stage 2b) ---
-    phash_bands: int = 8          # split the 64-bit phash into 8 x 8-bit bands
+    phash_bands: int = 8          # split the 64-bit phash into ~equal bands
+    phash_combo_size: int = 2     # LSH keys = concatenations of this many
+    # bands (functions/hashing.phash_combo_keys). Pigeonhole: recall-complete
+    # for Hamming <= phash_bands - phash_combo_size (validated below against
+    # phash_hamming_max). The keyspace-saturation knob (SCALE.md): (8, 2) =
+    # 16-bit keys x 28 combos; (9, 3) = ~21-bit keys x 84 combos, ~13x less
+    # random-collision junk at >=2M reps for 3x explode volume.
     phash_hamming_max: int = 6    # verify: Hamming(phash) <= t -> edge
 
     # --- suffix/substring tier (stage 3) ---
@@ -59,6 +65,24 @@ class DedupConfig:
     salt_slack: int = 4           # salt factor k = ceil(slack * n / cap):
                                   # keeps rendezvous groups ~cap/2 w.h.p.
 
+    # --- candidate-pair dedup before verify ---
+    pair_dedup: str = "auto"      # "batch" | "global" | "auto". A true dup
+    # pair surfaces from up to 28 phash band-pair combos + 32 MinHash bands
+    # + shared winnow anchors (~30-70 duplicate candidates measured at 2M
+    # rows — 56M verifies for ~1-2M distinct pairs, round-3 stress run).
+    # "global" inserts ONE hash-partitioned pair-dedup shuffle before the
+    # attach+verify stage (semantics-preserving: the verifier checks every
+    # relation per pair, and union-find absorbs duplicate edges either way);
+    # "batch" keeps the round-3 within-batch dedup (the shuffle's fixed cost
+    # dominated at bench scale); "auto" switches on rep count.
+    pair_dedup_min_reps: int = 100_000  # auto: global at/above this
+    int_encode_ids: bool = True   # dictionary-encode image_id to SORTED
+    # int64 codes at the rep boundary (stages/codes.py) and run every wide
+    # stage — explode, bucket shuffle, pair-gen, pair-dedup, attach probe,
+    # verify — over zero-copy ints; decode at the edge sink. Sorted codes
+    # preserve id order, so keeper rules and (a < b) pair canonicalization
+    # are unchanged (cluster output byte-identical; pytest-checked).
+
     # --- physical execution ---
     distributed_prepass: bool = False  # LSH pre-pass physical plan: False =
     # driver-merged per-block partials (bitmap OR-fold + distinct-key count
@@ -68,6 +92,12 @@ class DedupConfig:
     # is bit-identical either way (merge is associative; pytest-checked).
     batch_size: int = 4096        # rows per map_batches batch for sig stages
     driver_unionfind_max_edges: int = 2_000_000  # below -> driver union-find
+    cc_node_broadcast_max: int = 20_000_000  # distributed CC: above this many
+    # per-block distinct-node partial rows the node dictionary is NEVER
+    # concatenated on the driver — codes come from the range-partitioned
+    # rank dictionary (stages/codes.ranked_id_dictionary) via two
+    # co-partitioning joins (counter: cc_distributed_dictionary). Removes
+    # the last driver-memory ceiling in clustering (round-3 advice + task #3).
     ckpt_chunk_files: int = 8     # per-partition lineage: input part files
     # per independently-committed decode-stage chunk (north-rule "resumable
     # from checkpoint with per-partition lineage"). Bounds lost work on a
@@ -89,8 +119,26 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError("num_perm must equal bands * rows_per_band")
-        if 64 % self.phash_bands != 0:
-            raise ValueError("phash_bands must divide 64")
+        if not 2 <= self.phash_bands <= 16:
+            raise ValueError("phash_bands must be in [2, 16]")
+        if not 1 <= self.phash_combo_size < self.phash_bands:
+            raise ValueError("phash_combo_size must be in [1, phash_bands)")
+        if self.phash_hamming_max > self.phash_bands - self.phash_combo_size:
+            raise ValueError(
+                "pigeonhole bound violated: phash banding is recall-complete "
+                f"only to Hamming {self.phash_bands - self.phash_combo_size} "
+                f"(phash_bands - phash_combo_size) but phash_hamming_max is "
+                f"{self.phash_hamming_max}"
+            )
+        from math import comb
+
+        if comb(self.phash_bands, self.phash_combo_size) > 999:
+            raise ValueError(
+                "phash combo count must stay below 1000 (band-id space: "
+                "phash combos live at 1000+c, winnow anchors at 2000)"
+            )
+        if self.pair_dedup not in ("batch", "global", "auto"):
+            raise ValueError("pair_dedup must be batch|global|auto")
 
     def config_hash(self) -> str:
         """Deterministic 16-hex-char digest of every knob (plus the stage
@@ -103,5 +151,6 @@ class DedupConfig:
 
 
 # bump when a checkpointed stage's output schema changes (v2: signatures
-# carry the winnowed fingerprints as a list column instead of just n_fp)
-_STAGE_SCHEMA_VERSION = 2
+# carry the winnowed fingerprints as a list column instead of just n_fp;
+# v3: the candidates checkpoint holds int64 id CODES under int_encode_ids)
+_STAGE_SCHEMA_VERSION = 3

@@ -119,8 +119,18 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
+def _band_widths(n_bands: int) -> np.ndarray:
+    """Bit widths of an (as-equal-as-possible) n_bands partition of 64 bits.
+    The pigeonhole argument below needs only that bands PARTITION the bits,
+    so n_bands need not divide 64 (e.g. 9 bands = 7,7,7,7,7,7,7,7,8)."""
+    w = np.full(n_bands, 64 // n_bands, dtype=np.int64)
+    w[: 64 % n_bands] += 1
+    return w
+
+
 def phash_bands(phash: np.ndarray, n_bands: int) -> np.ndarray:
-    """Split 64-bit phashes into ``n_bands`` equal bit-slices.
+    """Split 64-bit phashes into ``n_bands`` bit-slices (as equal as 64
+    allows — see ``_band_widths``).
 
     Pigeonhole guarantee: two hashes within Hamming distance < n_bands share
     at least one identical band -> banding is a recall-complete candidate
@@ -128,40 +138,61 @@ def phash_bands(phash: np.ndarray, n_bands: int) -> np.ndarray:
 
     Returns shape (len(phash), n_bands) uint64 of band values.
     """
-    width = 64 // n_bands
+    widths = _band_widths(n_bands)
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
     u = np.ascontiguousarray(np.asarray(phash).astype(np.int64)).view(np.uint64)
     out = np.empty((u.shape[0], n_bands), dtype=np.uint64)
-    mask = np.uint64((1 << width) - 1)
     for b in range(n_bands):
-        out[:, b] = (u >> np.uint64(b * width)) & mask
+        mask = np.uint64((1 << int(widths[b])) - 1)
+        out[:, b] = (u >> np.uint64(int(offsets[b]))) & mask
+    return out
+
+
+def phash_combo_keys(
+    phash: np.ndarray, n_bands: int, combo_size: int
+) -> np.ndarray:
+    """Hamming-LSH keys from size-``combo_size`` band combinations: for each
+    of the C(n_bands, combo_size) combinations, key = the concatenated band
+    values tagged with the combo index.
+
+    Pigeonhole: Hamming <= n_bands - combo_size leaves >= combo_size bands
+    untouched, so some size-s combination matches exactly -> recall-complete
+    for Hamming <= n_bands - combo_size. The default (8, 2) gives 16-bit
+    keys over 28 combos, complete to Hamming 6 (the verify threshold).
+
+    The SELECTIVITY knob for band-pair keyspace saturation (SCALE.md): at R
+    reps with random phashes, junk-pair volume ~ n_combos * R^2 / 2^(key
+    bits + 1). (9, 3) widens keys to ~21 bits over 84 combos — ~13x less
+    junk for 3x the explode rows; (10, 4) ~25.6-bit keys over 210 combos —
+    ~100x less junk for 7.5x explode. The trade is the pigeonhole bound:
+    completeness drops to n_bands - combo_size, so the config validates
+    phash_hamming_max <= n_bands - combo_size.
+
+    Returns shape (len(phash), C(n_bands, combo_size)) uint64; the combo
+    index is mixed into the bits above the key so distinct combos never
+    share a key space (keys wider than 64 bits would wrap — the config
+    bounds combo widths well below that).
+    """
+    from itertools import combinations
+
+    b = phash_bands(phash, n_bands)
+    widths = _band_widths(n_bands)
+    n = b.shape[0]
+    combos = list(combinations(range(n_bands), combo_size))
+    out = np.empty((n, len(combos)), dtype=np.uint64)
+    for c, members in enumerate(combos):
+        total = int(widths[list(members)].sum())
+        # concatenated member bands, combo tag in the bits above them
+        key = np.zeros(n, dtype=np.uint64)
+        for i in members:
+            key = (key << np.uint64(int(widths[i]))) | b[:, i]
+        out[:, c] = (np.uint64(c) << np.uint64(total)) | key
     return out
 
 
 def phash_band_pair_keys(phash: np.ndarray, n_bands: int) -> np.ndarray:
-    """Hamming-LSH keys from PAIRS of bands: for each of the C(n_bands, 2)
-    band combinations, key = (band_i || band_j) tagged with the combo index.
-
-    Pigeonhole: Hamming <= n_bands-2 leaves >= 2 bands untouched, so some
-    PAIR of bands matches exactly -> recall-complete for Hamming <=
-    n_bands-2 (= 6 at n_bands=8, exactly the verify threshold) while a
-    16-bit key is 256x more selective than a single 8-bit band — this is
-    what keeps random phashes from flooding the candidate stage.
-
-    Returns shape (len(phash), C(n_bands,2)) uint64; the combo index is mixed
-    into the high bits so different combos never share a key space.
-    """
-    b = phash_bands(phash, n_bands)
-    width = 64 // n_bands
-    n = b.shape[0]
-    combos = [(i, j) for i in range(n_bands) for j in range(i + 1, n_bands)]
-    out = np.empty((n, len(combos)), dtype=np.uint64)
-    for c, (i, j) in enumerate(combos):
-        out[:, c] = (
-            (np.uint64(c) << np.uint64(2 * width))
-            | (b[:, i] << np.uint64(width))
-            | b[:, j]
-        )
-    return out
+    """Back-compat wrapper: ``phash_combo_keys`` at combo_size=2."""
+    return phash_combo_keys(phash, n_bands, 2)
 
 
 # ---------------------------------------------------------------- shingles

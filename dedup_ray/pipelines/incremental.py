@@ -204,33 +204,78 @@ def run_neardup_incremental(
     # ---- candidates: verify delta-touching pairs only ---------------------
     delta_ids = np.sort(ray.get(delta_id_ref).astype(object))
 
-    def delta_touching(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or delta_ids.size == 0:
-            return b.slice(0, 0)
-        src = np.asarray(b["src_id"].to_pylist(), dtype=object)
-        dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
-
-        def member(a: np.ndarray) -> np.ndarray:
-            pos = np.searchsorted(delta_ids, a)
-            pos[pos >= delta_ids.size] = delta_ids.size - 1
-            return delta_ids[pos] == a
-
-        return b.filter(pa.array(member(src) | member(dst)))
-
-    if sigs.count() == 0:
+    n_reps = sigs.count()
+    if n_reps == 0:
         near_new = rd.from_arrow(EDGE_SCHEMA.empty_table())
     else:
         from dedup_ray.stages.verify import verify_batch
 
-        cands = lsh_candidates(sigs, cfg).map_batches(
+        # int-encode boundary — same shape as run_neardup (stages/codes.py):
+        # candidate generation, the delta filter, pair dedup, attach and
+        # verify all run over int64 codes; edges decode inside the fused
+        # verify task.
+        nodes_ref = None
+        sigs_lsh = sigs
+        if cfg.int_encode_ids:
+            from dedup_ray.stages.codes import (
+                decode_edge_table,
+                encode_id_col,
+                sorted_id_dictionary,
+            )
+
+            nodes_ref = sorted_id_dictionary(sigs)
+            if nodes_ref is not None:
+                sigs_lsh = encode_id_col(sigs, nodes_ref)
+
+        if nodes_ref is not None:
+            # delta ids -> codes (ids that are not reps have no code and can
+            # never appear in a candidate pair — drop them, same semantics
+            # as the string membership test below)
+            ns = ray.get(nodes_ref)
+            pos = pc.index_in(
+                pa.array(list(delta_ids), type=pa.string()), value_set=ns
+            )
+            delta_keys: np.ndarray = np.sort(
+                pos.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            delta_keys = delta_ids
+
+        def delta_touching(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or delta_keys.size == 0:
+                return b.slice(0, 0)
+            if pa.types.is_integer(b["src_id"].type):
+                src = b["src_id"].to_numpy(zero_copy_only=False)
+                dst = b["dst_id"].to_numpy(zero_copy_only=False)
+            else:
+                src = np.asarray(b["src_id"].to_pylist(), dtype=object)
+                dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
+
+            def member(a: np.ndarray) -> np.ndarray:
+                pos = np.searchsorted(delta_keys, a)
+                pos[pos >= delta_keys.size] = delta_keys.size - 1
+                return delta_keys[pos] == a
+
+            return b.filter(pa.array(member(src) | member(dst)))
+
+        cands = lsh_candidates(sigs_lsh, cfg, n_reps=n_reps).map_batches(
             delta_touching, batch_format="pyarrow"
         )
+
+        if nodes_ref is not None:
+            def post(b):
+                return decode_edge_table(verify_batch(b, cfg), nodes_ref)
+        else:
+            def post(b):
+                return verify_batch(b, cfg)
+
         # verify fused into the attach task (post_fn) — see
         # pipelines/neardup._near_edges for the attach->verify traffic math
         near_new = attach_pair_attrs(
-            cands, sigs,
+            cands, sigs_lsh,
             ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"],
-            post_fn=lambda b: verify_batch(b, cfg),
+            post_fn=post,
+            attrs_count=n_reps,
         )
 
     # ---- replayed prior near edges + fresh edges -> clusters --------------

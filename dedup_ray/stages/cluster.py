@@ -103,10 +103,14 @@ def _driver_unionfind(edges: rd.Dataset, max_edges: int | None = None) -> rd.Dat
 # int64 arrays (the round-2 kernels carried object-dtype string arrays and a
 # per-edge Python crc32 loop through exactly the >2M-edge regime where
 # per-row Python hurts most). Driver state: the distinct-node dictionary
-# (strictly smaller than the edge list the driver-UF path collects); at true
-# 100-TB node counts the documented swap is a distributed dictionary —
-# sort-based rank assignment (zip distinct nodes with their global sort
-# rank) feeding the same int fixpoint.
+# (strictly smaller than the edge list the driver-UF path collects) — and
+# ONLY below ``cc_node_broadcast_max``: above it the sort-based rank
+# dictionary (stages/codes.ranked_id_dictionary, round-4) assigns codes via
+# the engine's own range-partitioned sort and the edges meet their codes in
+# co-partitioning joins, so clustering has NO driver-memory ceiling left
+# (byte-identity vs driver union-find pytest-checked on the forced path).
+# A per-block local-CC contraction (_block_contract) collapses redundant
+# edges map-side before the first exchange.
 
 
 _EDGE_UV = pa.schema([("u", pa.int64()), ("v", pa.int64())])
@@ -208,10 +212,44 @@ def _cc(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
-def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
+def _block_contract(b: pa.Table) -> pa.Table:
+    """Per-block local-CC contraction (the classic "filtering" step): run
+    vectorized union-find over ONE block's int edges and emit (node ->
+    block-local min) star edges. Map-side, no shuffle; connectivity is
+    preserved exactly (block edges are replaced by spanning stars of the
+    same local components), so components — and the converged min-label
+    fixpoint — are unchanged. On near-dup edge lists, where a cluster
+    contributes many redundant edges, this collapses the edge multiset
+    severalfold before the first exchange. Idempotent at the fixpoint: a
+    block of (x -> component-min m) edges contracts to itself (m is the
+    global min, hence the local min of every block it appears in)."""
+    from dedup_ray.functions.unionfind import cc_codes
+
+    if b.num_rows == 0:
+        return _EDGE_UV.empty_table()
+    u = b["u"].to_numpy(zero_copy_only=False)
+    v = b["v"].to_numpy(zero_copy_only=False)
+    loc = np.unique(np.concatenate([u, v]))  # sorted: local code order = code order
+    iu = np.searchsorted(loc, u)
+    iv = np.searchsorted(loc, v)
+    parent = cc_codes(iu, iv, len(loc))
+    roots = loc[parent]
+    keep = roots != loc
+    return pa.table(
+        {"u": pa.array(loc[keep], type=pa.int64()),
+         "v": pa.array(roots[keep], type=pa.int64())}
+    )
+
+
+def _distributed_star(
+    edges: rd.Dataset,
+    max_iters: int = 25,
+    node_broadcast_max: int = 20_000_000,
+) -> rd.Dataset:
     import ray
 
     from dedup_ray.stages.grouped import grouped_runs
+    from dedup_ray.state.metrics import inc_counter
 
     str_edges = edges.select_columns(["src_id", "dst_id"]).rename_columns(
         {"src_id": "u", "dst_id": "v"}
@@ -220,41 +258,131 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
     # ---- dictionary-encode node labels to int64 codes ONCE (sorted, so
     # code order == label order and min-code == min-label). Per-block
     # distinct labels -> one driver unique+sort -> broadcast; every probe
-    # below is Arrow C++ (index_in / take), no per-row Python.
+    # below is Arrow C++ (index_in / take), no per-row Python. When the
+    # per-block distinct partials exceed ``node_broadcast_max`` rows, the
+    # driver never concatenates them: the encoding switches to the
+    # distributed rank dictionary (stages/codes.py — the documented swap,
+    # now code; round-3 advice asked for at least an observable ceiling).
     def block_nodes(b: pa.Table) -> pa.Table:
         return pa.table(
             {"n": pc.unique(pa.concat_arrays([_cc(b["u"]), _cc(b["v"])]))}
         )
 
-    parts = [
-        t
-        for t in ray.get(
-            str_edges.map_batches(block_nodes, batch_format="pyarrow").to_arrow_refs()
-        )
-        if t.num_rows and "n" in t.column_names
-    ]
-    if not parts:
-        return rd.from_arrow(CLUSTER_SCHEMA.empty_table())
-    all_nodes = pc.unique(pa.concat_tables(parts)["n"].combine_chunks())
-    nodes = all_nodes.take(pc.sort_indices(all_nodes))
-    nodes_ref = ray.put(nodes)
+    part_refs = str_edges.map_batches(
+        block_nodes, batch_format="pyarrow"
+    ).to_arrow_refs()
 
-    def encode(b: pa.Table) -> pa.Table:
-        ns = ray.get(nodes_ref)
-        return pa.table(
-            {
-                "u": pc.index_in(_cc(b["u"]), value_set=ns).cast(pa.int64()),
-                "v": pc.index_in(_cc(b["v"]), value_set=ns).cast(pa.int64()),
-            }
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows if "n" in t.column_names else 0
+
+    # decide the dictionary strategy from ROW COUNTS only — the partials
+    # themselves reach the driver exclusively on the broadcast path
+    n_partial = sum(ray.get([_nrows.remote(r) for r in part_refs]))
+    if n_partial == 0:
+        return rd.from_arrow(CLUSTER_SCHEMA.empty_table())
+    decode_join = None
+    if n_partial <= node_broadcast_max:
+        parts = [
+            t for t in ray.get(part_refs)
+            if t.num_rows and "n" in t.column_names
+        ]
+        all_nodes = pc.unique(pa.concat_tables(parts)["n"].combine_chunks())
+        nodes = all_nodes.take(pc.sort_indices(all_nodes))
+        nodes_ref = ray.put(nodes)
+
+        def encode(b: pa.Table) -> pa.Table:
+            ns = ray.get(nodes_ref)
+            return pa.table(
+                {
+                    "u": pc.index_in(_cc(b["u"]), value_set=ns).cast(pa.int64()),
+                    "v": pc.index_in(_cc(b["v"]), value_set=ns).cast(pa.int64()),
+                }
+            )
+
+        coded = str_edges.map_batches(encode, batch_format="pyarrow")
+    else:
+        # ---- beyond-driver node dictionary: global ranks via the engine's
+        # own range-partitioned sort; edges meet their codes in two
+        # co-partitioning shuffle_joins (and the final labels come back the
+        # same way). Driver state: O(num_parts) splitters/offsets.
+        inc_counter("cc_distributed_dictionary", 1)
+        from dedup_ray.stages.codes import ranked_id_dictionary
+        from dedup_ray.stages.join import shuffle_join
+
+        node_ds = rd.from_arrow_refs(part_refs)
+        ranked = ranked_id_dictionary(node_ds, col="n").materialize()
+
+        e1 = shuffle_join(
+            str_edges,
+            ranked.rename_columns({"code": "ucode"}),
+            on="u", right_on="n",
+            left_schema=pa.schema([("u", pa.string()), ("v", pa.string())]),
+            right_schema=pa.schema([("n", pa.string()), ("ucode", pa.int64())]),
         )
+        e2 = shuffle_join(
+            e1,
+            ranked.rename_columns({"code": "vcode"}),
+            on="v", right_on="n",
+            left_schema=pa.schema(
+                [("u", pa.string()), ("v", pa.string()), ("ucode", pa.int64())]
+            ),
+            right_schema=pa.schema([("n", pa.string()), ("vcode", pa.int64())]),
+        )
+        coded = e2.map_batches(
+            lambda b: pa.table({"u": b["ucode"], "v": b["vcode"]})
+            if b.num_rows
+            else _EDGE_UV.empty_table(),
+            batch_format="pyarrow",
+        )
+
+        def decode_join(final: rd.Dataset) -> rd.Dataset:
+            d1 = shuffle_join(
+                final,
+                ranked.rename_columns({"n": "cluster_label"}),
+                on="cluster_id", right_on="code",
+                left_schema=pa.schema(
+                    [("cluster_id", pa.int64()), ("image_id", pa.int64())]
+                ),
+                right_schema=pa.schema(
+                    [("cluster_label", pa.string()), ("code", pa.int64())]
+                ),
+            )
+            d2 = shuffle_join(
+                d1,
+                ranked.rename_columns({"n": "image_label"}),
+                on="image_id", right_on="code",
+                left_schema=pa.schema(
+                    [("image_id", pa.int64()), ("cluster_id", pa.int64()),
+                     ("cluster_label", pa.string())]
+                ),
+                right_schema=pa.schema(
+                    [("image_label", pa.string()), ("code", pa.int64())]
+                ),
+            )
+            out = d2.map_batches(
+                lambda b: pa.table(
+                    {"cluster_id": b["cluster_label"],
+                     "image_id": b["image_label"]}
+                )
+                if b.num_rows
+                else CLUSTER_SCHEMA.empty_table(),
+                batch_format="pyarrow",
+            )
+            # the joins destroyed the range-sorted order: re-sort on labels
+            # (string range sort — the price of the beyond-driver path)
+            return out.sort(["cluster_id", "image_id"])
 
     # Normalize the block count ONCE; every grouped_runs in the loop then
     # skips its own repartition (min_parallel_blocks=0), halving the
     # all-to-all exchanges per round (map_batches and groupby reduce both
-    # preserve ~the input block count).
+    # preserve ~the input block count). The per-block local-CC contraction
+    # (_block_contract) collapses redundant edges map-side before the first
+    # exchange — measured severalfold on dup-cluster edge lists.
     cur = (
-        str_edges.map_batches(encode, batch_format="pyarrow")
+        coded
         .repartition(32)
+        .map_batches(_block_contract, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
     prev_sum = None
@@ -310,6 +438,10 @@ def _distributed_star(edges: rd.Dataset, max_iters: int = 25) -> rd.Dataset:
         merged, "cluster_id", _dedup_sorted_pairs,
         sort_cols=["cluster_id", "image_id"],
     )
+    if decode_join is not None:
+        # beyond-driver dictionary: labels come back via two co-partitioning
+        # joins, then the final (string) range sort
+        return decode_join(deduped)
     final = deduped.sort(["cluster_id", "image_id"])
 
     # decode codes -> labels ONCE, after the fixpoint + sort (order-preserving
@@ -336,4 +468,6 @@ def cluster_stage(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         return out
     # fallback consumes the edge dataset several times (star iterations):
     # pin it so the (possibly unmaterialized) verify lineage runs only once
-    return _distributed_star(edges.materialize())
+    return _distributed_star(
+        edges.materialize(), node_broadcast_max=cfg.cc_node_broadcast_max
+    )

@@ -267,7 +267,14 @@ class _BroadcastAttacher:
             # slower than against contiguous arrays (profiled 87 us/row vs
             # <1 us/row at 2048-row batches) — pay one copy at build time
             attrs: pa.Table = pa.concat_tables(tables).combine_chunks()
-            index = pd.Index(attrs["image_id"].to_pylist())  # C-speed hash probes
+            if pa.types.is_integer(attrs.schema.field("image_id").type):
+                # int-code ids (stages/codes.py): DENSE ranks 0..n-1, so the
+                # probe is one permutation-array gather — no hash index at all
+                codes = attrs["image_id"].to_numpy(zero_copy_only=False)
+                index = np.full(int(codes.max()) + 1, -1, dtype=np.int64)
+                index[codes] = np.arange(len(codes), dtype=np.int64)
+            else:
+                index = pd.Index(attrs["image_id"].to_pylist())  # C-speed probes
             got = (index, attrs)
             _ATTACH_CACHE.clear()  # hold at most one corpus index per worker
             _ATTACH_CACHE[key] = got
@@ -281,7 +288,13 @@ class _BroadcastAttacher:
         index, attrs = self._lookup()
         out = batch
         for side in ("src", "dst"):
-            rows = index.get_indexer(batch[f"{side}_id"].to_pylist())
+            if isinstance(index, np.ndarray):
+                col = batch[f"{side}_id"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                rows = index[col.to_numpy(zero_copy_only=False)]
+            else:
+                rows = index.get_indexer(batch[f"{side}_id"].to_pylist())
             taken = attrs.take(pa.array(rows, type=pa.int64()))
             for col in self.columns:
                 out = out.append_column(f"{side}_{col}", taken[col])
@@ -303,6 +316,7 @@ def attach_pair_attrs(
     num_partitions: int = 64,
     post_fn=None,
     batch_size: int = 4096,
+    attrs_count: int | None = None,
 ) -> rd.Dataset:
     """pairs(src_id, dst_id, ...) + attrs(image_id, ...) ->
     pairs + {src,dst}_{col...}.
@@ -322,8 +336,13 @@ def attach_pair_attrs(
     ``batch_size``: rows per attach (and therefore fused-``post_fn``) batch
     on the broadcast path — exposed so a fused verifier can keep its own
     batch sizing (round-3 advice: fusing silently moved verify from 2048 to
-    the attach default)."""
-    n = attrs.count()
+    the attach default).
+
+    ``attrs_count``: pass the known attr row count when ``attrs`` is a lazy
+    lineage over a pinned table (e.g. the int-encode projection) — avoids a
+    count() that would execute that lineage once just for the strategy
+    decision."""
+    n = attrs_count if attrs_count is not None else attrs.count()
     if n <= broadcast_max_rows:
         # pass the block REFS, not a driver-concatenated copy: workers pull
         # shared object-store blocks directly (no driver round-trip, no

@@ -41,7 +41,7 @@ import ray
 import ray.data as rd
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.functions.hashing import band_keys, phash_band_pair_keys
+from dedup_ray.functions.hashing import band_keys, phash_combo_keys
 from dedup_ray.stages.signatures import sigs_from_arrow
 from dedup_ray.state.metrics import inc_counter
 
@@ -53,9 +53,14 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     phash:int64) rows. ``gen`` tags the generator (0 minhash / 1 phash /
     2 anchor); phash rides along so phash-bucket pairs can be Hamming-filtered
     INSIDE pair generation — a 16-bit band-pair key alone is not selective
-    enough at 10^5+ reps (junk grew ~n^2/65536)."""
-    ids = batch["image_id"].to_pylist()
-    n = len(ids)
+    enough at 10^5+ reps (junk grew ~n^2/65536).
+
+    ``image_id`` may be a string column or (int-encode path, stages/codes.py)
+    an int64 code column — the explode is type-agnostic."""
+    id_col = batch["image_id"]
+    if isinstance(id_col, pa.ChunkedArray):
+        id_col = id_col.combine_chunks()
+    n = batch.num_rows
     out_band: list[np.ndarray] = []
     out_key: list[np.ndarray] = []
     out_idx: list[np.ndarray] = []
@@ -73,10 +78,11 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         out_idx.append(np.repeat(idx, cfg.bands))
         out_gen.append(np.zeros(m * cfg.bands, dtype=np.int8))
 
-    # --- phash bitplane band-pair keys (recall-complete for hamming <=
-    #     phash_bands-2 = the verify threshold; see phash_band_pair_keys)
+    # --- phash bitplane combo keys (recall-complete for hamming <=
+    #     phash_bands - phash_combo_size >= the verify threshold, config-
+    #     validated; see phash_combo_keys for the saturation trade)
     ph = batch["phash"].to_numpy(zero_copy_only=False)
-    pb = phash_band_pair_keys(ph, cfg.phash_bands)  # (n, C(pb,2))
+    pb = phash_combo_keys(ph, cfg.phash_bands, cfg.phash_combo_size)
     n_combo = pb.shape[1]
     out_band.append(
         (1000 + np.repeat(np.arange(n_combo, dtype=np.int32)[None, :], n, 0)).ravel()
@@ -103,7 +109,7 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     key = np.concatenate(out_key)
     idx = np.concatenate(out_idx)
     gen = np.concatenate(out_gen)
-    id_arr = pa.array(ids, type=pa.string()).take(pa.array(idx))
+    id_arr = id_col.take(pa.array(idx))
     return pa.table(
         {
             "band_id": pa.array(band, type=pa.int32()),
@@ -334,14 +340,24 @@ def _apply_salt(
     )
 
 
-def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+def lsh_candidates(
+    signatures: rd.Dataset, cfg: DedupConfig, n_reps: int | None = None
+) -> rd.Dataset:
     """signatures -> deduplicated candidate pairs. ONE coarse hash-partition
     shuffle (bucket -> pairs) over ONLY the pair-participating rows: a
     shuffle-free count pass finds bucket sizes, singleton buckets (the vast
     majority — most band keys are unique) are dropped BEFORE the shuffle via
     a broadcast sorted-membership filter, and the same counts drive hot-
     bucket salting when enabled. Profiled at 100k rows / 16 CPUs: the sort
-    shuffle input drops ~7x (3.5M exploded rows -> the n>=2 survivors)."""
+    shuffle input drops ~7x (3.5M exploded rows -> the n>=2 survivors).
+
+    Pair dedup (``cfg.pair_dedup``): "batch" keeps the within-batch dedup
+    (no extra shuffle — right at bench scale where the fixed shuffle cost
+    dominates); "global" routes the pairs through ONE distributed dedup
+    shuffle (stages/pairgen.dedup_pairs_global) so each distinct pair is
+    verified exactly once — the scale path (a true pair is generated
+    ~30-70x across combos/bands/anchors); "auto" picks by ``n_reps``
+    (callers with a pinned rep table pass its count; None keeps batch)."""
     from dedup_ray.stages.grouped import grouped_runs, run_starts
 
     def explode_with_combo(b: pa.Table) -> pa.Table:
@@ -362,9 +378,16 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     buckets = signatures.map_batches(
         explode_with_combo, batch_format="pyarrow"
     ).materialize()  # consumed by the bitmap pass + the filtered shuffle
+    bschema = buckets.schema()  # None when the input was empty
+    id_type = (
+        dict(zip(bschema.names, bschema.types))["image_id"]
+        if bschema is not None
+        else pa.string()
+    )
+    pair_schema = pa.schema([("src_id", id_type), ("dst_id", id_type)])
     bitmap = _pairable_bitmap(buckets, distributed=cfg.distributed_prepass)
     if bitmap is None:
-        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        return rd.from_arrow(pair_schema.empty_table())
     bm_ref = ray.put(bitmap)
     mix = np.uint64(0x9E3779B97F4A7C15)
     shift = np.uint64(64 - _BITMAP_LOG2)
@@ -397,18 +420,33 @@ def lsh_candidates(signatures: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         sort_cols=["combo", "image_id"],
     )
 
-    # NO pair-dedup shuffle: a pair surfacing from k buckets is verified up
-    # to k times (verification is idempotent and vectorized; the verify stage
-    # np.unique's within each batch) and union-find absorbs duplicate edges.
-    # Trades bounded redundant verify work for one fewer all-to-all — the
-    # fixed shuffle cost dominated the whole stage at bench scale.
+    # pair dedup — mode-selected (see docstring). "batch": within-batch only
+    # (no extra all-to-all; duplicate cross-bucket pairs are re-verified
+    # idempotently and union-find absorbs duplicate edges). "global": ONE
+    # distributed dedup shuffle so the multiplicity never reaches attach.
+    mode = cfg.pair_dedup
+    if mode == "auto":
+        mode = (
+            "global"
+            if n_reps is not None and n_reps >= cfg.pair_dedup_min_reps
+            else "batch"
+        )
+    if mode == "global":
+        from dedup_ray.stages.pairgen import dedup_pairs_global
+
+        return dedup_pairs_global(pairs)
+
     def dedup_within_batch(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
         # structural (src,dst) dedup — a delimiter-join key would make
         # ("a|b","c") and ("a","b|c") collide for ids containing the delimiter
-        src = np.asarray(b["src_id"].to_pylist(), dtype=object)
-        dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
+        if pa.types.is_integer(b["src_id"].type):
+            src = b["src_id"].to_numpy(zero_copy_only=False)
+            dst = b["dst_id"].to_numpy(zero_copy_only=False)
+        else:
+            src = np.asarray(b["src_id"].to_pylist(), dtype=object)
+            dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
         order = np.lexsort((dst, src))  # stable: first occurrence wins
         ss, dd = src[order], dst[order]
         keep = np.ones(len(order), dtype=bool)

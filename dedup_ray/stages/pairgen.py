@@ -76,9 +76,12 @@ def pairs_from_runs(
 
     ``pair_filter``: optional factory — called once per bucket table, returns
     a vectorized ``(gi, gj) -> keep`` mask over row-index pairs (the flagship
-    uses it for the in-place phash Hamming re-check). Applied to triu pairs
-    only, matching the flagship's historical behavior (star/chain fallback
-    pairs go to the verifier unfiltered — they are already the lossy branch).
+    uses it for the in-place phash Hamming re-check). Applied to BOTH the
+    triu pairs and the star/chain fallback of over-cap buckets: a filtered
+    pair cannot pass the corresponding verify check anyway, so post-verify
+    edges are unchanged while the junk never rides the attach stage (the
+    round-3 stress run shipped ~20M unfiltered star/chain pairs from 113k
+    capped buckets into verify; all of them were Hamming-rejects there).
     """
 
     def fn(g: pa.Table) -> pa.Table:
@@ -121,13 +124,23 @@ def pairs_from_runs(
             for r in np.flatnonzero(sizes > cap):
                 s, e = int(bounds[r]), int(bounds[r + 1])
                 n = e - s
-                run = ids[s:e]
                 capped += 1
                 capped_rows += n
-                src_parts.append(
-                    np.concatenate([np.repeat(run[0], n - 1), run[1:-1]])
+                # star-from-min + chain, as ROW INDICES so pair_filter applies
+                gi = np.concatenate(
+                    [np.full(n - 1, s, dtype=np.int64),
+                     np.arange(s + 1, e - 1, dtype=np.int64)]
                 )
-                dst_parts.append(np.concatenate([run[1:], run[2:]]))
+                gj = np.concatenate(
+                    [np.arange(s + 1, e, dtype=np.int64),
+                     np.arange(s + 2, e, dtype=np.int64)]
+                )
+                if per_pair is not None:
+                    keep = per_pair(gi, gj)
+                    if not keep.all():
+                        gi, gj = gi[keep], gj[keep]
+                src_parts.append(ids[gi])
+                dst_parts.append(ids[gj])
             if capped:
                 inc_counter(f"{counter_prefix}_buckets_capped", capped)
                 inc_counter(f"{counter_prefix}_capped_rows", capped_rows)
@@ -141,6 +154,78 @@ def pairs_from_runs(
         )
 
     return fn
+
+
+# ---------------------------------------------------- global pair dedup
+
+
+def _pair_hash(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Uniform uint64 per id — splitmix64 for ints, crc32 double-hash for
+    strings (collisions only co-locate unequal pairs in one dedup bucket,
+    never drop one)."""
+    import zlib
+
+    from dedup_ray.functions.hashing import splitmix64
+
+    if pa.types.is_integer(col.type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return splitmix64(col.to_numpy(zero_copy_only=False))
+    vals = col.to_pylist()
+    n = len(vals)
+    lo = np.fromiter(
+        (zlib.crc32(v.encode()) for v in vals), dtype=np.uint64, count=n
+    )
+    hi = np.fromiter(
+        (zlib.crc32(v.encode(), 0x9E3779B9) for v in vals),
+        dtype=np.uint64, count=n,
+    )
+    return splitmix64(((hi << np.uint64(32)) | lo).view(np.int64))
+
+
+def dedup_pairs_global(
+    pairs: rd.Dataset,
+    out_cols: tuple[str, str] = ("src_id", "dst_id"),
+    num_buckets: int = 256,
+    counter_prefix: str = "lsh",
+) -> rd.Dataset:
+    """Distinct (a, b) pairs via ONE hash-partitioned shuffle.
+
+    The scale counterpart of the within-batch dedup: a true dup pair is
+    generated by every band/combo/anchor that collides (~30-70x measured at
+    2M rows), and each surviving copy pays the attach+verify kernels. This
+    stage keys each pair on a mixed endpoint hash (equal pairs co-locate by
+    construction; the asymmetric mix spreads hot endpoints — a capped
+    bucket's star source — uniformly), sorts each bucket by (a, b) and
+    keeps first occurrences. Exact: the pair SET entering verify is
+    unchanged, each member once. Shuffle payload is the pair rows + one
+    int64 key — with int-coded ids ~24 B/row."""
+    from dedup_ray.stages.grouped import drop_sorted_dup_pairs, grouped_runs
+
+    a_col, b_col = out_cols
+
+    def add_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__pkey__", pa.array([], type=pa.int64()))
+        with np.errstate(over="ignore"):
+            key = (_pair_hash(b[a_col]) * _MIX) ^ _pair_hash(b[b_col])
+        return b.append_column("__pkey__", pa.array(key.view(np.int64)))
+
+    keyed = pairs.map_batches(add_key, batch_format="pyarrow")
+
+    def drop_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["__pkey__"])
+        out = drop_sorted_dup_pairs(g, a_col, b_col)
+        dropped = g.num_rows - out.num_rows
+        if dropped:
+            inc_counter(f"{counter_prefix}_pairs_deduped", dropped)
+        return out.drop_columns(["__pkey__"])
+
+    return grouped_runs(
+        keyed, "__pkey__", drop_dups, num_buckets=num_buckets,
+        sort_cols=[a_col, b_col],
+    )
 
 
 # ------------------------------------------------- hot-key count pre-pass

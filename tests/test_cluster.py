@@ -64,3 +64,44 @@ def test_cluster_stage_transitive_chain():
     out = cluster_stage(edges, cfg).to_pandas()
     m = dict(zip(out["image_id"], out["cluster_id"]))
     assert m == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_distributed_dictionary_matches_driver(seed):
+    """Forcing node_broadcast_max below the node count routes through the
+    range-partitioned rank dictionary + join-based encode/decode — output
+    must stay byte-identical to driver union-find (round-4 task #3)."""
+    rng = np.random.default_rng(seed)
+    n = 80
+    nodes = [f"n{i:03d}" for i in range(n)]
+    pairs = []
+    for _ in range(70):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            pairs.append((nodes[min(i, j)], nodes[max(i, j)]))
+    a = _driver_unionfind(rd.from_arrow(_edges_table(pairs))).to_pandas()
+    b = _distributed_star(
+        rd.from_arrow(_edges_table(pairs)).repartition(6).materialize(),
+        node_broadcast_max=10,
+    ).to_pandas()
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert list(a["cluster_id"]) == list(b["cluster_id"])
+
+
+def test_block_contract_preserves_components():
+    """Per-block local-CC contraction keeps the component structure and is
+    idempotent on a converged star set."""
+    from dedup_ray.stages.cluster import _block_contract
+
+    t = pa.table(
+        {"u": pa.array([5, 7, 9, 2, 11], type=pa.int64()),
+         "v": pa.array([7, 9, 5, 1, 12], type=pa.int64())}
+    )
+    out = _block_contract(t)
+    got = set(zip(out["u"].to_pylist(), out["v"].to_pylist()))
+    # components {5,7,9} min 5, {1,2} min 1, {11,12} min 11
+    assert got == {(7, 5), (9, 5), (2, 1), (12, 11)}
+    # idempotence on the star set
+    out2 = _block_contract(out)
+    got2 = set(zip(out2["u"].to_pylist(), out2["v"].to_pylist()))
+    assert got2 == got
