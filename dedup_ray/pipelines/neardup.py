@@ -158,6 +158,11 @@ def run_neardup(
         lambda: lsh_candidates(sigs_lsh, cfg, n_reps=n_reps),
         ("signatures",),
     )
+    # lsh_candidates' explode+bitmap prepass is eager (buckets materialize at
+    # construction): tick here so stage logs split the LSH window into
+    # [signatures -> candidates_prepass] and [-> edges_near] (pair shuffle +
+    # dedup + fused attach/verify)
+    _tick("candidates_prepass")
 
     def _near_edges() -> rd.Dataset:
         from dedup_ray.stages.exact import EDGE_SCHEMA

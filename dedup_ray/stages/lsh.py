@@ -68,6 +68,7 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     # --- minhash bands (skip sentinel/no-shingle rows: empty-caption hot key)
     has = batch["has_sig"].to_numpy(zero_copy_only=False)
+    mh_dig: tuple[np.ndarray, np.ndarray] | None = None
     if has.any():
         sigs = sigs_from_arrow(batch["minhash_sig"])[has]
         bk = band_keys(sigs, cfg.bands, cfg.rows_per_band)  # (m, bands)
@@ -77,6 +78,19 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         out_key.append(bk.astype(np.int64, copy=False).view(np.int64).ravel())
         out_idx.append(np.repeat(idx, cfg.bands))
         out_gen.append(np.zeros(m * cfg.bands, dtype=np.int8))
+        if cfg.minhash_prefilter_nibbles:
+            # 32-probe 4-bit digest (every 4th perm's low nibble, packed
+            # into two uint64 words) — the in-generation junk screen for
+            # lucky band collisions (see DedupConfig.minhash_prefilter_nibbles)
+            nib = sigs[:, ::4] & np.uint64(0xF)  # (m, 32)
+            shifts = (np.arange(16, dtype=np.uint64) * np.uint64(4))
+            d0_h = np.bitwise_or.reduce(nib[:, :16] << shifts, axis=1)
+            d1_h = np.bitwise_or.reduce(nib[:, 16:] << shifts, axis=1)
+            d0 = np.zeros(n, dtype=np.uint64)
+            d1 = np.zeros(n, dtype=np.uint64)
+            d0[idx] = d0_h
+            d1[idx] = d1_h
+            mh_dig = (d0, d1)
 
     # --- phash bitplane combo keys (recall-complete for hamming <=
     #     phash_bands - phash_combo_size >= the verify threshold, config-
@@ -110,15 +124,19 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     idx = np.concatenate(out_idx)
     gen = np.concatenate(out_gen)
     id_arr = id_col.take(pa.array(idx))
-    return pa.table(
-        {
-            "band_id": pa.array(band, type=pa.int32()),
-            "band_key": pa.array(key, type=pa.int64()),
-            "image_id": id_arr,
-            "gen": pa.array(gen, type=pa.int8()),
-            "phash": pa.array(ph[idx], type=pa.int64()),
-        }
-    )
+    cols = {
+        "band_id": pa.array(band, type=pa.int32()),
+        "band_key": pa.array(key, type=pa.int64()),
+        "image_id": id_arr,
+        "gen": pa.array(gen, type=pa.int8()),
+        "phash": pa.array(ph[idx], type=pa.int64()),
+    }
+    if cfg.minhash_prefilter_nibbles:
+        zero = np.zeros(n, dtype=np.uint64)
+        d0, d1 = mh_dig if mh_dig is not None else (zero, zero)
+        cols["mh0"] = pa.array(d0[idx].view(np.int64), type=pa.int64())
+        cols["mh1"] = pa.array(d1[idx].view(np.int64), type=pa.int64())
+    return pa.table(cols)
 
 
 def _combo(band_id: np.ndarray, band_key: np.ndarray) -> np.ndarray:
@@ -158,19 +176,27 @@ def bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
     )
 
 
-def _pairs_from_runs(cap: int, phash_hamming_max: int):
+def _pairs_from_runs(cap: int, phash_hamming_max: int, mh_nibbles: int = 0):
     """Vectorized pair generation over all bucket-runs of a coarse group —
     the SHARED kernel (stages/pairgen.py; the document path uses the same
-    one) specialized with the flagship's phash Hamming re-check: phash-
-    generated runs (gen==1, combo encodes band_id encodes gen) re-check the
-    full 64-bit distance in place, one vectorized popcount instead of
-    shipping ~n^2/65536 junk pairs into the attach+verify stages."""
+    one) specialized with the flagship's in-generation junk screens:
+    phash-generated pairs (gen==1) re-check the full 64-bit Hamming
+    distance in place, and (when ``mh_nibbles`` > 0) minhash-band pairs
+    (gen==0) must agree on >= mh_nibbles of 32 sampled signature nibbles —
+    one vectorized popcount/XOR each instead of shipping the ~R^2 junk
+    curves into the attach+verify stages."""
     from dedup_ray.functions.hashing import hamming64
     from dedup_ray.stages.pairgen import pairs_from_runs
 
-    def phash_filter(g: pa.Table):
+    def pair_screen(g: pa.Table):
         gens = g["gen"].to_numpy(zero_copy_only=False)
         phs = g["phash"].to_numpy(zero_copy_only=False)
+        digs = None
+        if mh_nibbles and "mh0" in g.column_names:
+            digs = (
+                g["mh0"].to_numpy(zero_copy_only=False).view(np.uint64),
+                g["mh1"].to_numpy(zero_copy_only=False).view(np.uint64),
+            )
 
         def per_pair(gi: np.ndarray, gj: np.ndarray) -> np.ndarray:
             keep = np.ones(gi.size, dtype=bool)
@@ -179,12 +205,31 @@ def _pairs_from_runs(cap: int, phash_hamming_max: int):
                 keep[is_ph] = (
                     hamming64(phs[gi[is_ph]], phs[gj[is_ph]]) <= phash_hamming_max
                 )
+            if digs is not None:
+                is_mh = gens[gi] == 0
+                if is_mh.any():
+                    mi, mj = gi[is_mh], gj[is_mh]
+                    matches = np.zeros(mi.size, dtype=np.int64)
+                    for w in (
+                        digs[0][mi] ^ digs[0][mj],
+                        digs[1][mi] ^ digs[1][mj],
+                    ):
+                        for s in range(16):
+                            matches += (
+                                (w >> np.uint64(4 * s)) & np.uint64(0xF)
+                            ) == 0
+                    dropped = matches < mh_nibbles
+                    if dropped.any():
+                        inc_counter("lsh_mh_prefiltered", int(dropped.sum()))
+                        k = keep[is_mh]
+                        k[dropped] = False
+                        keep[is_mh] = k
             return keep
 
         return per_pair
 
     return pairs_from_runs(
-        "combo", "image_id", cap=cap, pair_filter=phash_filter,
+        "combo", "image_id", cap=cap, pair_filter=pair_screen,
         counter_prefix="lsh",
     )
 
@@ -366,14 +411,16 @@ def lsh_candidates(
             t["band_id"].to_numpy(zero_copy_only=False),
             t["band_key"].to_numpy(zero_copy_only=False),
         ).view(np.int64)
-        return pa.table(
-            {
-                "combo": pa.array(combo),
-                "image_id": t["image_id"],
-                "gen": t["gen"],
-                "phash": t["phash"],
-            }
-        )
+        cols = {
+            "combo": pa.array(combo),
+            "image_id": t["image_id"],
+            "gen": t["gen"],
+            "phash": t["phash"],
+        }
+        for c in ("mh0", "mh1"):  # digest columns (minhash prefilter only)
+            if c in t.column_names:
+                cols[c] = t[c]
+        return pa.table(cols)
 
     buckets = signatures.map_batches(
         explode_with_combo, batch_format="pyarrow"
@@ -416,7 +463,10 @@ def lsh_candidates(
     pairs = grouped_runs(
         buckets,
         "combo",
-        _pairs_from_runs(cfg.bucket_pair_cap, cfg.phash_hamming_max),
+        _pairs_from_runs(
+            cfg.bucket_pair_cap, cfg.phash_hamming_max,
+            mh_nibbles=cfg.minhash_prefilter_nibbles,
+        ),
         sort_cols=["combo", "image_id"],
     )
 
@@ -431,10 +481,6 @@ def lsh_candidates(
             if n_reps is not None and n_reps >= cfg.pair_dedup_min_reps
             else "batch"
         )
-    if mode == "global":
-        from dedup_ray.stages.pairgen import dedup_pairs_global
-
-        return dedup_pairs_global(pairs)
 
     def dedup_within_batch(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -453,4 +499,11 @@ def lsh_candidates(
         keep[1:] = ~((ss[1:] == ss[:-1]) & (dd[1:] == dd[:-1]))
         return b.take(pa.array(np.sort(order[keep])))
 
-    return pairs.map_batches(dedup_within_batch, batch_format="pyarrow")
+    deduped = pairs.map_batches(dedup_within_batch, batch_format="pyarrow")
+    if mode == "global":
+        # within-batch dedup doubles as the map-side combiner of the global
+        # dedup shuffle (in-batch duplicates never ride the exchange)
+        from dedup_ray.stages.pairgen import dedup_pairs_global
+
+        return dedup_pairs_global(deduped)
+    return deduped

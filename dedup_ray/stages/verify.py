@@ -89,22 +89,40 @@ class PairVerifier:
         if need_lcs.size:
             fa_vals, fa_offs = _fp_lists(batch["src_winnow_fp"], need_lcs)
             fb_vals, fb_offs = _fp_lists(batch["dst_winnow_fp"], need_lcs)
-            caps_a = batch["src_caption"].take(pa.array(need_lcs)).to_pylist()
-            caps_b = batch["dst_caption"].take(pa.array(need_lcs)).to_pylist()
-            todo = [
-                (k, caps_a[k], caps_b[k])
-                for k in range(need_lcs.size)
-                if fa_offs[k] != fa_offs[k + 1]
-                and fb_offs[k] != fb_offs[k + 1]
-                and not set(
-                    fa_vals[fa_offs[k] : fa_offs[k + 1]]
-                ).isdisjoint(fb_vals[fb_offs[k] : fb_offs[k + 1]])
-            ]
-            for k, L in lcs_len_many(todo, cfg.substring_min_len):
-                if L >= cfg.substring_min_len:
-                    i = need_lcs[k]
-                    evidence[i] = "substring"
-                    score[i] = L / max(len(caps_a[k]), len(caps_b[k]))
+            # shared-fingerprint gate, fully vectorized (round-4: the
+            # per-pair Python set() loop + whole-batch caption to_pylist
+            # here was the verify stage's top CPU sink at 32M+ undecided
+            # pairs). Per-row fingerprints are np.unique output (sorted,
+            # distinct), so one lexsort of the tagged (pair, fp, side)
+            # union finds every (pair, fp) present on BOTH sides — exact,
+            # no hashing. Captions convert only for gated pairs.
+            ka = np.repeat(np.arange(need_lcs.size), np.diff(fa_offs))
+            kb = np.repeat(np.arange(need_lcs.size), np.diff(fb_offs))
+            gate: np.ndarray = np.empty(0, dtype=np.int64)
+            if ka.size and kb.size:
+                k_all = np.concatenate([ka, kb])
+                v_all = np.concatenate([fa_vals, fb_vals])
+                s_all = np.concatenate(
+                    [np.zeros(ka.size, np.int8), np.ones(kb.size, np.int8)]
+                )
+                order = np.lexsort((s_all, v_all, k_all))
+                kk, vv = k_all[order], v_all[order]
+                # a (pair, fp) value occurs at most once per side -> adjacent
+                # equal (pair, fp) rows are exactly the both-sides matches
+                adj = (kk[1:] == kk[:-1]) & (vv[1:] == vv[:-1])
+                gate = np.unique(kk[:-1][adj])
+            if gate.size:
+                sub = need_lcs[gate]
+                caps_a = batch["src_caption"].take(pa.array(sub)).to_pylist()
+                caps_b = batch["dst_caption"].take(pa.array(sub)).to_pylist()
+                todo = [
+                    (k, caps_a[k], caps_b[k]) for k in range(gate.size)
+                ]
+                for k, L in lcs_len_many(todo, cfg.substring_min_len):
+                    if L >= cfg.substring_min_len:
+                        i = sub[k]
+                        evidence[i] = "substring"
+                        score[i] = L / max(len(caps_a[k]), len(caps_b[k]))
         keep = evidence != ""
         inc_counter("pairs_verified", n)
         inc_counter("edges_emitted", int(keep.sum()))

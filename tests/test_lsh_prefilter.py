@@ -118,3 +118,82 @@ def test_all_singleton_input_yields_no_candidates():
     # empty result whose schema Ray reports as None — both are "no pairs"
     schema = got.schema()
     assert schema is None or set(schema.names) == {"src_id", "dst_id"}
+
+
+def test_minhash_digest_prefilter_keeps_planted_recall(tiny_corpus):
+    """Opt-in digest prefilter (minhash_prefilter_nibbles=12) must not lose
+    planted duplicates: recall vs the oracle stays 1.0 on the tiny corpus
+    (planted caption dups sit far above the Jaccard threshold; the screen
+    only kills lucky low-J band collisions)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.oracle.recall import pair_recall_precision
+    from dedup_ray.oracle.refimpl import oracle_clusters
+    from dedup_ray.pipelines.neardup import run_neardup
+
+    corpus = os.path.join(tiny_corpus, "images.parquet")
+    cfg = DedupConfig(minhash_prefilter_nibbles=12)
+    res = run_neardup(corpus, cfg)
+    pred = {r["image_id"]: r["cluster_id"] for r in res.clusters.take_all()}
+    oc = oracle_clusters(pq.read_table(corpus))
+    got = pair_recall_precision(oc, pred)
+    assert got["recall"] == 1.0
+    assert got["precision"] == 1.0
+
+
+def test_minhash_digest_prefilter_kills_low_j_junk():
+    """A pair whose signatures agree on exactly one band (a lucky 4-perm
+    collision, true J ~ 0) is screened out; a pair agreeing on nearly all
+    perms survives."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.stages.lsh import explode_buckets
+
+    cfg = DedupConfig(minhash_prefilter_nibbles=12)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 2**61, 128, dtype=np.uint64)
+    lucky = rng.integers(0, 2**61, 128, dtype=np.uint64)
+    lucky[0:4] = base[0:4]  # band 0 collides, everything else differs
+    near = base.copy()
+    near[5] ^= np.uint64(1)  # ~all perms agree
+
+    def row_sig(s):
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(s.view(np.int64), type=pa.int64()), 128
+        )
+
+    # phashes pairwise FAR apart (hamming ~32) so the phash tier generates
+    # nothing and only the minhash tier is in play
+    ph = [int(x) for x in rng.integers(0, 2**62, 3, dtype=np.int64)]
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c"], type=pa.string()),
+            "phash": pa.array(ph, type=pa.int64()),
+            "minhash_sig": pa.concat_arrays(
+                [row_sig(base), row_sig(lucky), row_sig(near)]
+            ),
+            "has_sig": pa.array([True, True, True]),
+            "winnow_fp": pa.array([[], [], []], type=pa.large_list(pa.int64())),
+        }
+    )
+    ex = explode_buckets(t, cfg)
+    assert "mh0" in ex.column_names
+    from dedup_ray.stages.lsh import _combo, _pairs_from_runs
+
+    combo = _combo(
+        ex["band_id"].to_numpy(zero_copy_only=False),
+        ex["band_key"].to_numpy(zero_copy_only=False),
+    ).view(np.int64)
+    g = ex.append_column("combo", pa.array(combo)).sort_by(
+        [("combo", "ascending"), ("image_id", "ascending")]
+    )
+    fn = _pairs_from_runs(64, cfg.phash_hamming_max, mh_nibbles=12)
+    pairs = fn(g)
+    got = set(zip(pairs["src_id"].to_pylist(), pairs["dst_id"].to_pylist()))
+    assert ("a", "c") in got      # near-identical sigs survive
+    assert ("a", "b") not in got  # lucky one-band collision screened

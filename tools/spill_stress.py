@@ -66,9 +66,27 @@ def main() -> int:
         2,
     )
 
+    # optional detector-config overrides (the SCALE.md keyspace experiments):
+    # DEDUP_PHASH_BANDS / DEDUP_PHASH_COMBO widen the phash combo keys,
+    # DEDUP_PAIR_DEDUP forces the pair-dedup mode
+    from dedup_ray.config import DedupConfig
+
+    cfg_kwargs = {}
+    if os.environ.get("DEDUP_PHASH_BANDS"):
+        cfg_kwargs["phash_bands"] = int(os.environ["DEDUP_PHASH_BANDS"])
+    if os.environ.get("DEDUP_PHASH_COMBO"):
+        cfg_kwargs["phash_combo_size"] = int(os.environ["DEDUP_PHASH_COMBO"])
+    if os.environ.get("DEDUP_PAIR_DEDUP"):
+        cfg_kwargs["pair_dedup"] = os.environ["DEDUP_PAIR_DEDUP"]
+    if os.environ.get("DEDUP_MH_PREFILTER"):
+        cfg_kwargs["minhash_prefilter_nibbles"] = int(
+            os.environ["DEDUP_MH_PREFILTER"]
+        )
+    cfg = DedupConfig(**cfg_kwargs) if cfg_kwargs else None
+
     load0 = os.getloadavg()
     t0 = time.time()
-    res = run_neardup(corpus, concurrency=16, progress=True)
+    res = run_neardup(corpus, cfg=cfg, concurrency=16, progress=True)
     n_clusters = res.clusters.count()
     wall = round(time.time() - t0, 1)
 
@@ -101,6 +119,7 @@ def main() -> int:
                 "input_files": n_files,
                 "input_gb": size_gb,
                 "gen_sec": gen_sec,
+                "cfg_overrides": cfg_kwargs,
                 "flagship_sec": wall,
                 "images_per_sec": round(n_rows / wall, 1),
                 "clusters": int(n_clusters),
