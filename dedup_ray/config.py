@@ -107,6 +107,11 @@ class DedupConfig:
     # is bit-identical either way (merge is associative; pytest-checked).
     batch_size: int = 4096        # rows per map_batches batch for sig stages
     driver_unionfind_max_edges: int = 2_000_000  # below -> driver union-find
+    attach_broadcast_max_rows: int = 2_000_000  # attach strategy switch: rep
+    # tables at or below this broadcast once (shared block refs + per-worker
+    # probe index); above, endpoint attrs attach via two co-partitioning
+    # shuffle_joins (the 100-TB path — exercised by the 4M stress cell and
+    # forced small in tests/test_pipeline shuffle-path identity)
     cc_node_broadcast_max: int = 20_000_000  # distributed CC: above this many
     # per-block distinct-node partial rows the node dictionary is NEVER
     # concatenated on the driver — codes come from the range-partitioned

@@ -271,11 +271,14 @@ def run_neardup_incremental(
 
         # verify fused into the attach task (post_fn) — see
         # pipelines/neardup._near_edges for the attach->verify traffic math
+        id_t = pa.int64() if nodes_ref is not None else pa.string()
         near_new = attach_pair_attrs(
             cands, sigs_lsh,
             ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"],
+            broadcast_max_rows=cfg.attach_broadcast_max_rows,
             post_fn=post,
             attrs_count=n_reps,
+            pairs_schema=pa.schema([("src_id", id_t), ("dst_id", id_t)]),
         )
 
     # ---- replayed prior near edges + fresh edges -> clusters --------------

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+import pyarrow as pa
 import ray.data as rd
 
 from dedup_ray.config import DedupConfig
@@ -186,11 +187,14 @@ def run_neardup(
             def post(b):
                 return verify_batch(b, cfg)
 
+        id_t = pa.int64() if nodes_ref is not None else pa.string()
         return attach_pair_attrs(
             cands, sigs_lsh,
             ["phash", "minhash_sig", "has_sig", "caption", "winnow_fp"],
+            broadcast_max_rows=cfg.attach_broadcast_max_rows,
             post_fn=post,
             attrs_count=n_reps,
+            pairs_schema=pa.schema([("src_id", id_t), ("dst_id", id_t)]),
         )
 
     # near_edges is PINNED even though it has one consumer: letting the

@@ -317,6 +317,7 @@ def attach_pair_attrs(
     post_fn=None,
     batch_size: int = 4096,
     attrs_count: int | None = None,
+    pairs_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """pairs(src_id, dst_id, ...) + attrs(image_id, ...) ->
     pairs + {src,dst}_{col...}.
@@ -341,7 +342,13 @@ def attach_pair_attrs(
     ``attrs_count``: pass the known attr row count when ``attrs`` is a lazy
     lineage over a pinned table (e.g. the int-encode projection) — avoids a
     count() that would execute that lineage once just for the strategy
-    decision."""
+    decision.
+
+    ``pairs_schema``: pass the (statically known) pair schema when the
+    shuffle path may engage — ``Dataset.schema()`` on an unmaterialized
+    shuffle lineage EXECUTES it (observed at the 4M-row stress cell: the
+    whole pair-generation shuffle ran once for schema inference, then again
+    for the join, spilling the disk dry)."""
     n = attrs_count if attrs_count is not None else attrs.count()
     if n <= broadcast_max_rows:
         # pass the block REFS, not a driver-concatenated copy: workers pull
@@ -360,7 +367,7 @@ def attach_pair_attrs(
     # eagerly at stage-construction time).
     side = attrs.select_columns(["image_id"] + columns)
     atypes = dict(zip(attrs.schema().names, attrs.schema().types))
-    left_schema = pairs.schema()
+    left_schema = pairs_schema if pairs_schema is not None else pairs.schema()
     out = pairs
     for endpoint in ("src", "dst"):
         renamed = side.map_batches(

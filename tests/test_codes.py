@@ -145,3 +145,19 @@ def test_phash_combo_keys_pair_default_unchanged():
             | b[:, j]
         )
         assert (got[:, c] == want).all()
+
+
+def test_flagship_shuffle_attach_path_identical(tiny_corpus):
+    """Forcing the attach SHUFFLE path (attrs above the broadcast bound —
+    the 100-TB regime the 4M stress cell hits) must produce identical
+    clusters to the broadcast path, int codes and fused verify included."""
+    import os
+
+    from dedup_ray.pipelines.neardup import run_neardup
+
+    corpus = os.path.join(tiny_corpus, "images.parquet")
+    want = _clusters_dict(run_neardup(corpus, DedupConfig()))
+    got = _clusters_dict(
+        run_neardup(corpus, DedupConfig(attach_broadcast_max_rows=1))
+    )
+    assert got == want and want
