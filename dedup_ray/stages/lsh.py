@@ -424,7 +424,16 @@ def lsh_candidates(
 
     buckets = signatures.map_batches(
         explode_with_combo, batch_format="pyarrow"
-    ).materialize()  # consumed by the bitmap pass + the filtered shuffle
+    )
+    # The exploded table (~60 rows/rep) has 2-3 consumers (bitmap pass,
+    # filtered shuffle, optional salt counts). Pinning it is right at bench
+    # scale (re-execution costs more than the blocks), but at millions of
+    # reps the pinned blocks (~15 GB at 4M reps) crowd the object store
+    # exactly when the pair shuffle needs it — measured as the 4M stress
+    # cell's OutOfDisk driver. Above the threshold, stream and let each
+    # consumer recompute the explode from the pinned signatures instead.
+    if n_reps is None or n_reps <= 2_000_000 or cfg.salt_hot_buckets:
+        buckets = buckets.materialize()
     bschema = buckets.schema()  # None when the input was empty
     id_type = (
         dict(zip(bschema.names, bschema.types))["image_id"]
