@@ -88,9 +88,13 @@ class DedupConfig:
     # pair-level function of the two signatures — population-independent, so
     # incremental == full equality is preserved exactly. Measured at 2M
     # rows: 32.36M of 32.67M candidates screened, verify volume 56M -> 310k
-    # vs round 3, EDGE SET BYTE-IDENTICAL (zero confirmed pairs lost),
-    # flagship 329.5 s -> 146.1 s. Set 0 to restore the exact candidate
-    # contract (verify is authoritative either way). this
+    # vs round 3, edge set byte-identical in that measured run (one run, not
+    # a guarantee — the hypergeometric bound above is the guarantee), flagship
+    # 329.5 s -> 146.1 s. Set 0 to restore the exact candidate contract
+    # (verify is authoritative either way). Observability: every drop ticks
+    # the `lsh_mh_prefiltered` counter, which run_neardup snapshots into
+    # NearDupResult.counters / report["counters"] — a recall regression shows
+    # up there, not silently.
     int_encode_ids: bool = True   # dictionary-encode image_id to SORTED
     # int64 codes at the rep boundary (stages/codes.py) and run every wide
     # stage — explode, bucket shuffle, pair-gen, pair-dedup, attach probe,
@@ -159,6 +163,17 @@ class DedupConfig:
             )
         if self.pair_dedup not in ("batch", "global", "auto"):
             raise ValueError("pair_dedup must be batch|global|auto")
+        if self.minhash_prefilter_nibbles:
+            # the digest samples 32 evenly-strided perms (stages/lsh.py
+            # explode_buckets); below 32 perms the probes would repeat and
+            # the hypergeometric survival bound would no longer hold
+            if not 0 < self.minhash_prefilter_nibbles <= 32:
+                raise ValueError("minhash_prefilter_nibbles must be in [0, 32]")
+            if self.num_perm < 32:
+                raise ValueError(
+                    "minhash_prefilter_nibbles requires num_perm >= 32 "
+                    "(the digest probes 32 distinct permutations)"
+                )
 
     def config_hash(self) -> str:
         """Deterministic 16-hex-char digest of every knob (plus the stage

@@ -43,25 +43,33 @@ def _hash62(flat: pa.Array) -> np.ndarray:
     """Deterministic 62-bit string hash, self-contained (round-3 advice:
     the previous polars-ahash version tied token identity to the installed
     polars VERSION — a mixed-version cluster or an upgrade between a run
-    and a checkpoint resume would silently change ids mid-run). crc32
-    double-hash + splitmix64 finish: stdlib-only, process- and
-    version-stable, the same recipe as stages/join._key_hash64."""
-    import zlib
+    and a checkpoint resume would silently change ids mid-run).
 
-    from dedup_ray.functions.hashing import splitmix64
+    blake2b(digest_size=8) per token: stdlib-only, process- and
+    version-stable, and a TRUE 64-bit hash. In mg mode this value IS token
+    identity, so its entropy bounds the false-merge odds at the fallback's
+    design scale (10^6-10^8 distinct tokens) — the round-4-advice reason a
+    crc32 double-hash is NOT acceptable here: crc32 is GF(2)-affine in the
+    seed, so crc32(v, s) == crc32(v, 0) ^ f(s, len(v)) and any two-seed /
+    prefix / suffix crc32 recipe carries only ~32 bits of joint entropy per
+    length class (collision odds ~n^2/2^33). The crc32 recipe survives in
+    stages/join._key_hash64 and stages/pairgen._pair_hash, where hashes only
+    PARTITION (a collision co-locates two keys in one bucket, never merges
+    identities) — a different contract, noted at both sites."""
+    from hashlib import blake2b
 
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     vals = flat.to_pylist()
     n = len(vals)
-    lo = np.fromiter(
-        (zlib.crc32(v.encode()) for v in vals), dtype=np.uint64, count=n
+    h = np.fromiter(
+        (
+            int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "little")
+            for v in vals
+        ),
+        dtype=np.uint64,
+        count=n,
     )
-    hi = np.fromiter(
-        (zlib.crc32(v.encode(), 0x9E3779B9) for v in vals),
-        dtype=np.uint64, count=n,
-    )
-    h = splitmix64(((hi << np.uint64(32)) | lo).view(np.int64))
     return (h >> np.uint64(2)).astype(np.int64)
 
 

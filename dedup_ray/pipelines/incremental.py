@@ -258,9 +258,10 @@ def run_neardup_incremental(
 
             return b.filter(pa.array(member(src) | member(dst)))
 
-        cands = lsh_candidates(sigs_lsh, cfg, n_reps=n_reps).map_batches(
-            delta_touching, batch_format="pyarrow"
-        )
+        cands = lsh_candidates(
+            sigs_lsh, cfg, n_reps=n_reps,
+            id_type=pa.int64() if nodes_ref is not None else None,
+        ).map_batches(delta_touching, batch_format="pyarrow")
 
         if nodes_ref is not None:
             def post(b):

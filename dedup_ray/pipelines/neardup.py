@@ -156,7 +156,10 @@ def run_neardup(
             sigs_lsh = encode_id_col(sigs, nodes_ref)
     cands = ckpt.stage(
         "candidates",
-        lambda: lsh_candidates(sigs_lsh, cfg, n_reps=n_reps),
+        lambda: lsh_candidates(
+            sigs_lsh, cfg, n_reps=n_reps,
+            id_type=pa.int64() if nodes_ref is not None else None,
+        ),
         ("signatures",),
     )
     # lsh_candidates' explode+bitmap prepass is eager (buckets materialize at

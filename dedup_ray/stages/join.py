@@ -412,9 +412,14 @@ BLOOM_HASHES = 4
 
 def _key_hash64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Uniform uint64 hash per key — splitmix64 for integers, crc32 double
-    hash for strings (entropy is plenty for a prefilter: false positives
-    only cost shuffle bytes, never correctness). Callers must drop nulls
-    first (a null join key never matches anything in an inner/semi join)."""
+    hash for strings. CONTRACT NOTE (round-4 advice): the crc32 recipe is
+    affinely degenerate (hi == lo ^ f(len)), so it carries ~32 bits of joint
+    entropy per length class. That is acceptable HERE and only here-like
+    sites: the hash merely PARTITIONS/prefilters — a collision costs shuffle
+    bytes (a bloom false positive), never correctness. It must NOT be used
+    where the hash is an IDENTITY (see functions/vocab._hash62, which uses
+    blake2b for exactly that reason). Callers must drop nulls first (a null
+    join key never matches anything in an inner/semi join)."""
     import zlib
 
     from dedup_ray.functions.hashing import splitmix64

@@ -45,7 +45,6 @@ from dedup_ray.functions.hashing import band_keys, phash_combo_keys
 from dedup_ray.stages.signatures import sigs_from_arrow
 from dedup_ray.state.metrics import inc_counter
 
-PAIR_SCHEMA = pa.schema([("src_id", pa.string()), ("dst_id", pa.string())])
 
 
 def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
@@ -79,10 +78,16 @@ def explode_buckets(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         out_idx.append(np.repeat(idx, cfg.bands))
         out_gen.append(np.zeros(m * cfg.bands, dtype=np.int8))
         if cfg.minhash_prefilter_nibbles:
-            # 32-probe 4-bit digest (every 4th perm's low nibble, packed
+            # 32-probe 4-bit digest (evenly-strided perms' low nibbles packed
             # into two uint64 words) — the in-generation junk screen for
-            # lucky band collisions (see DedupConfig.minhash_prefilter_nibbles)
-            nib = sigs[:, ::4] & np.uint64(0xF)  # (m, 32)
+            # lucky band collisions (see DedupConfig.minhash_prefilter_nibbles).
+            # Probe positions derive from num_perm (round-4 advice: the
+            # previous hard-coded ::4 stride assumed num_perm == 128 and
+            # broadcast-crashed at e.g. num_perm=64); at the 128 default this
+            # is the identical 0,4,...,124 probe set. Config validates
+            # num_perm >= 32 so the 32 probes are distinct perms.
+            probe = (np.arange(32) * cfg.num_perm) // 32
+            nib = sigs[:, probe] & np.uint64(0xF)  # (m, 32)
             shifts = (np.arange(16, dtype=np.uint64) * np.uint64(4))
             d0_h = np.bitwise_or.reduce(nib[:, :16] << shifts, axis=1)
             d1_h = np.bitwise_or.reduce(nib[:, 16:] << shifts, axis=1)
@@ -152,28 +157,10 @@ def _combo(band_id: np.ndarray, band_key: np.ndarray) -> np.ndarray:
     ) ^ band_id.astype(np.uint64)
 
 
-def bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
-    """One LSH bucket -> candidate pairs (src < dst), capped for skew.
-    Vectorized (numpy triu) — no per-pair Python."""
-    n = group.num_rows
-    if n < 2:
-        return PAIR_SCHEMA.empty_table()
-    ids = np.sort(np.asarray(group["image_id"].to_pylist(), dtype=object))
-    if n <= cap:
-        iu, ju = np.triu_indices(n, 1)
-        src, dst = ids[iu], ids[ju]
-    else:
-        # star from min member + chain: connectivity-preserving O(n) fallback
-        inc_counter("lsh_buckets_capped", 1)
-        inc_counter("lsh_capped_rows", n)
-        src = np.concatenate([np.repeat(ids[0], n - 1), ids[1:-1]])
-        dst = np.concatenate([ids[1:], ids[2:]])
-    return pa.table(
-        {
-            "src_id": pa.array(list(src), type=pa.string()),
-            "dst_id": pa.array(list(dst), type=pa.string()),
-        }
-    )
+# (a legacy per-bucket `bucket_pairs` helper lived here; deleted round-5 —
+# dead on every real path since the shared kernel landed (stages/pairgen.
+# pairs_from_runs handles cap/star/chain vectorized over whole run batches);
+# round-4 verdict minor #3: removed to prevent future misuse.)
 
 
 def _pairs_from_runs(cap: int, phash_hamming_max: int, mh_nibbles: int = 0):
@@ -386,7 +373,10 @@ def _apply_salt(
 
 
 def lsh_candidates(
-    signatures: rd.Dataset, cfg: DedupConfig, n_reps: int | None = None
+    signatures: rd.Dataset,
+    cfg: DedupConfig,
+    n_reps: int | None = None,
+    id_type: pa.DataType | None = None,
 ) -> rd.Dataset:
     """signatures -> deduplicated candidate pairs. ONE coarse hash-partition
     shuffle (bucket -> pairs) over ONLY the pair-participating rows: a
@@ -434,12 +424,19 @@ def lsh_candidates(
     # consumer recompute the explode from the pinned signatures instead.
     if n_reps is None or n_reps <= 2_000_000 or cfg.salt_hot_buckets:
         buckets = buckets.materialize()
-    bschema = buckets.schema()  # None when the input was empty
-    id_type = (
-        dict(zip(bschema.names, bschema.types))["image_id"]
-        if bschema is not None
-        else pa.string()
-    )
+    # id_type: threaded by callers that know it statically (the flagship
+    # passes int64 when it int-encoded ids); fall back to the INPUT's schema.
+    # Never ask the buckets dataset (round-4 advice): on the streaming path
+    # (n_reps > 2M) buckets is deliberately NOT materialized and
+    # Dataset.schema() executes the explode lineage exactly at the scale the
+    # streaming branch exists to protect.
+    if id_type is None:
+        sschema = signatures.schema()  # None when the input was empty
+        id_type = (
+            dict(zip(sschema.names, sschema.types)).get("image_id", pa.string())
+            if sschema is not None
+            else pa.string()
+        )
     pair_schema = pa.schema([("src_id", id_type), ("dst_id", id_type)])
     bitmap = _pairable_bitmap(buckets, distributed=cfg.distributed_prepass)
     if bitmap is None:

@@ -161,8 +161,12 @@ def pairs_from_runs(
 
 def _pair_hash(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Uniform uint64 per id — splitmix64 for ints, crc32 double-hash for
-    strings (collisions only co-locate unequal pairs in one dedup bucket,
-    never drop one)."""
+    strings. CONTRACT NOTE (round-4 advice): the string recipe is affinely
+    degenerate (~32 bits of joint entropy per length class) — fine HERE
+    because the hash only CO-LOCATES pairs into dedup buckets (the bucket
+    kernel compares real ids; a collision never merges or drops a pair).
+    Never reuse it where the hash is an identity — functions/vocab._hash62
+    (blake2b) is the identity-grade recipe."""
     import zlib
 
     from dedup_ray.functions.hashing import splitmix64

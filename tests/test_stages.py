@@ -12,7 +12,7 @@ import ray.data as rd
 from dedup_ray.config import DedupConfig
 from dedup_ray.stages.exact import collapse_reps, exact_edges
 from dedup_ray.stages.keys import compute_exact_keys, exact_keys_stage
-from dedup_ray.stages.lsh import bucket_pairs, lsh_candidates
+from dedup_ray.stages.lsh import lsh_candidates
 from dedup_ray.stages.signatures import SignerActor, signatures_stage, sigs_from_arrow
 
 CFG = DedupConfig()
@@ -90,12 +90,23 @@ def test_signer_actor_direct():
 
 
 def test_bucket_pairs_cap():
+    # the SHARED pair-gen kernel (stages/pairgen.pairs_from_runs) — the
+    # legacy per-bucket lsh.bucket_pairs helper was dead on every real path
+    # and deleted (round-4 verdict minor #3)
+    from dedup_ray.stages.pairgen import pairs_from_runs
+
+    fn = pairs_from_runs("combo", "image_id", cap=10)
     ids = [f"i{k:03d}" for k in range(100)]
-    g = pa.table({"image_id": pa.array(ids)})
-    capped = bucket_pairs(g, cap=10)
+    g = pa.table(
+        {
+            "combo": pa.array([7] * 100, type=pa.int64()),
+            "image_id": pa.array(ids),
+        }
+    )
+    capped = fn(g)
     # star (99) + chain (98) edges, not 4950 pairs
     assert capped.num_rows == 99 + 98
-    full = bucket_pairs(g.slice(0, 5), cap=10)
+    full = fn(g.slice(0, 5))
     assert full.num_rows == 10  # C(5,2)
 
 
