@@ -55,8 +55,24 @@ def inc_counter(key: str, n: int = 1) -> None:
 
 
 def snapshot_counters() -> dict[str, int]:
+    """Read the counters, settling first: ``inc_counter`` is fire-and-forget
+    from worker tasks, so a snapshot taken the instant a pipeline returns
+    can race increments still in flight to the actor (observed as a rare
+    pairs_verified=0 flake under ambient box load). Poll until two
+    consecutive snapshots agree (bounded ~1 s); when the system is already
+    quiescent this costs exactly one extra actor round-trip."""
+    import time
+
     try:
-        return ray.get(_get_actor().snapshot.remote())
+        h = _get_actor()
+        prev = ray.get(h.snapshot.remote())
+        for _ in range(20):
+            time.sleep(0.05)
+            cur = ray.get(h.snapshot.remote())
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
     except Exception:
         return {}
 

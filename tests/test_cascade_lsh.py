@@ -1,0 +1,126 @@
+"""Phash saturation cascade (round-5): over-cap COARSE phash buckets must
+re-band under the finer cascade keys and recover the UNCAPPED exact
+Hamming pair set — strictly better than the star/chain degradation the
+cascade replaces, with the hot rows never riding the level-1 pair shuffle.
+
+Corpus shape: every row shares coarse bands 0-1 (the (0,1) combo bucket
+saturates at cap 20), true near-pairs are (i, i+N/2) — deliberately NOT
+adjacent in id order, so the star/chain fallback cannot find them by
+accident — and everything else is random in the low 48 bits (Hamming >> 6
+w.h.p., so the in-generation screen drops it)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.functions.hashing import hamming64
+from dedup_ray.stages.lsh import lsh_candidates
+from dedup_ray.state.metrics import reset_counters, snapshot_counters
+
+N = 60  # one saturated coarse bucket of 60 rows, cap 20
+
+
+def _phashes() -> np.ndarray:
+    rng = np.random.default_rng(11)
+    ph = rng.integers(0, 2**63, N, dtype=np.int64).view(np.uint64)
+    ph = (ph & np.uint64(0x0000FFFFFFFFFFFF)) | np.uint64(
+        0xABCD_0000_0000_0000
+    )  # bands 0-1 (top 16 bits) equal everywhere -> combo (0,1) saturates
+    half = N // 2
+    for i in range(half):
+        # true pair (i, i+half): partner = i with EXACTLY one bit flipped in
+        # each of coarse bands 2..7 (Hamming 6 == the verify threshold), so
+        # the ONLY coarse combo the pair shares is the saturated (0,1) — the
+        # star/chain fallback cannot find it through a side bucket
+        mask = np.uint64(0)
+        for band in range(6):  # bit groups [0-7], [8-15], ..., [40-47]
+            mask |= np.uint64(1) << np.uint64(8 * band + int(rng.integers(8)))
+        ph[i + half] = ph[i] ^ mask
+    return ph.view(np.int64)
+
+
+def _signatures(num_perm: int, ph: np.ndarray) -> rd.Dataset:
+    ids = [f"img_{i:04d}" for i in range(N)]
+    sig_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.zeros(N * num_perm, dtype=np.int64)), num_perm
+    )
+    t = pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "minhash_sig": sig_col,
+            "has_sig": pa.array([False] * N),  # phash tier only
+            "phash": pa.array(ph, type=pa.int64()),
+            "caption": pa.array([""] * N, type=pa.string()),
+            "winnow_fp": pa.LargeListArray.from_arrays(
+                pa.array(np.zeros(N + 1, dtype=np.int64)),
+                pa.array([], type=pa.int64()),
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def _pairs(cfg: DedupConfig, ph: np.ndarray) -> set:
+    cand = lsh_candidates(_signatures(cfg.num_perm, ph), cfg)
+    out = set()
+    for tbl in ray.get(cand.to_arrow_refs()):
+        if tbl.num_rows and "src_id" in tbl.column_names:
+            out.update(zip(tbl["src_id"].to_pylist(), tbl["dst_id"].to_pylist()))
+    return out
+
+
+def _brute_hamming_pairs(ph: np.ndarray, hmax: int) -> set:
+    ids = [f"img_{i:04d}" for i in range(N)]
+    out = set()
+    for i in range(N):
+        d = hamming64(np.repeat(ph[i], N - i - 1), ph[i + 1 :])
+        for j in np.flatnonzero(d <= hmax):
+            out.add((ids[i], ids[i + 1 + int(j)]))
+    return out
+
+
+def test_cascade_recovers_exact_hamming_pair_set():
+    ph = _phashes()
+    cfg = DedupConfig(bucket_pair_cap=20)  # cascade is the default
+    brute = _brute_hamming_pairs(ph, cfg.phash_hamming_max)
+    assert len(brute) >= N // 2  # the planted pairs are in there
+
+    reset_counters()
+    cascade = _pairs(cfg, ph)
+    counters = snapshot_counters()
+    assert counters.get("lsh_cascade_buckets", 0) >= 1
+    assert counters.get("lsh_cascade_rows", 0) > cfg.bucket_pair_cap
+    assert counters.get("lsh_cascade_ids", 0) == N
+    assert cascade == brute
+
+    # sanity: the uncapped exact path agrees
+    uncapped = _pairs(
+        DedupConfig(bucket_pair_cap=10**9, phash_cascade=False), ph
+    )
+    assert uncapped == brute
+
+    # and the star/chain degradation the cascade replaces genuinely loses
+    # pairs on this corpus (partners are not id-adjacent)
+    capped = _pairs(DedupConfig(bucket_pair_cap=20, phash_cascade=False), ph)
+    assert capped < brute
+
+
+def test_cascade_noop_below_cap():
+    ph = _phashes()
+    reset_counters()
+    pairs = _pairs(DedupConfig(bucket_pair_cap=10**9), ph)  # nothing hot
+    assert snapshot_counters().get("lsh_cascade_buckets", 0) == 0
+    assert pairs == _brute_hamming_pairs(ph, DedupConfig().phash_hamming_max)
+
+
+def test_cascade_config_validation():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DedupConfig(phash_cascade_bands=8, phash_cascade_combo=4)  # 8-4 < 6
+    with pytest.raises(ValueError, match="phash_cascade_combo"):
+        DedupConfig(phash_cascade_combo=0)
+    # salting takes precedence over the cascade (exact mode) — both set is
+    # legal, the salt path simply wins (exercised in test_salting)
+    DedupConfig(salt_hot_buckets=True, phash_cascade=True)

@@ -63,3 +63,23 @@ def test_pagerank_stable_across_runs():
     assert max(abs(am[k] - bm[k]) for k in am) < 1e-12
     # ranked non-increasing
     assert (a["rank"].values[:-1] >= a["rank"].values[1:]).all()
+
+
+def test_pagerank_rank_as_dataset_matches_driver_path():
+    """The at-scale swap (rank vector as a Dataset, two exchanges per
+    iteration, no driver-held node state) must agree with the driver loop
+    to float-association tolerance on the full node set."""
+    a = trade_graph_pagerank(SF, iters=6, k=10_000_000).to_pandas()
+    b = trade_graph_pagerank(
+        SF, iters=6, k=10_000_000, rank_as_dataset=True
+    ).to_pandas()
+    assert len(a) == len(b)
+    am = {(r.node_type, int(r.key)): r.rank for r in a.itertuples(index=False)}
+    bm = {(r.node_type, int(r.key)): r.rank for r in b.itertuples(index=False)}
+    assert am.keys() == bm.keys()
+    assert max(abs(am[k] - bm[k]) for k in am) < 1e-9
+    np.testing.assert_allclose(b["rank"].sum(), 1.0, rtol=1e-9)
+    # top-k truncation agrees on membership for a mid-size k
+    a10 = trade_graph_pagerank(SF, iters=6, k=10).to_pandas()
+    b10 = trade_graph_pagerank(SF, iters=6, k=10, rank_as_dataset=True).to_pandas()
+    assert set(zip(a10.node_type, a10.key)) == set(zip(b10.node_type, b10.key))

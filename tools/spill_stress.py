@@ -82,6 +82,14 @@ def main() -> int:
         cfg_kwargs["minhash_prefilter_nibbles"] = int(
             os.environ["DEDUP_MH_PREFILTER"]
         )
+    if os.environ.get("DEDUP_PHASH_CASCADE"):
+        # "0" disables the round-5 saturation cascade (star/chain fallback),
+        # "1" forces it on; DEDUP_CASCADE_BANDS/COMBO tune the fine keys
+        cfg_kwargs["phash_cascade"] = bool(int(os.environ["DEDUP_PHASH_CASCADE"]))
+    if os.environ.get("DEDUP_CASCADE_BANDS"):
+        cfg_kwargs["phash_cascade_bands"] = int(os.environ["DEDUP_CASCADE_BANDS"])
+    if os.environ.get("DEDUP_CASCADE_COMBO"):
+        cfg_kwargs["phash_cascade_combo"] = int(os.environ["DEDUP_CASCADE_COMBO"])
     cfg = DedupConfig(**cfg_kwargs) if cfg_kwargs else None
 
     load0 = os.getloadavg()
