@@ -88,10 +88,13 @@ class DedupConfig:
     # Mutually exclusive with salt_hot_buckets (the exact-pair-set mode
     # takes precedence when both are set).
     phash_cascade: bool = True
-    phash_cascade_bands: int = 10  # (10,4): ~25.6-bit keys over 210 combos
-    phash_cascade_combo: int = 4   # — keyspace headroom to ~10^7 reps; the
-    # next rung (12,6 -> ~32-bit keys / 924 combos) clears 10^9. Validated:
-    # hamming_max <= bands - combo, comb(bands, combo) <= 999.
+    phash_cascade_bands: int = 0   # 0 = AUTO (default): the fine keys are
+    phash_cascade_combo: int = 0   # picked at runtime from the measured
+    # hot-row id count via the ladder (9,3) -> (10,4) -> (11,5) -> (12,6)
+    # (stages/lsh._pick_cascade_keys), first rung whose ~2^(64c/b) keyspace
+    # keeps expected load <= 0.7. Every rung is pigeonhole-complete to
+    # Hamming 6 (b - c = 6). Explicit non-zero values override the ladder;
+    # validated: hamming_max <= bands - combo, comb(bands, combo) <= 999.
     phash_cascade_min_reps: int = 1_000_000  # the knee: below this rep
     # count the cascade (and its exact bucket-count pre-pass, the only cost
     # it adds) stays off and over-cap buckets star/chain as before —
@@ -210,28 +213,43 @@ class DedupConfig:
                     "(the digest probes 32 distinct permutations)"
                 )
         if self.phash_cascade:
-            if not 2 <= self.phash_cascade_bands <= 16:
-                raise ValueError("phash_cascade_bands must be in [2, 16]")
-            if not 1 <= self.phash_cascade_combo < self.phash_cascade_bands:
-                raise ValueError(
-                    "phash_cascade_combo must be in [1, phash_cascade_bands)"
-                )
-            if (
-                self.phash_hamming_max
-                > self.phash_cascade_bands - self.phash_cascade_combo
-            ):
-                raise ValueError(
-                    "cascade pigeonhole bound violated: fine banding is "
-                    "recall-complete only to Hamming "
-                    f"{self.phash_cascade_bands - self.phash_cascade_combo} "
-                    "(phash_cascade_bands - phash_cascade_combo) but "
-                    f"phash_hamming_max is {self.phash_hamming_max}"
-                )
-            if comb(self.phash_cascade_bands, self.phash_cascade_combo) > 999:
-                raise ValueError(
-                    "phash cascade combo count must stay below 1000 "
-                    "(band-id space: fine combos live at 3000+c)"
-                )
+            if self.phash_cascade_bands == 0:
+                # AUTO ladder mode: every rung has bands - combo == 6
+                if self.phash_cascade_combo != 0:
+                    raise ValueError(
+                        "phash_cascade_combo requires phash_cascade_bands "
+                        "(set both explicitly or leave both 0 for auto)"
+                    )
+                if self.phash_hamming_max > 6:
+                    raise ValueError(
+                        "auto cascade ladder is recall-complete only to "
+                        f"Hamming 6, phash_hamming_max is "
+                        f"{self.phash_hamming_max} — set explicit "
+                        "phash_cascade_bands/combo"
+                    )
+            else:
+                if not 2 <= self.phash_cascade_bands <= 16:
+                    raise ValueError("phash_cascade_bands must be in [2, 16]")
+                if not 1 <= self.phash_cascade_combo < self.phash_cascade_bands:
+                    raise ValueError(
+                        "phash_cascade_combo must be in [1, phash_cascade_bands)"
+                    )
+                if (
+                    self.phash_hamming_max
+                    > self.phash_cascade_bands - self.phash_cascade_combo
+                ):
+                    raise ValueError(
+                        "cascade pigeonhole bound violated: fine banding is "
+                        "recall-complete only to Hamming "
+                        f"{self.phash_cascade_bands - self.phash_cascade_combo} "
+                        "(phash_cascade_bands - phash_cascade_combo) but "
+                        f"phash_hamming_max is {self.phash_hamming_max}"
+                    )
+                if comb(self.phash_cascade_bands, self.phash_cascade_combo) > 999:
+                    raise ValueError(
+                        "phash cascade combo count must stay below 1000 "
+                        "(band-id space: fine combos live at 3000+c)"
+                    )
 
     def config_hash(self) -> str:
         """Deterministic 16-hex-char digest of every knob (plus the stage

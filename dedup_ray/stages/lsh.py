@@ -221,20 +221,34 @@ def _pairs_from_runs(cap: int, phash_hamming_max: int, mh_nibbles: int = 0):
     )
 
 
-_BITMAP_LOG2 = 26  # 64 Mbit = 8 MiB per bitmap; sized so the driver merge
-# stays trivial at bench scale. Saturation degrades GRACEFULLY: a fuller
-# bitmap only admits more singleton rows into the shuffle (see
-# _pairable_bitmap), it never loses a candidate pair.
+_BITMAP_LOG2 = 26  # 64 Mbit = 8 MiB per bitmap — the BASELINE size; the
+# pre-pass scales it up (to _BITMAP_LOG2_MAX) when the estimated exploded
+# key volume would saturate it. Round-5 measurement: at 2M reps the explode
+# carries ~118M distinct combos — a 2^26 filter saturates and admits ~100%
+# of rows (127.6M measured survivors vs ~55M real), silently doubling the
+# pair-shuffle volume. Saturation degrades GRACEFULLY for correctness (a
+# fuller bitmap only admits more singleton rows into the shuffle; it never
+# loses a candidate pair) but not for cost.
+_BITMAP_LOG2_MAX = 28  # 32 MiB per block partial — the fold traffic bound
+
+
+def _bitmap_log2_for(est_rows: int | None) -> int:
+    """Filter size from the estimated exploded-row (~key) volume: ~2 bits
+    per expected key, clamped to [2^26, 2^28]. None (unknown) -> baseline."""
+    if est_rows is None or est_rows <= 0:
+        return _BITMAP_LOG2
+    bits = int(est_rows).bit_length() + 1
+    return max(_BITMAP_LOG2, min(_BITMAP_LOG2_MAX, bits))
 
 
 def _merge_bitmap_tables(tables) -> tuple[np.ndarray, np.ndarray, bool]:
     """Fold (once, twice) bitmap rows: twice |= t | (once_acc & o);
     once_acc |= o. This fold IS the associative-commutative merge
     ((o1,t1)+(o2,t2) = (o1|o2, t1|t2|(o1&o2)) — saturating seen-count at 2),
-    so any grouping/order, sequential or tree, yields identical bits."""
-    words = 1 << (_BITMAP_LOG2 - 6)
-    once_g = np.zeros(words, dtype=np.uint64)
-    twice_g = np.zeros(words, dtype=np.uint64)
+    so any grouping/order, sequential or tree, yields identical bits.
+    Word count is inferred from the first non-empty bitmap row (the pass
+    that built the partials fixed the size)."""
+    once_g = twice_g = None
     seen_any = False
     for t in tables:
         if t.num_rows == 0 or "once" not in t.column_names:
@@ -242,44 +256,61 @@ def _merge_bitmap_tables(tables) -> tuple[np.ndarray, np.ndarray, bool]:
         for i in range(t.num_rows):
             ob = np.frombuffer(t["once"][i].as_py(), dtype=np.uint64)
             tb = np.frombuffer(t["twice"][i].as_py(), dtype=np.uint64)
+            if once_g is None:
+                once_g = np.zeros(ob.size, dtype=np.uint64)
+                twice_g = np.zeros(ob.size, dtype=np.uint64)
             twice_g |= tb | (once_g & ob)
             once_g |= ob
             seen_any = True
+    if once_g is None:
+        z = np.zeros(1 << (_BITMAP_LOG2 - 6), dtype=np.uint64)
+        return z, z.copy(), False
     return once_g, twice_g, seen_any
 
 
 @ray.remote
 def _merge_bitmaps_task(*items):
     """Tree-reduce node: items are arrow bitmap tables (leaves) or
-    (once_bytes, twice_bytes, seen) tuples (inner nodes); returns a tuple."""
-    words = 1 << (_BITMAP_LOG2 - 6)
-    once_g = np.zeros(words, dtype=np.uint64)
-    twice_g = np.zeros(words, dtype=np.uint64)
+    (once_bytes, twice_bytes, seen) tuples (inner nodes); returns a tuple.
+    Word count inferred from the inputs (all partials of one pass share it)."""
+    once_g = twice_g = None
     seen_any = False
     for it in items:
         if isinstance(it, tuple):
             ob = np.frombuffer(it[0], dtype=np.uint64)
             tb = np.frombuffer(it[1], dtype=np.uint64)
-            twice_g |= tb | (once_g & ob)
-            once_g |= ob
-            seen_any |= bool(it[2])
         else:
-            o, t, s = _merge_bitmap_tables([it])
-            twice_g |= t | (once_g & o)
-            once_g |= o
-            seen_any |= s
+            ob, tb, s_leaf = _merge_bitmap_tables([it])
+            if not s_leaf:
+                continue
+        if once_g is None:
+            once_g = np.zeros(ob.size, dtype=np.uint64)
+            twice_g = np.zeros(ob.size, dtype=np.uint64)
+        twice_g |= tb | (once_g & ob)
+        once_g |= ob
+        seen_any |= bool(it[2]) if isinstance(it, tuple) else True
+    if once_g is None:
+        z = np.zeros(1 << (_BITMAP_LOG2 - 6), dtype=np.uint64)
+        return z.tobytes(), z.tobytes(), False
     return once_g.tobytes(), twice_g.tobytes(), seen_any
 
 
-def _pairable_bitmap(buckets: rd.Dataset, distributed: bool = False) -> np.ndarray | None:
+def _pairable_bitmap(
+    buckets: rd.Dataset,
+    distributed: bool = False,
+    log2_bits: int = _BITMAP_LOG2,
+) -> np.ndarray | None:
     """Approximate global "combo seen >= 2 times" filter as a bit array.
 
-    Per block (one elastic task each): hash every combo into a 2^26-bit
-    space and emit (seen-once, seen-twice) bitmaps; merged with three ORs
-    per block — global_twice |= block_twice | (global_once & block_once).
-    ~16 MiB per block crosses the object store instead of the per-block
-    distinct-combo tables (~100 MiB+ and an O(n log n) driver merge at 100k
-    rows — profiled 3.1 s, vs ~0.9 s for this).
+    Per block (one elastic task each): hash every combo into a
+    2^``log2_bits`` space and emit (seen-once, seen-twice) bitmaps; merged
+    with three ORs per block — global_twice |= block_twice | (global_once &
+    block_once). 2 x 2^log2_bits/8 bytes per block cross the object store
+    instead of the per-block distinct-combo tables (~100 MiB+ and an
+    O(n log n) driver merge at 100k rows — profiled 3.1 s, vs ~0.9 s for
+    this). Callers size ``log2_bits`` from the estimated key volume
+    (``_bitmap_log2_for``) — an undersized filter saturates and admits
+    everything (measured round-5: 127.6M of ~145M rows at 2M reps).
 
     One-sided error: hash collisions can mark a globally-unique combo
     "pairable" (its rows ride the shuffle and produce no pairs — run length
@@ -292,9 +323,16 @@ def _pairable_bitmap(buckets: rd.Dataset, distributed: bool = False) -> np.ndarr
     count). The merge is associative+commutative, so the result is
     bit-identical to the sequential driver fold (pytest-checked).
     Returns None when no combo is pairable (or the dataset is empty)."""
-    words = 1 << (_BITMAP_LOG2 - 6)
+    if log2_bits > _BITMAP_LOG2:
+        # oversized partials (> 8 MiB) force the tree merge: the sequential
+        # driver fold of 231 x 64 MiB partials was measured at 47.5 s in the
+        # round-5 2M cell; the fan-in-8 task tree does the same ORs in
+        # parallel and hands the driver ONE bitmap (bit-identical result —
+        # the merge is associative+commutative)
+        distributed = True
+    words = 1 << (log2_bits - 6)
     mix = np.uint64(0x9E3779B97F4A7C15)
-    shift = np.uint64(64 - _BITMAP_LOG2)
+    shift = np.uint64(64 - log2_bits)
 
     def block_bitmaps(b: pa.Table) -> pa.Table:
         combo = b["combo"].to_numpy(zero_copy_only=False)
@@ -337,6 +375,146 @@ def _pairable_bitmap(buckets: rd.Dataset, distributed: bool = False) -> np.ndarr
     return twice_g.copy()  # frombuffer views are read-only
 
 
+def _dense_cells(cfg: DedupConfig) -> int | None:
+    """Exact-dense phash-count mode gate: the coarse phash combo keyspace
+    size in cells, or None when the mode does not apply. The coarse key is
+    (combo_tag << key_width) | concatenated_bands, so with UNIFORM band
+    widths the whole keyspace is a dense range of n_combos << key_width
+    integers — at the (8,2) default that is 28 x 2^16 = 1.8M cells, small
+    enough for EXACT per-key counts in one 7 MB array. Uneven widths would
+    alias cells across combos (merely over-counting — recall-safe — but we
+    gate instead), and oversized keyspaces fall back to the bitmap path."""
+    if 64 % cfg.phash_bands != 0:
+        return None
+    from math import comb
+
+    w = (64 // cfg.phash_bands) * cfg.phash_combo_size
+    if w >= 40:
+        return None
+    cells = comb(cfg.phash_bands, cfg.phash_combo_size) << w
+    return cells if cells <= (1 << 26) else None
+
+
+def _phash_dense_counts(
+    signatures: rd.Dataset, cfg: DedupConfig, cells: int
+) -> np.ndarray | None:
+    """EXACT per-key counts of the coarse phash combo keyspace as ONE dense
+    uint64 array (round-5): per block a phash-only re-key + bincount
+    partial (uint32, ~7 MB at the 1.8M-cell default), driver-summed.
+
+    This replaces BOTH the approximate pairable bitmap for phash rows
+    (which SATURATES once reps approach the 16-bit keyspace — measured: a
+    2^26 filter admitted ~100% of rows at 2M reps) and the cascade's
+    hot-bucket count pass (count > cap is read straight off the array; the
+    previous distributed count exchange cost 841 s at 2M). The pass runs
+    over the pinned SIGNATURES (phash column only), not the explode — no
+    bucket rows materialize for it."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ph = b["phash"].to_numpy(zero_copy_only=False)
+        if ph.size == 0:
+            return pa.table({"dense": pa.array([], type=pa.binary())})
+        pb = phash_combo_keys(ph, cfg.phash_bands, cfg.phash_combo_size)
+        cnt = np.bincount(
+            pb.ravel().view(np.int64), minlength=cells
+        )
+        return pa.table(
+            {"dense": pa.array(
+                [np.minimum(cnt, np.int64(2**32 - 1)).astype(np.uint32).tobytes()]
+            )}
+        )
+
+    refs = signatures.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    acc = np.zeros(cells, dtype=np.uint64)
+    seen = False
+    for t in ray.get(refs):
+        if t.num_rows and "dense" in t.column_names:
+            for i in range(t.num_rows):
+                acc += np.frombuffer(t["dense"][i].as_py(), dtype=np.uint32)
+                seen = True
+    return acc if seen else None
+
+
+def _keep_pairable_main(
+    bm_ref: "ray.ObjectRef | None", dense_ref: "ray.ObjectRef | None"
+):
+    """Survivor filter for the MAIN explode: phash rows (band 1000..1999)
+    probe the exact dense count array (>= 2), everything else probes the
+    approximate bitmap. Either side may be absent (empty input / dense
+    mode gated off) — absent dense falls back to the bitmap for phash
+    rows too; absent bitmap drops non-phash rows only if dense exists
+    (callers early-return when BOTH are absent)."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        combo = b["combo"].to_numpy(zero_copy_only=False)
+        cu = combo.view(np.uint64)
+        keep_m = np.zeros(len(combo), dtype=bool)
+        if bm_ref is not None:
+            bm = ray.get(bm_ref)
+            shift = np.uint64(64 - (int(bm.size).bit_length() - 1) - 6)
+            idx = (cu * mix) >> shift
+            keep_m |= (
+                (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                 >> (idx & np.uint64(63))) & np.uint64(1)
+            ).astype(bool)
+        if dense_ref is not None:
+            band = cu & np.uint64(0xFFF)
+            is_ph = (band >= 1000) & (band < 2000)
+            dense = ray.get(dense_ref)
+            keep_m[is_ph] = dense[(cu >> np.uint64(12))[is_ph].astype(np.int64)] >= 2
+        return b.filter(pa.array(keep_m))
+
+    return keep
+
+
+def _bitmap_keep_fn(bm_ref: "ray.ObjectRef"):
+    """Per-batch pairable filter closure over a broadcast bitmap; the probe
+    shift is derived from the bitmap's own size, so it always matches the
+    pass that built it."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bm = ray.get(bm_ref)
+        shift = np.uint64(64 - (int(bm.size).bit_length() - 1) - 6)
+        combo = b["combo"].to_numpy(zero_copy_only=False)
+        idx = (combo.view(np.uint64) * mix) >> shift
+        hit = (
+            bm[(idx >> np.uint64(6)).astype(np.int64)]
+            >> (idx & np.uint64(63))
+        ) & np.uint64(1)
+        return b.filter(pa.array(hit.astype(bool)))
+
+    return keep
+
+
+def _dedup_batch_pairs(b: pa.Table) -> pa.Table:
+    """Structural (src, dst) within-batch dedup — a delimiter-join key
+    would make ("a|b","c") and ("a","b|c") collide for ids containing the
+    delimiter. Shared by the main candidate funnel (where it doubles as
+    the map-side combiner of the global pair dedup) and the cascade's
+    fine-pair materialization."""
+    if b.num_rows == 0:
+        return b
+    if pa.types.is_integer(b["src_id"].type):
+        src = b["src_id"].to_numpy(zero_copy_only=False)
+        dst = b["dst_id"].to_numpy(zero_copy_only=False)
+    else:
+        src = np.asarray(b["src_id"].to_pylist(), dtype=object)
+        dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
+    order = np.lexsort((dst, src))  # stable: first occurrence wins
+    ss, dd = src[order], dst[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = ~((ss[1:] == ss[:-1]) & (dd[1:] == dd[:-1]))
+    return b.take(pa.array(np.sort(order[keep])))
+
+
 def _count_combos(
     buckets: rd.Dataset, distributed: bool = False
 ) -> tuple[np.ndarray, np.ndarray] | None:
@@ -372,8 +550,32 @@ def _apply_salt(
     )
 
 
+_CASCADE_LADDER = ((9, 3), (10, 4), (11, 5), (12, 6))
+_CASCADE_TARGET_LOAD = 0.7  # target keys-per-bucket load at the fine level
+
+
+def _pick_cascade_keys(cfg: DedupConfig, n_hot: int) -> tuple[int, int]:
+    """Fine-key config: explicit (phash_cascade_bands/combo) if set, else
+    the first ladder rung whose ~2^(64c/b) keyspace keeps expected load
+    n_hot / keyspace <= 0.7. Every rung is pigeonhole-complete to Hamming
+    6 (b - c = 6; config validates phash_hamming_max <= 6 in auto mode).
+    Rationale (round-5 measurement at 2M reps / 1.64M hot ids): (10,4)
+    explodes 210x/row where (9,3) explodes 84x at an acceptable 0.62 load —
+    2.5x less explode CPU and shuffle bytes; the wider rungs exist for
+    10^7+ hot ids where (9,3) saturates."""
+    if cfg.phash_cascade_bands:
+        return cfg.phash_cascade_bands, cfg.phash_cascade_combo
+    for b, c in _CASCADE_LADDER:
+        if n_hot <= _CASCADE_TARGET_LOAD * 2.0 ** (64.0 * c / b):
+            return b, c
+    return _CASCADE_LADDER[-1]
+
+
 def _phash_cascade(
-    buckets: rd.Dataset, signatures: rd.Dataset, cfg: DedupConfig
+    buckets: rd.Dataset,
+    signatures: rd.Dataset,
+    cfg: DedupConfig,
+    dense_counts: np.ndarray | None = None,
 ) -> tuple[rd.Dataset, rd.Dataset | None]:
     """Saturation cascade (round-5; the round-4 verdict's weak-for-scale
     item): over-cap PHASH buckets are removed from the level-1 pair shuffle
@@ -405,31 +607,57 @@ def _phash_cascade(
     from dedup_ray.stages.grouped import grouped_runs
     from dedup_ray.stages.pairgen import _ids_np
 
-    from dedup_ray.stages.pairgen import hot_bucket_counts
+    if dense_counts is not None:
+        # hot detection is a pure array read off the exact dense keyspace
+        # counts — NO count pass at all (the previous distributed count
+        # exchange cost 841 s at the 2M cell; the dense array already
+        # exists from the main prepass)
+        hot_cells = dense_counts > cfg.bucket_pair_cap
+        if not hot_cells.any():
+            return buckets, None
+        inc_counter("lsh_cascade_buckets", int(hot_cells.sum()))
+        inc_counter("lsh_cascade_rows", int(dense_counts[hot_cells].sum()))
+        hot_ref = ray.put(hot_cells)
 
-    counts = hot_bucket_counts(
-        buckets, "combo", cfg.bucket_pair_cap,
-        distributed=cfg.distributed_prepass,
-    )
-    if counts is None:
-        return buckets, None
-    u, tot = counts  # over-cap keys only (distributed mode: the driver
-    # receives just this slice — bounded by the hot-bucket count)
-    band_id = u.view(np.uint64) & np.uint64(0xFFF)
-    hot = (band_id >= 1000) & (band_id < 2000)
-    if not hot.any():
-        return buckets, None
-    hot_keys = np.sort(u[hot])
-    inc_counter("lsh_cascade_buckets", int(hot.sum()))
-    inc_counter("lsh_cascade_rows", int(tot[hot].sum()))
-    hk_ref = ray.put(hot_keys)
+        def _hot_mask(b: pa.Table) -> np.ndarray:
+            combo = b["combo"].to_numpy(zero_copy_only=False)
+            cu = combo.view(np.uint64)
+            band = cu & np.uint64(0xFFF)
+            m = np.zeros(len(combo), dtype=bool)
+            is_ph = (band >= 1000) & (band < 2000)
+            if is_ph.any():
+                hc = ray.get(hot_ref)
+                m[is_ph] = hc[
+                    (cu >> np.uint64(12))[is_ph].astype(np.int64)
+                ]
+            return m
 
-    def _hot_mask(b: pa.Table) -> np.ndarray:
-        hk = ray.get(hk_ref)
-        combo = b["combo"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(hk, combo)
-        pos[pos >= hk.size] = hk.size - 1
-        return hk[pos] == combo
+    else:
+        # non-default coarse configs (dense mode gated off): one
+        # grouped_runs count exchange returning only the over-cap slice
+        from dedup_ray.stages.pairgen import hot_bucket_counts
+
+        counts = hot_bucket_counts(
+            buckets, "combo", cfg.bucket_pair_cap, distributed=True
+        )
+        if counts is None:
+            return buckets, None
+        u, tot = counts
+        band_id = u.view(np.uint64) & np.uint64(0xFFF)
+        hot = (band_id >= 1000) & (band_id < 2000)
+        if not hot.any():
+            return buckets, None
+        hot_keys = np.sort(u[hot])
+        inc_counter("lsh_cascade_buckets", int(hot.sum()))
+        inc_counter("lsh_cascade_rows", int(tot[hot].sum()))
+        hk_ref = ray.put(hot_keys)
+
+        def _hot_mask(b: pa.Table) -> np.ndarray:
+            hk = ray.get(hk_ref)
+            combo = b["combo"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hk, combo)
+            pos[pos >= hk.size] = hk.size - 1
+            return hk[pos] == combo
 
     def cold_rows(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -460,7 +688,8 @@ def _phash_cascade(
 
     from math import comb as _comb
 
-    n_fine = _comb(cfg.phash_cascade_bands, cfg.phash_cascade_combo)
+    fine_bands, fine_combo = _pick_cascade_keys(cfg, len(ids))
+    n_fine = _comb(fine_bands, fine_combo)
 
     def fine_explode(b: pa.Table) -> pa.Table:
         id_col = b["image_id"]
@@ -486,9 +715,7 @@ def _phash_cascade(
         idx = np.flatnonzero(sel)
         ph = b["phash"].to_numpy(zero_copy_only=False)[idx]
         n = idx.size
-        pb = phash_combo_keys(
-            ph, cfg.phash_cascade_bands, cfg.phash_cascade_combo
-        )
+        pb = phash_combo_keys(ph, fine_bands, fine_combo)
         band = (
             3000 + np.repeat(np.arange(n_fine, dtype=np.int32)[None, :], n, 0)
         ).ravel()
@@ -503,31 +730,39 @@ def _phash_cascade(
         )
 
     fine = signatures.map_batches(fine_explode, batch_format="pyarrow")
-    bitmap = _pairable_bitmap(fine, distributed=cfg.distributed_prepass)
-    if bitmap is None:
-        return cold, None
-    bm_ref = ray.put(bitmap)
-    mix = np.uint64(0x9E3779B97F4A7C15)
-    shift = np.uint64(64 - _BITMAP_LOG2)
+    # Fine singleton prefilter only when it can actually separate: at
+    # expected load lam = n_hot / keyspace above ~0.25 the genuinely
+    # pairable fraction is already ~2*lam and the filter's false-positive
+    # floor ((1-e^-lam)^2) eats the rest — the pass would cost a full
+    # explode execution + a bitmap fold to drop almost nothing. Singleton
+    # runs are skipped by the pair kernel either way (recall-exact).
+    lam = len(ids) / 2.0 ** (64.0 * fine_combo / fine_bands)
+    fine_f = fine
+    if lam <= 0.25:
+        bitmap = _pairable_bitmap(
+            fine,
+            distributed=cfg.distributed_prepass,
+            log2_bits=_bitmap_log2_for(len(ids) * n_fine),
+        )
+        if bitmap is None:
+            return cold, None
+        fine_f = fine.map_batches(
+            _bitmap_keep_fn(ray.put(bitmap)), batch_format="pyarrow"
+        )
 
-    def keep_pairable_fine(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bm = ray.get(bm_ref)
-        combo = b["combo"].to_numpy(zero_copy_only=False)
-        idx = (combo.view(np.uint64) * mix) >> shift
-        hit = (
-            bm[(idx >> np.uint64(6)).astype(np.int64)]
-            >> (idx & np.uint64(63))
-        ) & np.uint64(1)
-        return b.filter(pa.array(hit.astype(bool)))
-
+    # The fine pairs are batch-deduped and MATERIALIZED here, in the
+    # prepass: a true fine pair is emitted by up to C(untouched bands,
+    # combo) ~ n_fine combos, and leaving this branch lazy would run its
+    # shuffle CONCURRENTLY with the main pair shuffle via the union —
+    # measured round-5 as the difference between a clean 2M cell and 49 GB
+    # of spill. The materialized artifact is the deduped pair table
+    # (bounded by true-pair volume), never the fine bucket rows.
     fine_pairs = grouped_runs(
-        fine.map_batches(keep_pairable_fine, batch_format="pyarrow"),
+        fine_f,
         "combo",
         _pairs_from_runs(cfg.bucket_pair_cap, cfg.phash_hamming_max),
         sort_cols=["combo", "image_id"],
-    )
+    ).map_batches(_dedup_batch_pairs, batch_format="pyarrow").materialize()
     return cold, fine_pairs
 
 
@@ -581,8 +816,20 @@ def lsh_candidates(
     # exactly when the pair shuffle needs it — measured as the 4M stress
     # cell's OutOfDisk driver. Above the threshold, stream and let each
     # consumer recompute the explode from the pinned signatures instead.
-    if n_reps is None or n_reps <= 2_000_000 or cfg.salt_hot_buckets:
+    cascade_active = (
+        cfg.phash_cascade
+        and not cfg.salt_hot_buckets
+        and (n_reps is None or n_reps >= cfg.phash_cascade_min_reps)
+    )
+    if (
+        n_reps is None or n_reps <= 2_000_000 or cfg.salt_hot_buckets
+    ) and not cascade_active:
         buckets = buckets.materialize()
+    # When the cascade is active the pinned artifact is the (much smaller)
+    # post-filter SURVIVOR set below, not the full explode — pinning both
+    # was measured as the difference between a clean 2M cell and an
+    # OutOfDisk one on this box (the explode re-runs once more instead:
+    # vectorized CPU, cheap next to ~7 GB of pinned blocks).
     # id_type: threaded by callers that know it statically (the flagship
     # passes int64 when it int-encoded ids); fall back to the INPUT's schema.
     # Never ask the buckets dataset (round-4 advice): on the streaming path
@@ -597,26 +844,42 @@ def lsh_candidates(
             else pa.string()
         )
     pair_schema = pa.schema([("src_id", id_type), ("dst_id", id_type)])
-    bitmap = _pairable_bitmap(buckets, distributed=cfg.distributed_prepass)
-    if bitmap is None:
+    # phash rows get EXACT dense keyspace counts (1.8M cells at the (8,2)
+    # default — the 16-bit keyspace the bitmap could never resolve once
+    # reps approach 2^16); everything else gets the approximate bitmap
+    # sized from the estimated key volume. One pass each over the pinned
+    # signatures / streamed explode.
+    from math import comb as _comb_
+
+    cells = _dense_cells(cfg)
+    dense = (
+        _phash_dense_counts(signatures, cfg, cells)
+        if cells is not None
+        else None
+    )
+    est_keys = (
+        n_reps
+        * (
+            cfg.bands
+            + (4 if dense is not None
+               else _comb_(cfg.phash_bands, cfg.phash_combo_size) + 2)
+        )
+        if n_reps is not None
+        else None
+    )
+    bitmap = _pairable_bitmap(
+        buckets,
+        distributed=cfg.distributed_prepass,
+        log2_bits=_bitmap_log2_for(est_keys),
+    )
+    dense_pairable = dense is not None and bool((dense >= 2).any())
+    if bitmap is None and not dense_pairable:
         return rd.from_arrow(pair_schema.empty_table())
-    bm_ref = ray.put(bitmap)
-    mix = np.uint64(0x9E3779B97F4A7C15)
-    shift = np.uint64(64 - _BITMAP_LOG2)
-
-    def keep_pairable(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bm = ray.get(bm_ref)
-        combo = b["combo"].to_numpy(zero_copy_only=False)
-        idx = (combo.view(np.uint64) * mix) >> shift
-        hit = (
-            bm[(idx >> np.uint64(6)).astype(np.int64)]
-            >> (idx & np.uint64(63))
-        ) & np.uint64(1)
-        return b.filter(pa.array(hit.astype(bool)))
-
-    buckets = buckets.map_batches(keep_pairable, batch_format="pyarrow")
+    bm_ref = ray.put(bitmap) if bitmap is not None else None
+    dense_ref = ray.put(dense) if dense is not None else None
+    buckets = buckets.map_batches(
+        _keep_pairable_main(bm_ref, dense_ref), batch_format="pyarrow"
+    )
     fine_pairs: rd.Dataset | None = None
     if cfg.salt_hot_buckets:
         # exact counts for hot-bucket detection, taken over the SURVIVORS
@@ -626,9 +889,7 @@ def lsh_candidates(
         )
         if counts is not None:
             buckets = _apply_salt(buckets, cfg, *counts)
-    elif cfg.phash_cascade and (
-        n_reps is None or n_reps >= cfg.phash_cascade_min_reps
-    ):
+    elif cascade_active:
         # saturation cascade: over-cap PHASH buckets leave the level-1
         # shuffle entirely; their rows re-band under finer combo keys (see
         # _phash_cascade). Gated on the rep-count knee (phash_cascade_min_
@@ -638,7 +899,7 @@ def lsh_candidates(
         # collection) and the post-filter survivor set is far smaller than
         # the full explode.
         buckets = buckets.materialize()
-        buckets, fine_pairs = _phash_cascade(buckets, signatures, cfg)
+        buckets, fine_pairs = _phash_cascade(buckets, signatures, cfg, dense)
     pairs = grouped_runs(
         buckets,
         "combo",
@@ -650,7 +911,16 @@ def lsh_candidates(
     )
     if fine_pairs is not None:
         # fine-level pairs join the same dedup funnel (a pair can surface
-        # at both levels via an under-cap coarse combo)
+        # at both levels via an under-cap coarse combo). Materialize the
+        # batch-deduped cold pairs FIRST: Dataset.union schema-probes any
+        # lazy input with a limit-1 execution, and through the pair
+        # shuffle that probe re-runs the whole exchange (measured round-5:
+        # every cold-side counter exactly doubled). With both inputs
+        # materialized the probe is metadata-only — and the two pair
+        # shuffles run sequenced instead of fighting for the store.
+        pairs = pairs.map_batches(
+            _dedup_batch_pairs, batch_format="pyarrow"
+        ).materialize()
         pairs = pairs.union(fine_pairs)
 
     # pair dedup — mode-selected (see docstring). "batch": within-batch only
@@ -665,24 +935,7 @@ def lsh_candidates(
             else "batch"
         )
 
-    def dedup_within_batch(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        # structural (src,dst) dedup — a delimiter-join key would make
-        # ("a|b","c") and ("a","b|c") collide for ids containing the delimiter
-        if pa.types.is_integer(b["src_id"].type):
-            src = b["src_id"].to_numpy(zero_copy_only=False)
-            dst = b["dst_id"].to_numpy(zero_copy_only=False)
-        else:
-            src = np.asarray(b["src_id"].to_pylist(), dtype=object)
-            dst = np.asarray(b["dst_id"].to_pylist(), dtype=object)
-        order = np.lexsort((dst, src))  # stable: first occurrence wins
-        ss, dd = src[order], dst[order]
-        keep = np.ones(len(order), dtype=bool)
-        keep[1:] = ~((ss[1:] == ss[:-1]) & (dd[1:] == dd[:-1]))
-        return b.take(pa.array(np.sort(order[keep])))
-
-    deduped = pairs.map_batches(dedup_within_batch, batch_format="pyarrow")
+    deduped = pairs.map_batches(_dedup_batch_pairs, batch_format="pyarrow")
     if mode == "global":
         # within-batch dedup doubles as the map-side combiner of the global
         # dedup shuffle (in-batch duplicates never ride the exchange)

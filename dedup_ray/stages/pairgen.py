@@ -253,13 +253,31 @@ def bucket_counts(
 
     partials = buckets.map_batches(partial_counts, batch_format="pyarrow")
     if distributed:
-        agg = partials.groupby("k").sum("n")
+        # the engine's own hash exchange + per-run reduceat — NOT Ray Data's
+        # groupby (its sort-based aggregate was measured at 841 s over ~90M
+        # partial rows in the round-5 2M cell; grouped_runs moves the same
+        # rows through one coarse hash partition and sums each key-run with
+        # one vectorized reduceat)
+        from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+        def sum_runs(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return g
+            k = g["k"].to_numpy(zero_copy_only=False)
+            n = g["n"].to_numpy(zero_copy_only=False)
+            starts = run_starts(k)
+            return pa.table(
+                {"k": pa.array(k[starts]),
+                 "n": pa.array(np.add.reduceat(n, starts))}
+            )
+
+        agg = grouped_runs(partials, "k", sum_runs, sort_cols=["k"])
         parts = [x for x in ray.get(agg.to_arrow_refs()) if x.num_rows]
         if not parts:
             return None
         t = pa.concat_tables(parts)
         u = t["k"].to_numpy(zero_copy_only=False)
-        tot = t["sum(n)"].to_numpy(zero_copy_only=False)
+        tot = t["n"].to_numpy(zero_copy_only=False)
         order = np.argsort(u)
         return u[order], tot[order]
     parts = [
@@ -287,6 +305,7 @@ def hot_bucket_counts(
     so the driver collects only the hot slice — bounded by the number of hot
     buckets (tiny by construction), valid at any key-space size."""
     if distributed:
+        from dedup_ray.stages.grouped import grouped_runs, run_starts
 
         def partial_counts(b: pa.Table) -> pa.Table:
             u, c = np.unique(
@@ -294,24 +313,33 @@ def hot_bucket_counts(
             )
             return pa.table({"k": pa.array(u), "n": pa.array(c)})
 
-        def over_cap(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0 or "sum(n)" not in b.column_names:
-                return pa.schema([("k", pa.int64()), ("sum(n)", pa.int64())]).empty_table()
-            n = b["sum(n)"].to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(n > cap))
+        def over_cap_runs(g: pa.Table) -> pa.Table:
+            # the over-cap filter runs INSIDE the exchange kernel, so only
+            # the hot slice travels back to the driver (same contract as the
+            # previous Ray-groupby plan, minus its measured 841 s sort cost)
+            if g.num_rows == 0:
+                return g
+            k = g["k"].to_numpy(zero_copy_only=False)
+            n = g["n"].to_numpy(zero_copy_only=False)
+            starts = run_starts(k)
+            sums = np.add.reduceat(n, starts)
+            over = sums > cap
+            return pa.table(
+                {"k": pa.array(k[starts][over]), "n": pa.array(sums[over])}
+            )
 
-        hot_t = (
-            buckets.map_batches(partial_counts, batch_format="pyarrow")
-            .groupby("k")
-            .sum("n")
-            .map_batches(over_cap, batch_format="pyarrow")
+        hot_t = grouped_runs(
+            buckets.map_batches(partial_counts, batch_format="pyarrow"),
+            "k",
+            over_cap_runs,
+            sort_cols=["k"],
         )
         parts = [t for t in ray.get(hot_t.to_arrow_refs()) if t.num_rows]
         if not parts:
             return None
         t = pa.concat_tables(parts)
         u = t["k"].to_numpy(zero_copy_only=False)
-        tot = t["sum(n)"].to_numpy(zero_copy_only=False)
+        tot = t["n"].to_numpy(zero_copy_only=False)
         order = np.argsort(u)
         return u[order], tot[order]
     counts = bucket_counts(buckets, key_col, distributed=False)

@@ -120,7 +120,57 @@ def test_cascade_config_validation():
     with pytest.raises(ValueError, match="pigeonhole"):
         DedupConfig(phash_cascade_bands=8, phash_cascade_combo=4)  # 8-4 < 6
     with pytest.raises(ValueError, match="phash_cascade_combo"):
-        DedupConfig(phash_cascade_combo=0)
+        DedupConfig(phash_cascade_bands=10, phash_cascade_combo=0)
+    with pytest.raises(ValueError, match="auto cascade ladder"):
+        DedupConfig(phash_hamming_max=7, phash_bands=9)  # auto rungs cap at 6
+    # auto mode (both 0) is the default and legal
+    DedupConfig()
     # salting takes precedence over the cascade (exact mode) — both set is
     # legal, the salt path simply wins (exercised in test_salting)
     DedupConfig(salt_hot_buckets=True, phash_cascade=True)
+
+
+def test_cascade_int_coded_ids():
+    """The flagship runs the wide stages over int64 id codes — the cascade
+    split/membership kernels must behave identically on that path."""
+    ph = _phashes()
+    cfg = DedupConfig(bucket_pair_cap=20)
+    sigs = _signatures(cfg.num_perm, ph)
+
+    def encode(b: pa.Table) -> pa.Table:
+        # img_0000 -> 0, ... (already sorted ids, so codes preserve order)
+        codes = np.array(
+            [int(s[4:]) for s in b["image_id"].to_pylist()], dtype=np.int64
+        )
+        return b.set_column(
+            b.schema.get_field_index("image_id"), "image_id", pa.array(codes)
+        )
+
+    cand = lsh_candidates(
+        sigs.map_batches(encode, batch_format="pyarrow"), cfg
+    )
+    out = set()
+    for tbl in ray.get(cand.to_arrow_refs()):
+        if tbl.num_rows and "src_id" in tbl.column_names:
+            out.update(
+                (f"img_{a:04d}", f"img_{b:04d}")
+                for a, b in zip(
+                    tbl["src_id"].to_pylist(), tbl["dst_id"].to_pylist()
+                )
+            )
+    assert out == _brute_hamming_pairs(ph, cfg.phash_hamming_max)
+
+
+def test_bitmap_sizing_and_ladder():
+    from dedup_ray.stages.lsh import _bitmap_log2_for, _pick_cascade_keys
+
+    assert _bitmap_log2_for(None) == 26
+    assert _bitmap_log2_for(1000) == 26
+    assert _bitmap_log2_for(118_000_000) == 28  # the 2M-rep explode volume
+    assert _bitmap_log2_for(10**12) == 28  # capped: partial size is bounded
+    cfg = DedupConfig()
+    assert _pick_cascade_keys(cfg, 1_640_000) == (9, 3)
+    assert _pick_cascade_keys(cfg, 10_000_000) == (10, 4)
+    assert _pick_cascade_keys(cfg, 10**9) == (12, 6)
+    explicit = DedupConfig(phash_cascade_bands=10, phash_cascade_combo=4)
+    assert _pick_cascade_keys(explicit, 10) == (10, 4)
