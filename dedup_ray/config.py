@@ -95,6 +95,22 @@ class DedupConfig:
     # keeps expected load <= 0.7. Every rung is pigeonhole-complete to
     # Hamming 6 (b - c = 6). Explicit non-zero values override the ladder;
     # validated: hamming_max <= bands - combo, comb(bands, combo) <= 999.
+    phash_cascade_allfine_frac: float = 0.2  # saturation endgame switch:
+    # when hot-cell rows reach this fraction of all coarse phash rows, the
+    # coarse phash tier is SKIPPED entirely and every rep routes through
+    # the fine level (lsh_candidates all_fine mode) — at λ = reps/2^16 >> 1
+    # even the sub-cap coarse cells are C(n,2)-per-cell junk factories
+    # (measured ~1.4G screened candidates at the 3M cell) while the fine
+    # keyspace runs at λ << 1. The pair set is unchanged: both tiers are
+    # pigeonhole-complete + Hamming-screened to the same threshold.
+    phash_cascade_broadcast_max: int = 20_000_000  # fine-level physical
+    # plan switch: at or below this many hot ids the fine level runs as the
+    # BROADCAST pigeonhole kernel (hot (id, phash) rows ray.put once —
+    # 16-24 B/row, ~44 MB at the 3M-rep cell's 2.7M hot ids — one Ray task
+    # per fine combo, local sort + the shared screened pair kernel, ZERO
+    # explode rows / bitmap / shuffle); above it, the explode + singleton-
+    # bitmap + coarse-shuffle path (the 10^9-rep shape where the hot set
+    # outgrows a broadcast). Same pair set either way (pytest-checked).
     phash_cascade_min_reps: int = 1_000_000  # the knee: below this rep
     # count the cascade (and its exact bucket-count pre-pass, the only cost
     # it adds) stays off and over-cap buckets star/chain as before —

@@ -195,6 +195,26 @@ def phash_band_pair_keys(phash: np.ndarray, n_bands: int) -> np.ndarray:
     return phash_combo_keys(phash, n_bands, 2)
 
 
+def phash_combo_key_single(
+    phash: np.ndarray, n_bands: int, combo_size: int, combo_index: int
+) -> np.ndarray:
+    """Column ``combo_index`` of ``phash_combo_keys`` without materializing
+    the (n, C(n_bands, combo_size)) matrix — the broadcast cascade kernel
+    (stages/lsh._cascade_broadcast_pairs) computes one combo per Ray task.
+    Bit-identical to the corresponding full-matrix column (same
+    enumeration order, same tag placement)."""
+    from itertools import combinations
+
+    b = phash_bands(phash, n_bands)
+    widths = _band_widths(n_bands)
+    members = list(combinations(range(n_bands), combo_size))[combo_index]
+    total = int(widths[list(members)].sum())
+    key = np.zeros(len(phash), dtype=np.uint64)
+    for i in members:
+        key = (key << np.uint64(int(widths[i]))) | b[:, i]
+    return (np.uint64(combo_index) << np.uint64(total)) | key
+
+
 # ---------------------------------------------------------------- shingles
 
 

@@ -4881,7 +4881,7 @@ def trade_graph_pagerank(
     iters: int = 12,
     d: float = 0.85,
     k: int = 50,
-    rank_as_dataset: bool = False,
+    rank_as_dataset: bool | None = None,
 ) -> pa.Table:
     """PageRank over the bipartite customer<->supplier trade graph (an
     edge per distinct trading pair, weighted by line-item count): the
@@ -4901,11 +4901,12 @@ def trade_graph_pagerank(
     work per iteration is O(edges) distributed + O(nodes) on the driver.
     The node vector is driver-held (customers + suppliers are the SMALL
     dimension side here, exactly like the broadcast-join convention); at
-    a scale where nodes outgrow the driver, ``rank_as_dataset=True``
-    switches to the BUILT swap (round-5; previously documented-only):
-    rank-as-Dataset with a per-iteration shuffle join on src — see
-    ``_pagerank_rank_as_dataset``; allclose-1e-9 equal to this loop,
-    pytest-checked. No dangling mass: every
+    a scale where nodes outgrow the driver the swap engages AUTOMATICALLY
+    (``rank_as_dataset=None`` gates on the materialized edge count — nodes
+    <= 2 x edges — against DEDUP_PAGERANK_NODE_MAX, default 20M; pass
+    True/False to force): rank-as-Dataset with a per-iteration shuffle
+    join on src — see ``_pagerank_rank_as_dataset``; allclose-1e-9 equal
+    to this loop, pytest-checked. No dangling mass: every
     node has >= 1 edge by construction (it exists because it traded).
     Rows-only registry entry: float partial sums are order-sensitive, so
     the checked contract is the pytest numpy-reference replay (1e-9) +
@@ -4961,6 +4962,16 @@ def trade_graph_pagerank(
         .materialize()  # pinned: re-streamed once per iteration
     )
 
+    if rank_as_dataset is None:
+        # auto-gate (round-5 verdict #2): the driver loop holds an O(nodes)
+        # vector, so it is only legal while the node universe provably fits.
+        # Every node carries >= 1 edge, hence nodes <= 2 x edges — the
+        # materialized edge count (free metadata) is the observable proxy,
+        # exactly like cluster.py's cc_node_broadcast_max gate.
+        node_bound = int(
+            os.environ.get("DEDUP_PAGERANK_NODE_MAX", 20_000_000)
+        )
+        rank_as_dataset = 2 * edges.count() > node_bound
     if rank_as_dataset:
         return _pagerank_rank_as_dataset(edges, iters, d, k)
 

@@ -115,6 +115,134 @@ def _driver_unionfind(edges: rd.Dataset, max_edges: int | None = None) -> rd.Dat
 
 _EDGE_UV = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
+# per-worker cache of unpacked broadcast bitmaps (keyed by object-ref hex):
+# the retire passes probe the same packed array from every block of a pass
+_BITS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _unpack_cached(ref, n: int) -> np.ndarray:
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    hit = _BITS_CACHE.get(key)
+    if hit is None:
+        if len(_BITS_CACHE) > 8:
+            _BITS_CACHE.clear()
+        hit = np.unpackbits(ray.get(ref), count=n).view(bool)
+        _BITS_CACHE[key] = hit
+    return hit
+
+
+def _retire_converged(
+    cur: rd.Dataset, n: int
+) -> tuple[rd.Dataset, rd.Dataset | None, int]:
+    """Remove CONVERGED components (isolated stars) from the fixpoint's
+    active edge set — map-only passes over the materialized round output,
+    no shuffle (round-5, verdict #3).
+
+    Every edge leaving a small-star round is oriented u -> v with v < u.
+    A candidate root v's component is exactly {v} ∪ {u : (u, v)} — and at
+    its fixpoint — iff every member has out-degree 1 and in-degree 0 (its
+    one edge points at v and nothing points at it) and v itself has
+    out-degree 0. Such a star shares no node with any other edge, so it is
+    a whole component and v is its min (orientation). Its edges ARE the
+    final cluster assignments: retire them. Any not-yet-converged
+    component has at least one node violating a local flag, which poisons
+    its root via the bad-root pass — nothing retires early, so the final
+    edge multiset is identical to the run-to-fixpoint-then-stop one
+    (byte-identity pytest vs driver union-find).
+
+    Driver state: dense arrays over the [0, n) code space — gated to the
+    broadcast path, which already holds the n-entry node dictionary; the
+    beyond-driver-dictionary path keeps the checksum loop. Per-block
+    degree partials reach the driver (bounded by the active edge count,
+    which decays geometrically once stars start retiring).
+
+    Returns (active, retired | None, n_active_edges).
+    """
+    import ray
+
+    def degree_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("ucnt", pa.int64()), ("vcnt", pa.int64())]
+            ).empty_table()
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([u, v]))
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "ucnt": pa.array(
+                    np.bincount(np.searchsorted(nodes, u), minlength=len(nodes)),
+                    type=pa.int64(),
+                ),
+                "vcnt": pa.array(
+                    np.bincount(np.searchsorted(nodes, v), minlength=len(nodes)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    cnt_u = np.zeros(n, dtype=np.int64)
+    cnt_v = np.zeros(n, dtype=np.int64)
+    for t in ray.get(
+        cur.map_batches(
+            degree_partials, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "node" not in t.column_names:
+            continue
+        nd = t["node"].to_numpy(zero_copy_only=False)
+        np.add.at(cnt_u, nd, t["ucnt"].to_numpy(zero_copy_only=False))
+        np.add.at(cnt_v, nd, t["vcnt"].to_numpy(zero_copy_only=False))
+    total_edges = int(cnt_u.sum())
+    if total_edges == 0:
+        return cur, None, 0
+    ok_member = (cnt_u == 1) & (cnt_v == 0)
+    root = (cnt_v > 0) & (cnt_u == 0)
+    ok_ref = ray.put(np.packbits(ok_member))
+
+    def bad_root_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("bad", pa.int64())]).empty_table()
+        ok = _unpack_cached(ok_ref, n)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"bad": pa.array(np.unique(v[~ok[u]]), type=pa.int64())})
+
+    bad = np.zeros(n, dtype=bool)
+    for t in ray.get(
+        cur.map_batches(
+            bad_root_partials, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ):
+        if t.num_rows and "bad" in t.column_names:
+            bad[t["bad"].to_numpy(zero_copy_only=False)] = True
+    retire = root & ~bad
+    n_retired_edges = int(cnt_v[retire].sum())
+    if n_retired_edges == 0:
+        return cur, None, total_edges
+    from dedup_ray.state.metrics import inc_counter
+
+    inc_counter("cc_retired_components", int(retire.sum()))
+    inc_counter("cc_retired_edges", n_retired_edges)
+    retire_ref = ray.put(np.packbits(retire))
+
+    def _split(keep_retired: bool):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            r = _unpack_cached(retire_ref, n)
+            mask = r[b["v"].to_numpy(zero_copy_only=False)]
+            return b.filter(pa.array(mask if keep_retired else ~mask))
+
+        return f
+
+    retired = cur.map_batches(_split(True), batch_format="pyarrow", batch_size=None)
+    active = cur.map_batches(_split(False), batch_format="pyarrow", batch_size=None)
+    return active, retired, total_edges - n_retired_edges
+
 
 def _large_star_runs(g: pa.Table) -> pa.Table:
     """Vectorized large-star over a coarse bucket of complete u-groups.
@@ -385,8 +513,23 @@ def _distributed_star(
         .map_batches(_block_contract, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
+    # ---- early retirement (round-5): on the broadcast path (dense [0, n)
+    # codes, dictionary already driver-held) converged components leave the
+    # loop as soon as they become isolated stars — the residual shrinks
+    # geometrically, termination becomes "active set empty" (no checksum
+    # pass, no +1 confirmation round). The beyond-driver path keeps the
+    # checksum fixpoint.
+    retire_on = decode_join is None
+    retired_parts: list[rd.Dataset] = []
+    n_active = -1
+    if retire_on:
+        cur, part, n_active = _retire_converged(cur, len(nodes))
+        if part is not None:
+            retired_parts.append(part)
     prev_sum = None
     for _ in range(max_iters):
+        if retire_on and n_active == 0:
+            break
         # large star: both orientations, group by u, link big neighbors to min
         both = cur.map_batches(
             lambda b: pa.table(
@@ -413,11 +556,21 @@ def _distributed_star(
             oriented, "u", _small_star_runs, sort_cols=["u", "v"],
             min_parallel_blocks=0,
         ).materialize()
-        s = _checksum(cur)
-        if s == prev_sum:
-            break
-        prev_sum = s
-    # converged: every edge is (node -> component min)
+        if retire_on:
+            cur, part, n_active = _retire_converged(cur, len(nodes))
+            if part is not None:
+                retired_parts.append(part)
+            if n_active == 0:
+                break
+        else:
+            s = _checksum(cur)
+            if s == prev_sum:
+                break
+            prev_sum = s
+    # converged: every edge is (node -> component min); retired stars
+    # rejoin the survivors here (same multiset as run-to-fixpoint)
+    for part in retired_parts:
+        cur = cur.union(part)
     out = cur.rename_columns({"u": "image_id", "v": "cluster_id"})
     # add the roots themselves as members of their cluster (one row per
     # distinct cluster_id — emitted per bucket, deduped by the pair dedup)

@@ -163,7 +163,9 @@ def _combo(band_id: np.ndarray, band_key: np.ndarray) -> np.ndarray:
 # round-4 verdict minor #3: removed to prevent future misuse.)
 
 
-def _pairs_from_runs(cap: int, phash_hamming_max: int, mh_nibbles: int = 0):
+def _pairs_from_runs(
+    cap: int, phash_hamming_max: int, mh_nibbles: int = 0, triu_filter=None
+):
     """Vectorized pair generation over all bucket-runs of a coarse group —
     the SHARED kernel (stages/pairgen.py; the document path uses the same
     one) specialized with the flagship's in-generation junk screens:
@@ -217,7 +219,7 @@ def _pairs_from_runs(cap: int, phash_hamming_max: int, mh_nibbles: int = 0):
 
     return pairs_from_runs(
         "combo", "image_id", cap=cap, pair_filter=pair_screen,
-        counter_prefix="lsh",
+        counter_prefix="lsh", triu_filter=triu_filter,
     )
 
 
@@ -554,6 +556,193 @@ _CASCADE_LADDER = ((9, 3), (10, 4), (11, 5), (12, 6))
 _CASCADE_TARGET_LOAD = 0.7  # target keys-per-bucket load at the fine level
 
 
+def _cascade_combo_tables(
+    fine_bands: int, fine_combo: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-task lookup tables for exactly-once cross-combo pair emission:
+    ``band_masks[b]`` = the 64-bit mask of fine band b, and ``nxt[M, c]`` =
+    the smallest matching combo index >= c for a pair whose CLEAN-band
+    bitmask is M (a combo matches iff all its member bands are clean).
+    Cheap to rebuild in every task (<= 2^12 x C+1 int16)."""
+    from itertools import combinations
+
+    from dedup_ray.functions.hashing import _band_widths
+
+    widths = _band_widths(fine_bands)
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    band_masks = np.array(
+        [((1 << int(w)) - 1) << int(o) for w, o in zip(widths, offsets)],
+        dtype=np.uint64,
+    )
+    combos = list(combinations(range(fine_bands), fine_combo))
+    cmask = np.array(
+        [sum(1 << m for m in mem) for mem in combos], dtype=np.int64
+    )
+    n_masks = 1 << fine_bands
+    nf = len(combos)
+    match = (
+        np.arange(n_masks, dtype=np.int64)[:, None] & cmask[None, :]
+    ) == cmask[None, :]
+    nxt = np.full((n_masks, nf + 1), nf, dtype=np.int16)
+    for c in range(nf - 1, -1, -1):
+        nxt[:, c] = np.where(match[:, c], c, nxt[:, c + 1])
+    return band_masks, nxt
+
+
+@ray.remote
+def _combo_capped_keys_task(
+    hot: pa.Table, combo_index: int, fine_bands: int, fine_combo: int, cap: int
+) -> np.ndarray:
+    """Phase A of the broadcast cascade: this combo's over-cap bucket keys
+    (sorted; usually empty — capped fine buckets are mega-groups of
+    near-identical phashes)."""
+    from dedup_ray.functions.hashing import phash_combo_key_single
+
+    ph = hot["phash"].to_numpy(zero_copy_only=False)
+    key = np.sort(phash_combo_key_single(ph, fine_bands, fine_combo, combo_index))
+    if key.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.concatenate([[0], np.flatnonzero(key[1:] != key[:-1]) + 1])
+    sizes = np.diff(np.append(starts, key.size))
+    return key[starts[sizes > cap]]
+
+
+@ray.remote
+def _combo_pair_task(
+    hot: pa.Table,
+    combo_index: int,
+    fine_bands: int,
+    fine_combo: int,
+    cap: int,
+    hmax: int,
+    capped_list: list[np.ndarray],
+) -> pa.Table:
+    """One fine combo over the broadcast hot (image_id, phash) table: key
+    every row, sort, and run the SHARED screened pair kernel — identical
+    pair semantics (caps, star/chain, Hamming screen) to the shuffle path,
+    with zero explode rows and zero shuffle.
+
+    Exactly-once emission (the 36M -> ~distinct cross-combo fix): a
+    Hamming-d pair matches every combo made of its clean bands (210 combos
+    at d=0), and every matching in-cap combo would emit a copy into the
+    global pair dedup. The triu_filter below keeps a pair only when THIS
+    combo is its smallest matching combo whose bucket (for this pair's
+    key) is not capped — that combo's triu provably generates the pair, so
+    each in-cap pair is emitted exactly once across all tasks. Star/chain
+    fallback pairs of capped buckets are never suppressed (no in-cap combo
+    is guaranteed to regenerate them); their rare duplicates fall to the
+    global dedup as before."""
+    from dedup_ray.functions.hashing import phash_combo_key_single
+
+    band_masks, nxt = _cascade_combo_tables(fine_bands, fine_combo)
+    no_caps = all(a.size == 0 for a in capped_list)
+
+    def triu_dedup(g: pa.Table):
+        phs = g["phash"].to_numpy(zero_copy_only=False)
+
+        def fn(gi: np.ndarray, gj: np.ndarray) -> np.ndarray:
+            x = phs[gi].view(np.uint64) ^ phs[gj].view(np.uint64)
+            m = np.zeros(x.size, dtype=np.int64)
+            for b in range(fine_bands):
+                m |= ((x & band_masks[b]) == 0).astype(np.int64) << b
+            cur = nxt[m, 0].astype(np.int64)
+            if no_caps:
+                return cur == combo_index
+            undecided = np.flatnonzero(cur != combo_index)
+            while undecided.size:
+                cu = cur[undecided]
+                drop_now = np.zeros(undecided.size, dtype=bool)
+                for c in np.unique(cu):
+                    sel = cu == c
+                    idxs = undecided[sel]
+                    ck = capped_list[int(c)]
+                    if ck.size == 0:
+                        drop_now[sel] = True
+                        continue
+                    kk = phash_combo_key_single(
+                        phs[gi[idxs]], fine_bands, fine_combo, int(c)
+                    )
+                    pos = np.searchsorted(ck, kk)
+                    pos[pos >= ck.size] = ck.size - 1
+                    iscap = ck[pos] == kk
+                    drop_now[sel] = ~iscap
+                    adv = idxs[iscap]
+                    if adv.size:
+                        cur[adv] = nxt[m[adv], int(c) + 1]
+                cur[undecided[drop_now]] = -1
+                undecided = undecided[~drop_now]
+                undecided = undecided[cur[undecided] != combo_index]
+            return cur == combo_index
+
+        return fn
+
+    ph = hot["phash"].to_numpy(zero_copy_only=False)
+    key = phash_combo_key_single(ph, fine_bands, fine_combo, combo_index)
+    band = np.full(len(ph), 3000 + combo_index, dtype=np.uint64)
+    combo = _combo(band, key.view(np.int64)).view(np.int64)
+    t = pa.table(
+        {
+            "combo": pa.array(combo),
+            "image_id": hot["image_id"],
+            "gen": pa.array(np.ones(len(ph), dtype=np.int8)),
+            "phash": hot["phash"],
+        }
+    ).sort_by([("combo", "ascending"), ("image_id", "ascending")])
+    return _dedup_batch_pairs(
+        _pairs_from_runs(cap, hmax, triu_filter=triu_dedup)(t)
+    )
+
+
+def _cascade_broadcast_pairs(
+    hot: pa.Table,
+    cfg: DedupConfig,
+    fine_bands: int,
+    fine_combo: int,
+) -> rd.Dataset:
+    """Fine level of the saturation cascade as a BROADCAST pigeonhole kernel
+    (round-5): below ``cfg.phash_cascade_broadcast_max`` hot ids, the hot
+    (image_id, phash) set is small in BYTES (16-24 B/row — ~44 MB at the
+    2.7M-id 3M-rep stress cell) even when it is ~90% of all reps, so
+    instead of exploding it C(fine_bands, fine_combo)x into a bitmap pass
+    + a sort shuffle (measured as the 3M cell's dominant cost: two passes
+    over ~571M exploded rows), broadcast it once via ray.put and run ONE
+    Ray task per fine combo — each task keys all rows for its combo, sorts
+    locally, and applies the same screened pair kernel the shuffle path
+    uses. Same pair set by construction (equal-key runs per combo are a
+    partition of the same candidate space; identical cap/star-chain/screen
+    kernel); each in-cap pair is emitted exactly once across tasks (see
+    _combo_pair_task). Above the bound the explode+shuffle path remains
+    (the 10^9-rep shape, where the hot set outgrows a broadcast)."""
+    inc_counter("lsh_cascade_broadcast", 1)
+    hot_ref = ray.put(hot)
+    from math import comb as _comb
+
+    nf = _comb(fine_bands, fine_combo)
+    # phase A: each combo's over-cap bucket keys (tiny; usually empty) —
+    # the exactly-once triu filter needs them to know which smaller combo
+    # will NOT regenerate a pair (its bucket star/chains instead)
+    capped_list = ray.get(
+        [
+            _combo_capped_keys_task.remote(
+                hot_ref, c, fine_bands, fine_combo, cfg.bucket_pair_cap
+            )
+            for c in range(nf)
+        ]
+    )
+    n_capped = sum(a.size for a in capped_list)
+    if n_capped:
+        inc_counter("lsh_cascade_fine_capped", int(n_capped))
+    capped_ref = ray.put(capped_list)
+    refs = [
+        _combo_pair_task.remote(
+            hot_ref, c, fine_bands, fine_combo,
+            cfg.bucket_pair_cap, cfg.phash_hamming_max, capped_ref,
+        )
+        for c in range(nf)
+    ]
+    return rd.from_arrow_refs(refs).materialize()
+
+
 def _pick_cascade_keys(cfg: DedupConfig, n_hot: int) -> tuple[int, int]:
     """Fine-key config: explicit (phash_cascade_bands/combo) if set, else
     the first ladder rung whose ~2^(64c/b) keyspace keeps expected load
@@ -571,93 +760,179 @@ def _pick_cascade_keys(cfg: DedupConfig, n_hot: int) -> tuple[int, int]:
     return _CASCADE_LADDER[-1]
 
 
+def _cascade_fine_explode(
+    hot_rows: rd.Dataset,
+    cfg: DedupConfig,
+    fine_bands: int,
+    fine_combo: int,
+    n_hot: int,
+) -> rd.Dataset | None:
+    """Fine level via explode + shuffle — the ABOVE-broadcast-bound shape
+    (10^8+ hot ids). ``hot_rows`` is a (image_id, phash) dataset already
+    reduced to cascade members; every row re-bands under the fine combo
+    keys (band-id space 3000+c), the singleton bitmap prefilter runs when
+    it can separate, and the shared screened pair kernel emits batch-
+    deduped pairs. Materialized HERE (prepass): leaving this lazy would
+    run its shuffle concurrently with the main pair shuffle via the union
+    — measured round-5 as the difference between a clean 2M cell and
+    49 GB of spill."""
+    from math import comb as _comb
+
+    from dedup_ray.stages.grouped import grouped_runs
+
+    n_fine = _comb(fine_bands, fine_combo)
+
+    def fine_explode(b: pa.Table) -> pa.Table:
+        id_col = b["image_id"]
+        if isinstance(id_col, pa.ChunkedArray):
+            id_col = id_col.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "combo": pa.array([], type=pa.int64()),
+                    "image_id": pa.array([], type=id_col.type),
+                    "gen": pa.array([], type=pa.int8()),
+                    "phash": pa.array([], type=pa.int64()),
+                }
+            )
+        ph = b["phash"].to_numpy(zero_copy_only=False)
+        n = len(ph)
+        pb = phash_combo_keys(ph, fine_bands, fine_combo)
+        band = (
+            3000 + np.repeat(np.arange(n_fine, dtype=np.int32)[None, :], n, 0)
+        ).ravel()
+        combo = _combo(band, pb.view(np.int64).ravel()).view(np.int64)
+        return pa.table(
+            {
+                "combo": pa.array(combo),
+                "image_id": id_col.take(
+                    pa.array(np.repeat(np.arange(n), n_fine))
+                ),
+                "gen": pa.array(np.ones(n * n_fine, dtype=np.int8)),
+                "phash": pa.array(np.repeat(ph, n_fine), type=pa.int64()),
+            }
+        )
+
+    fine = hot_rows.map_batches(fine_explode, batch_format="pyarrow")
+    # Fine singleton prefilter only when it can actually separate: at
+    # expected load lam = n_hot / keyspace above ~0.25 the genuinely
+    # pairable fraction is already ~2*lam and the filter's false-positive
+    # floor ((1-e^-lam)^2) eats the rest — the pass would cost a full
+    # explode execution + a bitmap fold to drop almost nothing. Singleton
+    # runs are skipped by the pair kernel either way (recall-exact).
+    lam = n_hot / 2.0 ** (64.0 * fine_combo / fine_bands)
+    fine_f = fine
+    if lam <= 0.25:
+        bitmap = _pairable_bitmap(
+            fine,
+            distributed=cfg.distributed_prepass,
+            log2_bits=_bitmap_log2_for(n_hot * n_fine),
+        )
+        if bitmap is None:
+            return None
+        fine_f = fine.map_batches(
+            _bitmap_keep_fn(ray.put(bitmap)), batch_format="pyarrow"
+        )
+    return grouped_runs(
+        fine_f,
+        "combo",
+        _pairs_from_runs(cfg.bucket_pair_cap, cfg.phash_hamming_max),
+        sort_cols=["combo", "image_id"],
+    ).map_batches(_dedup_batch_pairs, batch_format="pyarrow").materialize()
+
+
+@ray.remote
+def _tbl_nrows(t: pa.Table) -> int:
+    return t.num_rows if "image_id" in t.column_names else 0
+
+
+def _phash_cascade_dense(
+    signatures: rd.Dataset,
+    cfg: DedupConfig,
+    hot_cells: np.ndarray,
+    all_fine: bool,
+) -> rd.Dataset | None:
+    """Fine level for DENSE mode (the default coarse config) — round-5
+    final shape. Hot phash rows were already dropped at explode GENERATION
+    (lsh_candidates threads the hot-cell array into explode_with_combo),
+    so there is no bucket splitting here at all: membership is a pure
+    function of the phash (any of its coarse cells over cap), evaluated in
+    ONE pass over the pinned signatures. ``all_fine=True`` is the
+    saturation endgame (hot rows >= phash_cascade_allfine_frac of all
+    phash rows): EVERY rep routes through the fine level and the coarse
+    phash tier is skipped entirely — at λ = reps/2^16 ≈ 46 (the 3M cell)
+    even the sub-cap coarse cells are junk factories (C(n,2) generation
+    per cell ≈ 1.4G screened candidates), while the fine keyspace runs at
+    λ ≈ 0.06. The pair SET is unchanged either way: coarse and fine tiers
+    are both pigeonhole-complete + Hamming-screened to the same verify
+    threshold."""
+
+    hot_ref = ray.put(hot_cells)
+
+    def hot_rows(b: pa.Table) -> pa.Table:
+        t = b.select(["image_id", "phash"])
+        if b.num_rows == 0 or all_fine:
+            return t
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        pb = phash_combo_keys(ph, cfg.phash_bands, cfg.phash_combo_size)
+        hc = ray.get(hot_ref)
+        return t.filter(pa.array(hc[pb.view(np.int64)].any(axis=1)))
+
+    refs = signatures.map_batches(
+        hot_rows, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    n_hot = int(sum(ray.get([_tbl_nrows.remote(r) for r in refs])))
+    if n_hot == 0:
+        return None
+    inc_counter("lsh_cascade_ids", n_hot)
+    fine_bands, fine_combo = _pick_cascade_keys(cfg, n_hot)
+    if n_hot <= cfg.phash_cascade_broadcast_max:
+        hot = pa.concat_tables(
+            [t for t in ray.get(refs) if t.num_rows]
+        ).combine_chunks()
+        return _cascade_broadcast_pairs(hot, cfg, fine_bands, fine_combo)
+    return _cascade_fine_explode(
+        rd.from_arrow_refs(refs), cfg, fine_bands, fine_combo, n_hot
+    )
+
+
 def _phash_cascade(
     buckets: rd.Dataset,
     signatures: rd.Dataset,
     cfg: DedupConfig,
-    dense_counts: np.ndarray | None = None,
 ) -> tuple[rd.Dataset, rd.Dataset | None]:
-    """Saturation cascade (round-5; the round-4 verdict's weak-for-scale
-    item): over-cap PHASH buckets are removed from the level-1 pair shuffle
-    and their member rows re-banded with finer
-    (phash_cascade_bands, phash_cascade_combo) combo keys.
-
-    Why: the coarse (8,2) keys live in a 16-bit space, so above ~2^16 reps
-    every bucket saturates (λ = R/65536) and the pair stage spends its wall
-    generating-and-screening junk star/chain pairs (measured: ~293 s of the
-    403.9 s 3M-rep stress cell). The fine keys are pigeonhole-complete to
-    Hamming <= cascade_bands - cascade_combo >= phash_hamming_max
-    (config-validated), and both levels Hamming-screen in generation, so the
-    two-level candidate set equals the UNCAPPED exact set
-    {pairs: Hamming <= phash_hamming_max} — strictly better recall than the
-    star/chain degradation it replaces — while hot rows never ride the
-    level-1 shuffle at all. An over-cap FINE bucket (a mega-group of
-    near-identical phashes) still star/chains, as before.
-
-    Physical plan: exact bucket counts over the pair-participating
-    survivors (the same pre-pass the salt path uses) -> broadcast sorted
-    hot-key array -> level-1 rows split map-side -> distinct hot-row ids
-    (driver-merged; bounded by the saturated-rep count — at the 10^12 shape
-    this merge becomes a grouped_runs distinct + shuffle semi-join, same
-    swap as every other driver merge here) -> fine re-explode of ONLY those
-    signature rows (band-id space 3000+c) -> the standard pairable-bitmap
-    filter + one coarse shuffle + the shared screened pair kernel.
+    """Saturation cascade for NON-dense coarse configs (uneven band widths
+    / oversized keyspaces, where exact dense counts are gated off): over-
+    cap PHASH buckets are found with one grouped_runs count exchange,
+    their rows leave the level-1 pair shuffle map-side, and the distinct
+    hot ids re-band at the fine level (broadcast kernel below the bound,
+    explode+shuffle above it). The default config routes through
+    _phash_cascade_dense instead, which needs none of the bucket passes.
 
     Returns (cold_buckets, fine_pairs | None)."""
-    from dedup_ray.stages.grouped import grouped_runs
-    from dedup_ray.stages.pairgen import _ids_np
+    from dedup_ray.stages.pairgen import _ids_np, hot_bucket_counts
 
-    if dense_counts is not None:
-        # hot detection is a pure array read off the exact dense keyspace
-        # counts — NO count pass at all (the previous distributed count
-        # exchange cost 841 s at the 2M cell; the dense array already
-        # exists from the main prepass)
-        hot_cells = dense_counts > cfg.bucket_pair_cap
-        if not hot_cells.any():
-            return buckets, None
-        inc_counter("lsh_cascade_buckets", int(hot_cells.sum()))
-        inc_counter("lsh_cascade_rows", int(dense_counts[hot_cells].sum()))
-        hot_ref = ray.put(hot_cells)
+    counts = hot_bucket_counts(
+        buckets, "combo", cfg.bucket_pair_cap, distributed=True
+    )
+    if counts is None:
+        return buckets, None
+    u, tot = counts
+    band_id = u.view(np.uint64) & np.uint64(0xFFF)
+    hot = (band_id >= 1000) & (band_id < 2000)
+    if not hot.any():
+        return buckets, None
+    hot_keys = np.sort(u[hot])
+    inc_counter("lsh_cascade_buckets", int(hot.sum()))
+    inc_counter("lsh_cascade_rows", int(tot[hot].sum()))
+    hk_ref = ray.put(hot_keys)
 
-        def _hot_mask(b: pa.Table) -> np.ndarray:
-            combo = b["combo"].to_numpy(zero_copy_only=False)
-            cu = combo.view(np.uint64)
-            band = cu & np.uint64(0xFFF)
-            m = np.zeros(len(combo), dtype=bool)
-            is_ph = (band >= 1000) & (band < 2000)
-            if is_ph.any():
-                hc = ray.get(hot_ref)
-                m[is_ph] = hc[
-                    (cu >> np.uint64(12))[is_ph].astype(np.int64)
-                ]
-            return m
-
-    else:
-        # non-default coarse configs (dense mode gated off): one
-        # grouped_runs count exchange returning only the over-cap slice
-        from dedup_ray.stages.pairgen import hot_bucket_counts
-
-        counts = hot_bucket_counts(
-            buckets, "combo", cfg.bucket_pair_cap, distributed=True
-        )
-        if counts is None:
-            return buckets, None
-        u, tot = counts
-        band_id = u.view(np.uint64) & np.uint64(0xFFF)
-        hot = (band_id >= 1000) & (band_id < 2000)
-        if not hot.any():
-            return buckets, None
-        hot_keys = np.sort(u[hot])
-        inc_counter("lsh_cascade_buckets", int(hot.sum()))
-        inc_counter("lsh_cascade_rows", int(tot[hot].sum()))
-        hk_ref = ray.put(hot_keys)
-
-        def _hot_mask(b: pa.Table) -> np.ndarray:
-            hk = ray.get(hk_ref)
-            combo = b["combo"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(hk, combo)
-            pos[pos >= hk.size] = hk.size - 1
-            return hk[pos] == combo
+    def _hot_mask(b: pa.Table) -> np.ndarray:
+        hk = ray.get(hk_ref)
+        combo = b["combo"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hk, combo)
+        pos[pos >= hk.size] = hk.size - 1
+        return hk[pos] == combo
 
     def cold_rows(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -686,84 +961,38 @@ def _phash_cascade(
     ids_np = np.sort(_ids_np(ids))
     ids_ref = ray.put(ids_np)
 
-    from math import comb as _comb
-
     fine_bands, fine_combo = _pick_cascade_keys(cfg, len(ids))
-    n_fine = _comb(fine_bands, fine_combo)
 
-    def fine_explode(b: pa.Table) -> pa.Table:
-        id_col = b["image_id"]
-        if isinstance(id_col, pa.ChunkedArray):
-            id_col = id_col.combine_chunks()
-        empty = pa.table(
-            {
-                "combo": pa.array([], type=pa.int64()),
-                "image_id": pa.array([], type=id_col.type),
-                "gen": pa.array([], type=pa.int8()),
-                "phash": pa.array([], type=pa.int64()),
-            }
-        )
+    def member_rows(b: pa.Table) -> pa.Table:
+        t = b.select(["image_id", "phash"])
         if b.num_rows == 0:
-            return empty
+            return t
         member_ids = ray.get(ids_ref)
-        a = _ids_np(id_col)
+        a = _ids_np(t["image_id"])
         pos = np.searchsorted(member_ids, a)
         pos[pos >= member_ids.size] = member_ids.size - 1
-        sel = member_ids[pos] == a
-        if not sel.any():
-            return empty
-        idx = np.flatnonzero(sel)
-        ph = b["phash"].to_numpy(zero_copy_only=False)[idx]
-        n = idx.size
-        pb = phash_combo_keys(ph, fine_bands, fine_combo)
-        band = (
-            3000 + np.repeat(np.arange(n_fine, dtype=np.int32)[None, :], n, 0)
-        ).ravel()
-        combo = _combo(band, pb.view(np.int64).ravel()).view(np.int64)
-        return pa.table(
-            {
-                "combo": pa.array(combo),
-                "image_id": id_col.take(pa.array(np.repeat(idx, n_fine))),
-                "gen": pa.array(np.ones(n * n_fine, dtype=np.int8)),
-                "phash": pa.array(np.repeat(ph, n_fine), type=pa.int64()),
-            }
-        )
+        return t.filter(pa.array(member_ids[pos] == a))
 
-    fine = signatures.map_batches(fine_explode, batch_format="pyarrow")
-    # Fine singleton prefilter only when it can actually separate: at
-    # expected load lam = n_hot / keyspace above ~0.25 the genuinely
-    # pairable fraction is already ~2*lam and the filter's false-positive
-    # floor ((1-e^-lam)^2) eats the rest — the pass would cost a full
-    # explode execution + a bitmap fold to drop almost nothing. Singleton
-    # runs are skipped by the pair kernel either way (recall-exact).
-    lam = len(ids) / 2.0 ** (64.0 * fine_combo / fine_bands)
-    fine_f = fine
-    if lam <= 0.25:
-        bitmap = _pairable_bitmap(
-            fine,
-            distributed=cfg.distributed_prepass,
-            log2_bits=_bitmap_log2_for(len(ids) * n_fine),
-        )
-        if bitmap is None:
+    if len(ids) <= cfg.phash_cascade_broadcast_max:
+        hot_parts = [
+            t
+            for t in ray.get(
+                signatures.map_batches(
+                    member_rows, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs()
+            )
+            if t.num_rows and "image_id" in t.column_names
+        ]
+        if not hot_parts:
             return cold, None
-        fine_f = fine.map_batches(
-            _bitmap_keep_fn(ray.put(bitmap)), batch_format="pyarrow"
+        return cold, _cascade_broadcast_pairs(
+            pa.concat_tables(hot_parts).combine_chunks(),
+            cfg, fine_bands, fine_combo,
         )
-
-    # The fine pairs are batch-deduped and MATERIALIZED here, in the
-    # prepass: a true fine pair is emitted by up to C(untouched bands,
-    # combo) ~ n_fine combos, and leaving this branch lazy would run its
-    # shuffle CONCURRENTLY with the main pair shuffle via the union —
-    # measured round-5 as the difference between a clean 2M cell and 49 GB
-    # of spill. The materialized artifact is the deduped pair table
-    # (bounded by true-pair volume), never the fine bucket rows.
-    fine_pairs = grouped_runs(
-        fine_f,
-        "combo",
-        _pairs_from_runs(cfg.bucket_pair_cap, cfg.phash_hamming_max),
-        sort_cols=["combo", "image_id"],
-    ).map_batches(_dedup_batch_pairs, batch_format="pyarrow").materialize()
-    return cold, fine_pairs
+    return cold, _cascade_fine_explode(
+        signatures.map_batches(member_rows, batch_format="pyarrow"),
+        cfg, fine_bands, fine_combo, len(ids),
+    )
 
 
 def lsh_candidates(
@@ -787,7 +1016,50 @@ def lsh_candidates(
     verified exactly once — the scale path (a true pair is generated
     ~30-70x across combos/bands/anchors); "auto" picks by ``n_reps``
     (callers with a pinned rep table pass its count; None keeps batch)."""
+    from math import comb as _comb_early
+
     from dedup_ray.stages.grouped import grouped_runs, run_starts
+
+    cascade_active = (
+        cfg.phash_cascade
+        and not cfg.salt_hot_buckets
+        and (n_reps is None or n_reps >= cfg.phash_cascade_min_reps)
+    )
+    # Dense mode runs FIRST (one phash-only pass over the pinned
+    # signatures, no explode): its exact cell counts drive the pairable
+    # filter for phash rows AND — when the cascade is active — hot-cell
+    # detection, so hot phash rows can be dropped at explode GENERATION
+    # (they re-band at the fine level; they must never ride the level-1
+    # shuffle). all_fine is the saturation endgame: when hot rows dominate
+    # the phash tier, the coarse phash banding is skipped ENTIRELY and
+    # every rep routes through the fine kernel — at λ = reps/2^16 >> 1
+    # even sub-cap coarse cells are C(n,2) junk factories while the fine
+    # keyspace runs at λ << 1 (see _phash_cascade_dense).
+    cells = _dense_cells(cfg)
+    dense = (
+        _phash_dense_counts(signatures, cfg, cells)
+        if cells is not None
+        else None
+    )
+    hot_cells: np.ndarray | None = None
+    hot_cells_ref = None
+    all_fine = False
+    if cascade_active and dense is not None:
+        hc = dense > cfg.bucket_pair_cap
+        if hc.any():
+            hot_cells = hc
+            hot_cells_ref = ray.put(hc)
+            inc_counter("lsh_cascade_buckets", int(hc.sum()))
+            hot_rows_n = int(dense[hc].sum())
+            inc_counter("lsh_cascade_rows", hot_rows_n)
+            tot_rows = int(dense.sum())
+            all_fine = (
+                n_reps is not None
+                and tot_rows > 0
+                and hot_rows_n >= cfg.phash_cascade_allfine_frac * tot_rows
+            )
+            if all_fine:
+                inc_counter("lsh_cascade_allfine", 1)
 
     def explode_with_combo(b: pa.Table) -> pa.Table:
         t = explode_buckets(b, cfg)
@@ -804,32 +1076,53 @@ def lsh_candidates(
         for c in ("mh0", "mh1"):  # digest columns (minhash prefilter only)
             if c in t.column_names:
                 cols[c] = t[c]
-        return pa.table(cols)
+        out = pa.table(cols)
+        if all_fine or hot_cells_ref is not None:
+            # cascade-bound phash rows never materialize into level-1
+            cu = combo.view(np.uint64)
+            band = cu & np.uint64(0xFFF)
+            is_ph = (band >= 1000) & (band < 2000)
+            if all_fine:
+                drop = is_ph
+            else:
+                drop = np.zeros(len(combo), dtype=bool)
+                if is_ph.any():
+                    hcells = ray.get(hot_cells_ref)
+                    drop[is_ph] = hcells[
+                        (cu >> np.uint64(12))[is_ph].astype(np.int64)
+                    ]
+            if drop.any():
+                out = out.filter(pa.array(~drop))
+        return out
 
     buckets = signatures.map_batches(
         explode_with_combo, batch_format="pyarrow"
     )
-    # The exploded table (~60 rows/rep) has 2-3 consumers (bitmap pass,
-    # filtered shuffle, optional salt counts). Pinning it is right at bench
-    # scale (re-execution costs more than the blocks), but at millions of
-    # reps the pinned blocks (~15 GB at 4M reps) crowd the object store
-    # exactly when the pair shuffle needs it — measured as the 4M stress
-    # cell's OutOfDisk driver. Above the threshold, stream and let each
-    # consumer recompute the explode from the pinned signatures instead.
-    cascade_active = (
-        cfg.phash_cascade
-        and not cfg.salt_hot_buckets
-        and (n_reps is None or n_reps >= cfg.phash_cascade_min_reps)
-    )
-    if (
-        n_reps is None or n_reps <= 2_000_000 or cfg.salt_hot_buckets
-    ) and not cascade_active:
+    # The exploded table (~60 rows/rep; ~36 once the cascade drops the
+    # phash tier) has 2 consumers (bitmap pass + filtered shuffle; +salt
+    # counts when salting). Pinning it saves a full re-explode, but pinned
+    # blocks crowd the store exactly when the pair shuffle needs it —
+    # measured as the 4M stress cell's OutOfDisk driver. Round-5: the pin
+    # decision is STORE-AWARE — pin when the estimated explode bytes fit
+    # comfortably (<= 20% of the object store), else stream and let each
+    # consumer recompute the explode from the pinned signatures.
+    pin_explode = n_reps is None or n_reps <= 2_000_000 or cfg.salt_hot_buckets
+    if not pin_explode and n_reps is not None:
+        per_rep = cfg.bands + 2 + (
+            0 if all_fine
+            else _comb_early(cfg.phash_bands, cfg.phash_combo_size)
+        )
+        try:
+            store_bytes = int(
+                ray.cluster_resources().get("object_store_memory", 0)
+            )
+        except Exception:
+            store_bytes = 0
+        pin_explode = bool(
+            store_bytes and n_reps * per_rep * 48 <= 0.2 * store_bytes
+        )
+    if pin_explode:
         buckets = buckets.materialize()
-    # When the cascade is active the pinned artifact is the (much smaller)
-    # post-filter SURVIVOR set below, not the full explode — pinning both
-    # was measured as the difference between a clean 2M cell and an
-    # OutOfDisk one on this box (the explode re-runs once more instead:
-    # vectorized CPU, cheap next to ~7 GB of pinned blocks).
     # id_type: threaded by callers that know it statically (the flagship
     # passes int64 when it int-encoded ids); fall back to the INPUT's schema.
     # Never ask the buckets dataset (round-4 advice): on the streaming path
@@ -846,23 +1139,16 @@ def lsh_candidates(
     pair_schema = pa.schema([("src_id", id_type), ("dst_id", id_type)])
     # phash rows get EXACT dense keyspace counts (1.8M cells at the (8,2)
     # default — the 16-bit keyspace the bitmap could never resolve once
-    # reps approach 2^16); everything else gets the approximate bitmap
-    # sized from the estimated key volume. One pass each over the pinned
-    # signatures / streamed explode.
-    from math import comb as _comb_
-
-    cells = _dense_cells(cfg)
-    dense = (
-        _phash_dense_counts(signatures, cfg, cells)
-        if cells is not None
-        else None
-    )
+    # reps approach 2^16; computed ONCE above, before the explode, so it
+    # also drives the cascade's generation-time hot-row drop); everything
+    # else gets the approximate bitmap sized from the estimated key volume.
     est_keys = (
         n_reps
         * (
             cfg.bands
-            + (4 if dense is not None
-               else _comb_(cfg.phash_bands, cfg.phash_combo_size) + 2)
+            + (0 if all_fine
+               else 4 if dense is not None
+               else _comb_early(cfg.phash_bands, cfg.phash_combo_size) + 2)
         )
         if n_reps is not None
         else None
@@ -889,17 +1175,16 @@ def lsh_candidates(
         )
         if counts is not None:
             buckets = _apply_salt(buckets, cfg, *counts)
-    elif cascade_active:
-        # saturation cascade: over-cap PHASH buckets leave the level-1
-        # shuffle entirely; their rows re-band under finer combo keys (see
-        # _phash_cascade). Gated on the rep-count knee (phash_cascade_min_
-        # reps): below it, saturation is not structural and the exact
-        # count pre-pass would be pure overhead. Survivors pin first: the
-        # cascade consumes them three times (counts, cold split, hot-id
-        # collection) and the post-filter survivor set is far smaller than
-        # the full explode.
+    elif cascade_active and hot_cells is not None:
+        # DENSE cascade (default config): hot rows were dropped at explode
+        # generation — no bucket splitting; the fine level reads straight
+        # off the pinned signatures (broadcast kernel below the bound)
+        fine_pairs = _phash_cascade_dense(signatures, cfg, hot_cells, all_fine)
+    elif cascade_active and dense is None:
+        # non-dense configs: count exchange + bucket split (legacy path).
+        # Survivors pin first: the cascade consumes them three times.
         buckets = buckets.materialize()
-        buckets, fine_pairs = _phash_cascade(buckets, signatures, cfg, dense)
+        buckets, fine_pairs = _phash_cascade(buckets, signatures, cfg)
     pairs = grouped_runs(
         buckets,
         "combo",

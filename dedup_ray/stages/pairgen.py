@@ -71,6 +71,10 @@ def pairs_from_runs(
     | None = None,
     out_cols: tuple[str, str] = ("src_id", "dst_id"),
     counter_prefix: str = "lsh",
+    triu_filter: Callable[
+        [pa.Table], Callable[[np.ndarray, np.ndarray], np.ndarray]
+    ]
+    | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the grouped_runs fn emitting (a < b) id pairs per key-run.
 
@@ -82,6 +86,12 @@ def pairs_from_runs(
     edges are unchanged while the junk never rides the attach stage (the
     round-3 stress run shipped ~20M unfiltered star/chain pairs from 113k
     capped buckets into verify; all of them were Hamming-rejects there).
+
+    ``triu_filter``: like ``pair_filter`` but applied ONLY to the in-cap
+    triu pairs (after ``pair_filter``), never to the star/chain fallback —
+    the broadcast cascade kernel uses it for exactly-once cross-combo
+    emission, which must not suppress fallback pairs that no in-cap combo
+    is guaranteed to regenerate.
     """
 
     def fn(g: pa.Table) -> pa.Table:
@@ -94,6 +104,7 @@ def pairs_from_runs(
         keys = g[key_col].to_numpy(zero_copy_only=False)
         ids = _ids_np(g[id_col])
         per_pair = pair_filter(g) if pair_filter is not None else None
+        per_triu = triu_filter(g) if triu_filter is not None else None
 
         starts = run_starts(keys)
         bounds = np.append(starts, len(keys))
@@ -114,6 +125,10 @@ def pairs_from_runs(
                 gj = (offs[:, None] + ju[None, :]).ravel()
                 if per_pair is not None:
                     keep = per_pair(gi, gj)
+                    if not keep.all():
+                        gi, gj = gi[keep], gj[keep]
+                if per_triu is not None and gi.size:
+                    keep = per_triu(gi, gj)
                     if not keep.all():
                         gi, gj = gi[keep], gj[keep]
                 src_parts.append(ids[gi])

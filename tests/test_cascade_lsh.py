@@ -108,6 +108,73 @@ def test_cascade_recovers_exact_hamming_pair_set():
     assert capped < brute
 
 
+def test_cascade_broadcast_and_explode_paths_agree():
+    """The two fine-level physical plans (broadcast per-combo kernel vs
+    explode + bitmap + shuffle) must produce the SAME pair set — and both
+    must equal the brute-force Hamming set on the planted saturated
+    corpus (round-5: the broadcast kernel is the default below
+    phash_cascade_broadcast_max)."""
+    ph = _phashes()
+    brute = _brute_hamming_pairs(ph, DedupConfig().phash_hamming_max)
+    reset_counters()
+    broadcast = _pairs(DedupConfig(bucket_pair_cap=20), ph)
+    assert snapshot_counters().get("lsh_cascade_broadcast", 0) == 1
+    reset_counters()
+    explode = _pairs(
+        DedupConfig(bucket_pair_cap=20, phash_cascade_broadcast_max=0), ph
+    )
+    assert snapshot_counters().get("lsh_cascade_broadcast", 0) == 0
+    assert broadcast == explode == brute
+
+
+def test_cascade_broadcast_exactly_once_with_capped_fine_bucket():
+    """A mega-group of IDENTICAL phashes saturates even the fine keys (the
+    over-cap fine bucket case): both physical plans must still produce the
+    same pair set, and the broadcast plan's exactly-once triu filter must
+    not suppress the star/chain fallback pairs of the capped bucket."""
+    rng = np.random.default_rng(23)
+    ph = _phashes().view(np.uint64).copy()
+    ph[:30] = np.uint64(0xABCD_7777_1234_5678)  # 30 identical -> fine-capped
+    ph = ph.view(np.int64)
+    cfg_b = DedupConfig(bucket_pair_cap=20)
+    cfg_e = DedupConfig(bucket_pair_cap=20, phash_cascade_broadcast_max=0)
+    reset_counters()
+    broadcast = _pairs(cfg_b, ph)
+    c = snapshot_counters()
+    assert c.get("lsh_cascade_broadcast", 0) == 1
+    assert c.get("lsh_cascade_fine_capped", 0) >= 1
+    explode = _pairs(cfg_e, ph)
+    assert broadcast == explode
+    # the mega-group's star/chain connectivity survives: every one of the
+    # 30 identical-phash rows appears in at least one pair
+    mega = {f"img_{i:04d}" for i in range(30)}
+    touched = {a for a, _ in broadcast} | {b for _, b in broadcast}
+    assert mega <= touched
+
+
+def test_cascade_allfine_mode_exact_pair_set():
+    """The saturation endgame: when hot rows dominate the coarse phash
+    tier, the coarse banding is skipped entirely and EVERY rep routes
+    through the fine broadcast kernel — the pair set must still be the
+    exact Hamming set (round-5 all_fine mode; forced here with a tiny
+    allfine fraction + explicit n_reps so the gates open on 60 rows)."""
+    from dedup_ray.stages.lsh import lsh_candidates as _lc
+
+    ph = _phashes()
+    cfg = DedupConfig(bucket_pair_cap=20, phash_cascade_allfine_frac=0.01)
+    reset_counters()
+    cand = _lc(_signatures(cfg.num_perm, ph), cfg, n_reps=1_000_000)
+    out = set()
+    for tbl in ray.get(cand.to_arrow_refs()):
+        if tbl.num_rows and "src_id" in tbl.column_names:
+            out.update(zip(tbl["src_id"].to_pylist(), tbl["dst_id"].to_pylist()))
+    c = snapshot_counters()
+    assert c.get("lsh_cascade_allfine", 0) == 1
+    assert c.get("lsh_cascade_broadcast", 0) == 1
+    assert c.get("lsh_cascade_ids", 0) == N  # every rep routed fine
+    assert out == _brute_hamming_pairs(ph, cfg.phash_hamming_max)
+
+
 def test_cascade_noop_below_cap():
     ph = _phashes()
     reset_counters()

@@ -88,6 +88,47 @@ def test_distributed_dictionary_matches_driver(seed):
     assert list(a["cluster_id"]) == list(b["cluster_id"])
 
 
+def test_early_retirement_mixed_graph():
+    """Round-5 early retirement: small stars converge (and retire) in round
+    one while a long path component keeps iterating — the final assignment
+    must equal driver union-find exactly, and the retirement counters must
+    show work actually left the loop early."""
+    from dedup_ray.state.metrics import reset_counters, snapshot_counters
+
+    nodes = [f"n{i:03d}" for i in range(40)]
+    pairs = [(nodes[0], nodes[1]), (nodes[2], nodes[3]), (nodes[2], nodes[4])]
+    # a 20-node path: needs several star rounds to converge
+    pairs += [(nodes[10 + i], nodes[11 + i]) for i in range(19)]
+    # a redundant clique-ish cluster
+    pairs += [
+        (nodes[35], nodes[36]), (nodes[35], nodes[37]),
+        (nodes[36], nodes[37]), (nodes[35], nodes[37]),
+    ]
+    a = _driver_unionfind(rd.from_arrow(_edges_table(pairs))).to_pandas()
+    reset_counters()
+    b = _distributed_star(
+        rd.from_arrow(_edges_table(pairs)).repartition(4).materialize()
+    ).to_pandas()
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert list(a["cluster_id"]) == list(b["cluster_id"])
+    counters = snapshot_counters()
+    assert counters.get("cc_retired_components", 0) >= 3
+    assert counters.get("cc_retired_edges", 0) >= 3
+
+
+def test_early_retirement_all_singleton_stars():
+    """A graph that is ALL tiny stars retires entirely at the first check —
+    zero fixpoint rounds — and still yields the exact cluster table."""
+    pairs = [(f"a{i:02d}", f"b{i:02d}") for i in range(12)]
+    # min-id orientation: cluster root is the lexicographic min of each pair
+    a = _driver_unionfind(rd.from_arrow(_edges_table(pairs))).to_pandas()
+    b = _distributed_star(
+        rd.from_arrow(_edges_table(pairs)).repartition(3).materialize()
+    ).to_pandas()
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert list(a["cluster_id"]) == list(b["cluster_id"])
+
+
 def test_block_contract_preserves_components():
     """Per-block local-CC contraction keeps the component structure and is
     idempotent on a converged star set."""
