@@ -373,6 +373,7 @@ def _distributed_star(
     edges: rd.Dataset,
     max_iters: int = 25,
     node_broadcast_max: int = 20_000_000,
+    driver_residual_max: int = 2_000_000,
 ) -> rd.Dataset:
     import ray
 
@@ -507,9 +508,17 @@ def _distributed_star(
     # preserve ~the input block count). The per-block local-CC contraction
     # (_block_contract) collapses redundant edges map-side before the first
     # exchange — measured severalfold on dup-cluster edge lists.
+    # Normalize the block count only when needed: the input edge dataset is
+    # materialized by cluster_stage, so its block count is known — when it
+    # is already in the parallel sweet spot the repartition is a pure extra
+    # all-to-all (measured ~0.5-1 s at 3.3M edges, round-5).
+    try:
+        nb = edges.num_blocks()
+    except Exception:
+        nb = None
+    base = coded if nb is not None and 8 <= nb <= 96 else coded.repartition(32)
     cur = (
-        coded
-        .repartition(32)
+        base
         .map_batches(_block_contract, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
@@ -519,16 +528,23 @@ def _distributed_star(
     # geometrically, termination becomes "active set empty" (no checksum
     # pass, no +1 confirmation round). The beyond-driver path keeps the
     # checksum fixpoint.
-    retire_on = decode_join is None
+    import os
+
+    # DEDUP_CC_RETIRE: "0" = never, "1" = after the first star round only
+    # (default; the measured single-node sweet spot — see SCALE.md round-5
+    # CC row), "all" = every round (the multi-node shape: per-round volume
+    # reduction pays when exchanges cost network, not just barriers).
+    retire_mode = os.environ.get("DEDUP_CC_RETIRE", "1")
+    retire_rounds = (
+        0 if retire_mode == "0" or decode_join is not None
+        else (10**9 if retire_mode == "all" else 1)
+    )
     retired_parts: list[rd.Dataset] = []
     n_active = -1
-    if retire_on:
-        cur, part, n_active = _retire_converged(cur, len(nodes))
-        if part is not None:
-            retired_parts.append(part)
     prev_sum = None
+    rounds_done = 0
     for _ in range(max_iters):
-        if retire_on and n_active == 0:
+        if n_active == 0:
             break
         # large star: both orientations, group by u, link big neighbors to min
         both = cur.map_batches(
@@ -556,11 +572,44 @@ def _distributed_star(
             oriented, "u", _small_star_runs, sort_cols=["u", "v"],
             min_parallel_blocks=0,
         ).materialize()
-        if retire_on:
+        rounds_done += 1
+        if rounds_done <= retire_rounds:
             cur, part, n_active = _retire_converged(cur, len(nodes))
             if part is not None:
                 retired_parts.append(part)
             if n_active == 0:
+                break
+            if n_active <= driver_residual_max:
+                # hybrid finish (round-5): retirement removed the converged
+                # mass; the residual is back under the driver-UF edge bound
+                # (the same driver-RAM contract as the fast path), so one
+                # vectorized local CC replaces the remaining rounds' 2
+                # exchange barriers each. Output form is identical (star
+                # edges node -> component-min code).
+                from dedup_ray.functions.unionfind import cc_codes
+
+                parts_t = [
+                    t for t in ray.get(
+                        cur.select_columns(["u", "v"]).to_arrow_refs()
+                    ) if t.num_rows
+                ]
+                if not parts_t:
+                    break
+                t = pa.concat_tables(parts_t)
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                loc = np.unique(np.concatenate([u, v]))
+                parent = cc_codes(
+                    np.searchsorted(loc, u), np.searchsorted(loc, v), len(loc)
+                )
+                roots = loc[parent]
+                keep = roots != loc
+                cur = rd.from_arrow(
+                    pa.table(
+                        {"u": pa.array(loc[keep], type=pa.int64()),
+                         "v": pa.array(roots[keep], type=pa.int64())}
+                    )
+                )
                 break
         else:
             s = _checksum(cur)
@@ -622,5 +671,7 @@ def cluster_stage(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     # fallback consumes the edge dataset several times (star iterations):
     # pin it so the (possibly unmaterialized) verify lineage runs only once
     return _distributed_star(
-        edges.materialize(), node_broadcast_max=cfg.cc_node_broadcast_max
+        edges.materialize(),
+        node_broadcast_max=cfg.cc_node_broadcast_max,
+        driver_residual_max=cfg.driver_unionfind_max_edges,
     )
